@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schemas.Tables
+
+/** Relational operator suite (SURVEY.md §2.2–§2.6) over the driver testdata.
+  *
+  * Oracle-parity discipline: money columns in the testdata carry exactly two
+  * decimals, so every float aggregate is computed in exact DECIMAL(12,2)
+  * arithmetic and only cast to DOUBLE at the very end — the cast of an exact
+  * decimal to double is correctly rounded in both Spark and DuckDB, so results
+  * hash-match bit-for-bit regardless of partitioning / accumulation order.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private val one = lit(1).cast(DecimalType(12, 2))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01 — TPC-H Q1-shaped pricing summary: filter → hash agg (partial+final)
+    * → sort. Exercises A1/A5-style grouped aggregation (SURVEY.md §2.4). */
+  val q01PricingSummary: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount")) * (one + dec($"l_tax"))).cast("double").as("sum_charge"),
+        (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** q02 — 3-way dim join chain customer⋈nation⋈region (J2-shaped) with
+    * broadcast-able dims + grouped agg. */
+  val q02RegionRevenue: Q = (spark, dir) => {
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    val orders = Tables.load(spark, dir, "orders")
+    orders
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        sum(dec($"o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** q03 — top-k with deterministic tiebreak: plans as TakeOrderedAndProject,
+    * no cluster-wide sort (W2, SURVEY.md §2.5). Raw doubles pass through
+    * untouched → bit-identical across engines. */
+  val q03TopOrders: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  /** q04 — filter + grouped count (exact longs). */
+  val q04PriorityCount: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  /** q05 — the flagship J1 co-engagement self-join (SURVEY.md §2.3 J1;
+    * reference Cypher at project/metrics/community_detection.py:24-27):
+    * suppliers are "users", orders are "posts"; weight = co-engaged orders.
+    * Equi key (l_orderkey) + theta predicate (u1 < u2) → Catalyst plans a
+    * shuffle-hash/sort-merge on the equi key with the `<` as join filter. */
+  val q05Coengagement: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("post"), $"l_suppkey".as("user"))
+      .distinct()
+    e.as("a").join(e.as("b"),
+        $"a.post" === $"b.post" && $"a.user" < $"b.user")
+      .groupBy($"a.user".as("u1"), $"b.user".as("u2"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** q06 — window functions over the events stream table: row_number + lag
+    * with deterministic tiebreak (W3-shaped). */
+  val q06WindowRank: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .select($"event_id", $"user_id", $"rn", $"prev_value")
+  }
+
+  /** q07 — sessionization: 30-min-gap sessions via lag + running conditional
+    * sum (the standard watermark-free batch formulation). */
+  val q07Sessionize: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val withGap = Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum($"new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max($"n_events").as("max_session_events"),
+        sum($"n_events").as("n_total"))
+      .orderBy($"user_id")
+  }
+
+  /** q08 — from_json extraction (X11) + tagged aggregation: parse the
+    * `props` JSON payload with an explicit schema (no inference — mirrors the
+    * declared-schema discipline of SURVEY.md §1.4). */
+  val q08JsonExtract: Q = (spark, dir) => {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.load(spark, dir, "events")
+      .withColumn("k", from_json($"props", schema).getField("k"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"k").as("sum_k"),
+        count($"k").as("n_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** q09 — anti join (SET1-shaped set difference): customers with no 1995
+    * orders. */
+  val q09AntiJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val orders95 = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+    customer
+      .join(orders95, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+
+  /** q10 — semi join (F6-shaped mutual restriction): suppliers that shipped
+    * to at least one order of a BUILDING-segment customer. */
+  val q10SemiJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val supplier = Tables.load(spark, dir, "supplier")
+    val customer = Tables.load(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+    val orders = Tables.load(spark, dir, "orders")
+      .join(customer, $"o_custkey" === $"c_custkey", "left_semi")
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(orders, $"l_orderkey" === $"o_orderkey", "left_semi")
+    supplier
+      .join(li, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+  }
+
+  /** q11 — null/empty→"unknown" coalescing (F1; reference `clean` at
+    * project/neo4j/consumer_user.py:39-41) + distinct (A11). */
+  val q11UnknownCoalesce: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .select(
+        coalesce(nullif(trim($"p_brand"), lit("")), lit("unknown")).as("brand"),
+        coalesce(nullif(trim($"p_type"), lit("")), lit("unknown")).as("ptype"))
+      .distinct()
+  }
+
+  /** q12 — SCD-2 interval materialization (M1-shaped, SURVEY.md §2.10):
+    * each (user, event_type) observation opens an interval closed by the
+    * user's next event; open intervals keep valid_to NULL. Timestamps are
+    * surfaced as epoch micros (integer) for engine-portable hashing. */
+  val q12Scd2Intervals: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.load(spark, dir, "events")
+      .withColumn("valid_from", $"ts")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select(
+        $"user_id",
+        $"event_type".as("community"),
+        (unix_timestamp($"valid_from") * 1000000L +
+          (date_format($"valid_from", "SSSSSS")).cast("long")).as("valid_from_us"),
+        (unix_timestamp($"valid_to") * 1000000L +
+          (date_format($"valid_to", "SSSSSS")).cast("long")).as("valid_to_us"),
+        $"event_id")
+  }
+
+  /** q13 — degree table of the co-engagement graph (A8): unpivot endpoints
+    * via explode + grouped count. */
+  val q13Degrees: Q = (spark, dir) => {
+    import spark.implicits._
+    val edges = q05Coengagement(spark, dir)
+    edges
+      .select(explode(array($"u1", $"u2")).as("user"))
+      .groupBy($"user")
+      .agg(count(lit(1)).as("degree"))
+  }
+
+  /** q14 — set ops: market segments present among 1995 buyers INTERSECT
+    * segments among high-balance customers, minus an EXCEPT branch (SET1/SET2). */
+  val q14SetOps: Q = (spark, dir) => {
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val buyers95 = customer
+      .join(orders.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp")),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_mktsegment")
+    val rich = customer.filter($"c_acctbal" > 5000).select($"c_mktsegment")
+    buyers95.intersect(rich)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_region_revenue" -> q02RegionRevenue,
+    "q03_top_orders" -> q03TopOrders,
+    "q04_priority_count" -> q04PriorityCount,
+    "q05_coengagement" -> q05Coengagement,
+    "q06_window_rank" -> q06WindowRank,
+    "q07_sessionize" -> q07Sessionize,
+    "q08_json_extract" -> q08JsonExtract,
+    "q09_anti_join" -> q09AntiJoin,
+    "q10_semi_join" -> q10SemiJoin,
+    "q11_unknown_coalesce" -> q11UnknownCoalesce,
+    "q12_scd2_intervals" -> q12Scd2Intervals,
+    "q13_degrees" -> q13Degrees,
+    "q14_set_ops" -> q14SetOps)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_region_revenue" ->
+      """SELECT r_name, n_name,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q04_priority_count" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority, o_orderstatus ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q05_coengagement" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem)
+        |SELECT a.usr AS u1, b.usr AS u2, COUNT(*) AS weight
+        |FROM e a JOIN e b ON a.post = b.post AND a.usr < b.usr
+        |GROUP BY a.usr, b.usr""".stripMargin,
+    "q06_window_rank" ->
+      """SELECT event_id, user_id,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+        |LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
+        |FROM events""".stripMargin,
+    "q07_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session,
+        |    ts, event_id FROM g
+        |), r AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM s
+        |), per AS (
+        |  SELECT user_id, session_seq, COUNT(*) AS n_events FROM r GROUP BY user_id, session_seq
+        |)
+        |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+        |  SUM(n_events) AS n_total
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q08_json_extract" ->
+      """SELECT event_type,
+        |SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01')""".stripMargin,
+    "q10_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND EXISTS (
+        |    SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND EXISTS (
+        |      SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')))""".stripMargin,
+    "q11_unknown_coalesce" ->
+      """SELECT DISTINCT
+        |COALESCE(NULLIF(TRIM(p_brand), ''), 'unknown') AS brand,
+        |COALESCE(NULLIF(TRIM(p_type), ''), 'unknown') AS ptype
+        |FROM part""".stripMargin,
+    "q12_scd2_intervals" ->
+      """SELECT user_id, event_type AS community,
+        |epoch_us(ts) AS valid_from_us,
+        |epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS valid_to_us,
+        |event_id
+        |FROM events""".stripMargin,
+    "q13_degrees" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),
+        |w AS (SELECT a.usr AS u1, b.usr AS u2 FROM e a JOIN e b
+        |  ON a.post = b.post AND a.usr < b.usr GROUP BY a.usr, b.usr),
+        |ends AS (SELECT u1 AS usr FROM w UNION ALL SELECT u2 FROM w)
+        |SELECT usr AS "user", COUNT(*) AS degree FROM ends GROUP BY usr""".stripMargin,
+    "q14_set_ops" ->
+      """SELECT c_mktsegment FROM customer WHERE EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01')
+        |INTERSECT
+        |SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000""".stripMargin)
+}

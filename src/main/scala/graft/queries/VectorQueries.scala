@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schemas.Tables
+import graft.functions.VectorFunctions._
+import graft.functions.VectorMean
+
+/** Vector / embedding suite (SURVEY.md §2.5 W2, §2.7 X1–X3, §2.4 A4/A6;
+  * reference: project/qdrant/post_distance_test.py, project/metrics/metrics.py).
+  *
+  * Scale design: the query vector is a 1-row broadcast (cross-join of a
+  * 1-row dim — map-side, no shuffle); top-k plans as TakeOrderedAndProject
+  * (per-partition heap + driver merge, never a global sort); centroids are a
+  * single partial-aggregated shuffle of (label → sum-vector) pairs.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** q20 — exact brute-force cosine top-5 vs vec_id 0 (EP3 / W2: the
+    * reference's Qdrant search, made exact). */
+  val q20CosineTop5: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label",
+        round(cosineUnguarded($"embedding", $"qv"), 4).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(5)
+  }
+
+  /** q20b — the farthest-5 twin (post_distance_test.py:34-35). */
+  val q21CosineBottom5: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label",
+        round(cosineUnguarded($"embedding", $"qv"), 4).as("score"))
+      .orderBy($"score".asc, $"vec_id".asc)
+      .limit(5)
+  }
+
+  /** q22 — per-label centroid of L2-normalized vectors (A4 — exactly the
+    * reference's user-embedding aggregation: normalize each vector, mean,
+    * metrics_interface.py:70-77) via the VectorMean Aggregator. */
+  val q22Centroids: Q = (spark, dir) => {
+    import spark.implicits._
+    emb(spark, dir)
+      .select($"label", l2normalize($"embedding").as("nv"))
+      .groupBy($"label")
+      .agg(VectorMean($"nv").as("raw_centroid"), count(lit(1)).as("n"))
+      .select($"label", roundArray($"raw_centroid", 4).as("centroid"), $"n")
+      .orderBy($"label")
+  }
+
+  /** q23 — per-label embedding variance: mean squared L2 distance to the
+    * label centroid (A6; metrics.py:37-54). Two-phase: centroid agg, then
+    * broadcast join back and a second agg. */
+  val q23Variance: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = emb(spark, dir)
+      .select($"label", transform($"embedding", c => c.cast("double")).as("v"))
+    val centroids = e.groupBy($"label").agg(VectorMean($"v").as("centroid"))
+    e.join(broadcast(centroids), "label")
+      .groupBy($"label")
+      .agg(round(avg(l2distSq($"v", $"centroid")), 4).as("variance"),
+        count(lit(1)).as("n"))
+      .orderBy($"label")
+  }
+
+  /** q24 — embedding-cosine near-duplicate pairs (LLM-pipeline dedup):
+    * all-pairs similarity ≥ 0.35 with canonical a<b orientation. Brute force
+    * is the exactness baseline; the LSH-bucketed variant (graft.dedup) is the
+    * 100 TB path. */
+  val q24NearDupPairs: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"embedding")
+    val n = e.select($"vec_id", l2normalize($"embedding").as("nv"))
+    n.as("a").join(n.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        round(dot($"a.nv", $"b.nv"), 4).as("sim"))
+      .filter($"sim" >= 0.35)
+  }
+
+  /** q25 — per-vector norm + dimension (X2 sanity surface). */
+  val q25Norms: Q = (spark, dir) => {
+    import spark.implicits._
+    emb(spark, dir)
+      .select($"vec_id", size($"embedding").as("dim"),
+        round(l2norm($"embedding"), 4).as("norm"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q20_cosine_top5" -> q20CosineTop5,
+    "q21_cosine_bottom5" -> q21CosineBottom5,
+    "q22_centroids" -> q22Centroids,
+    "q23_variance" -> q23Variance,
+    "q24_neardup_pairs" -> q24NearDupPairs,
+    "q25_norms" -> q25Norms)
+
+  private val cosExpr =
+    "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
+
+  val oracles: Map[String, String] = Map(
+    "q20_cosine_top5" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |round(list_inner_product(v, qv) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 4) AS score
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q21_cosine_bottom5" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |round(list_inner_product(v, qv) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 4) AS score
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin,
+    "q22_centroids" ->
+      """WITH n AS (SELECT label,
+        |  list_transform(embedding::DOUBLE[], x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+        |  FROM embeddings),
+        |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM n),
+        |m AS (SELECT label, pos, avg(val) AS mv FROM u GROUP BY label, pos)
+        |SELECT label, list(round(mv, 4) ORDER BY pos) AS centroid,
+        |  (SELECT count(*) FROM embeddings e2 WHERE e2.label = m.label) AS n
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "q23_variance" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e),
+        |c AS (SELECT label, list(mv ORDER BY pos) AS centroid FROM
+        |  (SELECT label, pos, avg(val) AS mv FROM u GROUP BY label, pos) GROUP BY label)
+        |SELECT e.label, round(avg(list_distance(e.v, c.centroid) ** 2), 4) AS variance,
+        |  count(*) AS n
+        |FROM e JOIN c ON e.label = c.label GROUP BY e.label ORDER BY e.label""".stripMargin,
+    "q24_neardup_pairs" ->
+      """WITH n AS (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_inner_product(a.v, b.v), 4) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_inner_product(a.v, b.v), 4) >= 0.35""".stripMargin,
+    "q25_norms" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
+        |FROM embeddings""".stripMargin)
+}
