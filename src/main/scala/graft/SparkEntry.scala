@@ -21,9 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++
-      VectorQueries.defs
+      VectorQueries.defs ++
+      TextQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
-      VectorQueries.oracles
+      VectorQueries.oracles ++
+      TextQueries.oracles
 }

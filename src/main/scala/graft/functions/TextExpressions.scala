@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text pipeline — operations Spark's
+  * built-in function set can't express as a single scalar op (SURVEY.md
+  * §2.11: custom `Expression` beats UDF beats everything else; these avoid
+  * UDF serialization and evaluate directly on InternalRow).
+  *
+  * All hashing is self-contained FNV-1a (no library dependency, stable
+  * across JVMs) so results are deterministic forever — the property the
+  * reference gets from uuid5 (project/qdrant/consumer_post.py:56-60).
+  */
+object Hashing {
+  final val FnvOffset: Long = 0xcbf29ce484222325L
+  final val FnvPrime: Long = 0x100000001b3L
+
+  def fnv1a64(bytes: Array[Byte], seed: Long = FnvOffset): Long = {
+    var h = seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  def fnv1a64(s: String): Long = fnv1a64(s.getBytes("UTF-8"))
+}
+
+/** Deterministic text → fixed-dim float embedding by signed feature hashing
+  * (HashingTF-style), L2-normalized. Stands in for the reference's
+  * SentenceTransformer encode (project/qdrant/consumer_post.py:91) — the
+  * downstream contract is only "deterministic text → unit float vector"
+  * (SURVEY.md X4). */
+case class EmbedText(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val acc = new Array[Double](dim)
+    val tokens = text.toLowerCase.trim.split("\\s+")
+    var t = 0
+    while (t < tokens.length) {
+      val h = Hashing.fnv1a64(tokens(t))
+      val bucket = java.lang.Math.floorMod(h, dim.toLong).toInt
+      val sign = if ((h >>> 63) == 0L) 1.0 else -1.0
+      acc(bucket) += sign
+      t += 1
+    }
+    var normSq = 0.0
+    var i = 0
+    while (i < dim) { normSq += acc(i) * acc(i); i += 1 }
+    val norm = math.sqrt(normSq)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) {
+      out(i) = if (norm == 0.0) acc(i).toFloat else (acc(i) / norm).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EmbedText =
+    copy(child = newChild)
+  override def prettyName: String = "embed_text"
+}
+
+/** 64-bit SimHash over whitespace tokens — near-duplicate fingerprint where
+  * Hamming distance ≤ k ⇔ high similarity (LLM-pipeline dedup extension). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val votes = new Array[Int](64)
+    val tokens = text.toLowerCase.trim.split("\\s+")
+    var t = 0
+    while (t < tokens.length) {
+      val h = Hashing.fnv1a64(tokens(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Polynomial rolling-hash document fingerprint mod 2⁶¹−1 (Karp–Rabin).
+  * Whole-document content address; windowed variants reuse the same base. */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private final val Mod = (1L << 61) - 1
+  private final val Base = 257L
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  /** (a*b) mod 2⁶¹−1 via 128-bit decomposition: a·b = hi·2⁶⁴ + lo and
+    * 2⁶⁴ ≡ 8, 2⁶¹ ≡ 1 (mod M). */
+  private def mulmod(a: Long, b: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & Mod) + (lo >>> 61) + (hi << 3)
+    r = (r & Mod) + (r >>> 61)
+    if (r >= Mod) r - Mod else r
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (mulmod(h, Base) + (bytes(i) & 0xffL)) % Mod
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash"
+}
+
+/** Hamming distance between two 64-bit fingerprints (companion to SimHash64). */
+case class HammingDist64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(
+      java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming64"
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def embed_text(c: Column, dim: Int): Column = column(EmbedText(expression(c), dim))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+  def hamming64(a: Column, b: Column): Column =
+    column(HammingDist64(expression(a), expression(b)))
+}

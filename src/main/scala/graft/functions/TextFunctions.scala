@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives (SURVEY.md §2.7 X4/X9 + the LLM-data-pipeline
+  * extension set): tokenization, quality scoring, language ID, shingling,
+  * MinHash signatures — all as compositions of Spark's built-in (codegen'd)
+  * functions so they scale without UDF overhead.
+  *
+  * Reference anchors: text validation project/qdrant/consumer_post.py:79-87,
+  * deterministic text→vector embedding `:91` (replaced by feature hashing —
+  * see TextExpressions.EmbedText).
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens. Empty text → single empty token (same as
+    * DuckDB regexp_split_to_array — keep parity). */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: whitespace tokens + intra-word splits
+    * every 4 chars (a cheap deterministic proxy for tokenizer budgeting). */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + greatest(ceil(length(t) / lit(4.0)).cast("long"), lit(1L)))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks)
+  }
+
+  /** Fraction of non-space characters that are punctuation. */
+  def punctRatio(text: Column): Column = {
+    val nospace = regexp_replace(text, "\\s", "")
+    when(length(nospace) === 0, lit(0.0)).otherwise(
+      (length(nospace) - length(regexp_replace(nospace, "[!-/:-@\\[-`{-~]", "")))
+        .cast("double") / length(nospace))
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation and a natural stopword rate (C4/Gopher-style heuristics). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lengthOk = when(n.between(10, 1000), lit(1.0))
+      .otherwise(when(n < 10, n.cast("double") / 10.0).otherwise(lit(0.5)))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopOk = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lengthOk + punctOk + stopOk) / 3.0, 4)
+  }
+
+  /** N-gram-heuristic language ID: English stopword density ≥ 2% → "en",
+    * else "und" (deterministic, vocabulary-driven — the container has no
+    * language-ID model; SURVEY.md non-goals). */
+  def langId(text: Column): Column =
+    when(stopwordRatio(text) >= 0.02, lit("en")).otherwise(lit("und"))
+
+  /** Distinct n-word shingles ("w1 w2 w3"). Documents shorter than n words
+    * yield a single whole-document shingle. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val joined = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    array_distinct(joined)
+  }
+
+  /** MinHash signature of a shingle array: k independent permutations
+    * approximated by xxhash64 with per-row seed salting. Fully codegen'd —
+    * no UDF. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingles,
+        s => xxhash64(s, seed))))
+
+  /** LSH band hashes: signature of length k split into `bands` bands of
+    * k/bands rows each; docs sharing any band hash are candidate pairs.
+    * Returns array<struct<band:int, h:bigint>> ready to explode. */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(signature, b * rows + 1, lit(rows)), x => x.cast("string"))), b).as("h")))
+}

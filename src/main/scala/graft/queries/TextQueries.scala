@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schemas.Tables
+import graft.functions.TextFunctions._
+import graft.functions.TextExpressions._
+import graft.functions.VectorFunctions
+import graft.dedup.Dedup
+
+/** Text-analysis + dedup suite over the `documents` table (LLM-pipeline
+  * extension set; reference text handling at
+  * project/qdrant/consumer_post.py:79-91).
+  *
+  * Queries q30–q34 carry exact DuckDB oracles (identical double-op order →
+  * bit-equal). q35–q37 use engine-native hashing (FNV/xxhash) that no other
+  * engine reproduces → rows-only driver check + ScalaTest invariants
+  * (LSH candidates ⊇ true near-dups is asserted in DedupSpec).
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** q30 — token statistics (whitespace tokenization, X9-shaped). */
+  val q30TokenStats: Q = (spark, dir) => {
+    import spark.implicits._
+    docs(spark, dir).select(
+      $"doc_id",
+      tokenCount($"text").as("n_tokens"),
+      size(array_distinct(tokens($"text"))).as("n_distinct"),
+      length($"text").as("n_chars_actual"),
+      round(avgTokenLen($"text"), 4).as("avg_token_len"))
+  }
+
+  /** q31 — quality scoring (Gopher-style heuristics). */
+  val q31Quality: Q = (spark, dir) => {
+    import spark.implicits._
+    docs(spark, dir).select(
+      $"doc_id",
+      round(stopwordRatio($"text"), 4).as("stopword_ratio"),
+      round(punctRatio($"text"), 4).as("punct_ratio"),
+      qualityScore($"text").as("quality"))
+  }
+
+  /** q32 — content fingerprints: md5 of whitespace-normalized text (X5's
+    * deterministic-id contract) + exact-dup group stats. */
+  val q32Fingerprints: Q = (spark, dir) => {
+    Dedup.exactDuplicateGroups(docs(spark, dir), "doc_id", "text")
+  }
+
+  /** q33 — n-gram (3-word-shingle) Jaccard near-duplicate pairs within each
+    * source, via inverted shingle index (equality join) — never all-pairs. */
+  val q33NgramJaccard: Q = (spark, dir) => {
+    import spark.implicits._
+    val sh = Dedup.shingled(docs(spark, dir), "doc_id", "text", 3, keep = Seq("source"))
+    val ex = sh.select($"doc_id", $"source", size($"shingles").as("n"),
+      explode($"shingles").as("s"))
+    ex.as("a").join(ex.as("b"),
+        $"a.s" === $"b.s" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"), max($"a.n").as("na"), max($"b.n").as("nb"))
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+  }
+
+  /** q34 — heuristic language ID (stopword-density n-gram heuristic). */
+  val q34LangId: Q = (spark, dir) => {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", langId($"text").as("lang_guess"), $"lang")
+  }
+
+  /** q35 — SimHash near-dups (Hamming ≤ 3) via pigeonhole chunk banding.
+    * Engine-native fingerprint → rows-only check. */
+  val q35SimhashNearDups: Q = (spark, dir) =>
+    Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text", maxDist = 3)
+
+  /** q36 — MinHash-LSH near-dups verified by exact Jaccard ≥ 0.5.
+    * Same ground truth as q33, found at shuffle cost O(buckets). */
+  val q36MinhashLsh: Q = (spark, dir) =>
+    Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text", threshold = 0.5)
+
+  /** q37 — document kNN through the deterministic EmbedText expression:
+    * embed all docs (64-dim hashed), top-10 most similar to doc 0. */
+  val q37EmbedKnn: Q = (spark, dir) => {
+    import spark.implicits._
+    val emb = docs(spark, dir).select($"doc_id", embed_text($"text", 64).as("v"))
+    val q = emb.filter($"doc_id" === 0).select($"v".as("qv"))
+    emb.filter($"doc_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"doc_id", round(VectorFunctions.dot($"v", $"qv"), 4).as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q30_token_stats" -> q30TokenStats,
+    "q31_quality" -> q31Quality,
+    "q32_fingerprints" -> q32Fingerprints,
+    "q33_ngram_jaccard" -> q33NgramJaccard,
+    "q34_langid" -> q34LangId,
+    "q35_simhash_neardups" -> q35SimhashNearDups,
+    "q36_minhash_lsh" -> q36MinhashLsh,
+    "q37_embed_knn" -> q37EmbedKnn)
+
+  private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |len(list_distinct(toks)) AS n_distinct,
+         |length(text) AS n_chars_actual,
+         |round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS avg_token_len
+         |FROM t""".stripMargin,
+    "q31_quality" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         |  regexp_replace(text, '\\s', '', 'g') AS nospace FROM documents),
+         |r AS (SELECT doc_id, len(toks) AS n,
+         |  len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE / len(toks) AS stop_ratio,
+         |  CASE WHEN length(nospace) = 0 THEN 0.0
+         |    ELSE (length(nospace) - length(regexp_replace(nospace, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / length(nospace)
+         |  END AS punct_ratio FROM t)
+         |SELECT doc_id, round(stop_ratio, 4) AS stopword_ratio,
+         |round(punct_ratio, 4) AS punct_ratio,
+         |round(((CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 WHEN n < 10 THEN n / 10.0 ELSE 0.5 END)
+         |  + (1.0 - least(punct_ratio * 5.0, 1.0))
+         |  + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS quality
+         |FROM r""".stripMargin,
+    "q32_fingerprints" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q33_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM t),
+        |ex AS (SELECT doc_id, source, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS c, max(a.n) AS na, max(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, c::DOUBLE / (na + nb - c) AS jaccard
+        |FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.5""".stripMargin,
+    "q34_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)
+         |SELECT doc_id,
+         |CASE WHEN len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE / len(toks) >= 0.02
+         |  THEN 'en' ELSE 'und' END AS lang_guess, lang
+         |FROM t""".stripMargin)
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 moved `Column` onto ColumnNode and made the Expression↔Column
+  * conversions `private[sql]`. This bridge (living inside the sql package,
+  * the standard extension-library pattern — cf. spark-packages like
+  * sedona/delta doing the same) re-exports just the two conversions our
+  * custom Catalyst expressions need. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
