@@ -14,18 +14,25 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship on sf0.001: the J1 co-engagement projection (the reference's
-    * central graph build, project/metrics/community_detection.py:22-38). */
-  def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q05Coengagement(spark, "/root/testdata/sf0.001")
+  /** Flagship on sf0.001 — the reference's EP2 pipeline end-to-end:
+    * co-engagement projection (J1) → Louvain communities (G6) → one-pass
+    * per-community structure metrics (A7–A10). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val edges = graft.graph.Projection.supplierGraph(spark, dir).cache()
+    val communities = graft.graph.Louvain.run(edges)
+    graft.metrics.CommunityMetrics.structure(edges, communities)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++
       VectorQueries.defs ++
-      TextQueries.defs
+      TextQueries.defs ++
+      GraphQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       VectorQueries.oracles ++
-      TextQueries.oracles
+      TextQueries.oracles ++
+      GraphQueries.oracles
 }

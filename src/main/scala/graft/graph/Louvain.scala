@@ -1,0 +1,197 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Distributed Louvain community detection (SURVEY.md G6; reference GDS
+  * call at project/metrics/community_detection.py:71-76).
+  *
+  * Hybrid architecture — the formulation that is actually right at 100 TB:
+  *
+  *  1. **Distributed local-move rounds** on the full edge set (DataFrame
+  *     joins + aggregations, shuffle on node/community keys). Each round,
+  *     every node evaluates ΔQ of adopting a neighboring community
+  *     (gain(u→c) ∝ w(u,c) − k_u·tot(c\u)/2m, deterministic tie-break on
+  *     smallest id), and one hash-parity half of the nodes moves — the
+  *     standard damping that prevents two-coloring oscillation of fully
+  *     synchronous moves. This is the phase that must scale, and it is pure
+  *     shuffle-bound DataFrame work with localCheckpoint'ed state.
+  *
+  *  2. **Contraction + in-memory finish.** After the distributed rounds the
+  *     graph is contracted (communities → super-nodes). Louvain coarsening
+  *     shrinks graphs by orders of magnitude per level — the super-graph of
+  *     even a planetary social graph fits on one executor — so the remaining
+  *     levels run the classic sequential algorithm on the collected
+  *     super-graph (capped by `collectThreshold` edges; above it, another
+  *     distributed round runs first). Same hybrid Spark's own GraphFrames
+  *     ecosystem implementations use.
+  */
+object Louvain {
+
+  /** @param edges0 canonical (src, dst, weight)
+    * @return (node, label) */
+  def run(edges0: DataFrame, distRounds: Int = 4,
+      collectThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+
+    var sym = Projection.symmetrize(edges0)
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+      .localCheckpoint()
+    val m2 = sym.agg(sum("weight")).first().getDouble(0) // 2m
+    val deg = sym.groupBy(col("src").as("node")).agg(sum("weight").as("k"))
+      .localCheckpoint()
+
+    // ---- phase 1: distributed local-move rounds on the full graph ----
+    var comm = deg.select(col("node"), col("node").as("comm")).localCheckpoint()
+    var round = 0
+    var moved = 1L
+    while (round < distRounds && moved > 0) {
+      val commTot = comm.join(deg, "node")
+        .groupBy(col("comm")).agg(sum(col("k")).as("tot"))
+      val nbrComm = sym
+        .join(comm.select(col("node").as("dst"), col("comm").as("cnbr")), "dst")
+        .groupBy(col("src").as("node"), col("cnbr"))
+        .agg(sum("weight").as("w_uc"))
+      val cand = nbrComm
+        .join(comm, "node")
+        .join(deg, "node")
+        .join(commTot.select(col("comm").as("cnbr2"), col("tot")),
+          col("cnbr") === col("cnbr2"))
+        .withColumn("tot_excl",
+          when(col("cnbr") === col("comm"), col("tot") - col("k")).otherwise(col("tot")))
+        .withColumn("gain", col("w_uc") - col("k") * col("tot_excl") / lit(m2))
+        .select(col("node"), col("cnbr"), col("comm"), col("gain"))
+      val own = comm.join(deg, "node")
+        .join(commTot.select(col("comm").as("c2"), col("tot")), col("comm") === col("c2"))
+        .select(col("node"), col("comm").as("cnbr"), col("comm"),
+          (lit(0.0) - col("k") * (col("tot") - col("k")) / lit(m2)).as("gain"))
+      val best = cand.union(own)
+        .groupBy(col("node"), col("comm"))
+        .agg(max(struct(col("gain"), (lit(0L) - col("cnbr")).as("negc"))).as("b"))
+        .select(col("node"), col("comm"), (lit(0L) - col("b.negc")).as("target"))
+      val moves = best
+        .filter(col("target") =!= col("comm"))
+        .filter(pmod(xxhash64(col("node")) + lit(round), lit(2)) === 0)
+        .select(col("node").as("mn"), col("target"))
+        .localCheckpoint() // single evaluation; reused by count + join
+      moved = moves.count()
+      if (moved > 0) {
+        comm = comm.as("c")
+          .join(moves, col("c.node") === col("mn"), "left")
+          .select(col("c.node").as("node"),
+            coalesce(col("target"), col("c.comm")).as("comm"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+
+    // ---- contract to the super-graph ----
+    val contracted = sym
+      .join(comm.select(col("node").as("src"), col("comm").as("csrc")), "src")
+      .join(comm.select(col("node").as("dst"), col("comm").as("cdst")), "dst")
+      .groupBy(col("csrc"), col("cdst"))
+      .agg(sum("weight").as("weight"))
+      .localCheckpoint()
+
+    val nEdges = contracted.count()
+    require(nEdges <= collectThreshold,
+      s"super-graph still has $nEdges directed edges after $distRounds distributed " +
+        "rounds; raise distRounds or collectThreshold")
+
+    // ---- phase 2: classic sequential Louvain on the collected super-graph ----
+    val superEdges = contracted
+      .as[(Long, Long, Double)].collect()
+    val superLabel = localLouvain(superEdges, m2)
+    val labelDf = superLabel.toSeq.toDF("comm", "final_label")
+
+    comm.join(broadcast(labelDf), "comm")
+      .select(col("node"), col("final_label").as("label"))
+  }
+
+  /** Classic sequential Louvain (local moves + coarsening) over an
+    * in-memory symmetric weighted edge list. Deterministic: nodes visited
+    * in ascending id, ties to smallest community. Self-loops (csrc==cdst)
+    * carry intra-community weight from contraction. */
+  private[graph] def localLouvain(symEdges: Array[(Long, Long, Double)],
+      m2: Double): Map[Long, Long] = {
+    // current-level structures
+    var adj: Map[Long, Array[(Long, Double)]] =
+      symEdges.filter(e => e._1 != e._2).groupBy(_._1)
+        .map { case (u, es) => u -> es.map(e => (e._2, e._3)) }
+    var self: Map[Long, Double] =
+      symEdges.filter(e => e._1 == e._2).groupBy(_._1)
+        .map { case (u, es) => u -> es.map(_._3).sum / 2.0 } // sym carries 2x
+    var nodes: Array[Long] =
+      symEdges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    // original node -> label through all levels
+    val toLabel = mutable.Map[Long, Long](nodes.map(n => n -> n): _*)
+
+    var improvedLevel = true
+    var guard = 0
+    while (improvedLevel && guard < 20) {
+      guard += 1
+      val k = mutable.Map[Long, Double]()
+      nodes.foreach { u =>
+        k(u) = adj.getOrElse(u, Array.empty).map(_._2).sum + 2.0 * self.getOrElse(u, 0.0)
+      }
+      val commOf = mutable.Map[Long, Long](nodes.map(n => n -> n): _*)
+      val tot = mutable.Map[Long, Double](nodes.map(n => n -> k(n)): _*)
+
+      var improvedPass = true
+      var anyMove = false
+      var passes = 0
+      while (improvedPass && passes < 50) {
+        improvedPass = false
+        passes += 1
+        nodes.foreach { u =>
+          val cu = commOf(u)
+          val ku = k(u)
+          // weights to neighbor communities
+          val wTo = mutable.Map[Long, Double]().withDefaultValue(0.0)
+          adj.getOrElse(u, Array.empty).foreach { case (v, w) => wTo(commOf(v)) += w }
+          tot(cu) -= ku
+          var bestC = cu
+          var bestGain = wTo(cu) - ku * tot(cu) / m2
+          wTo.keys.foreach { c =>
+            if (c != cu) {
+              val g = wTo(c) - ku * tot(c) / m2
+              if (g > bestGain + 1e-12 || (math.abs(g - bestGain) <= 1e-12 && c < bestC)) {
+                bestGain = g; bestC = c
+              }
+            }
+          }
+          tot(bestC) += ku
+          if (bestC != cu) { commOf(u) = bestC; improvedPass = true; anyMove = true }
+        }
+      }
+
+      if (!anyMove) improvedLevel = false
+      else {
+        // re-map labels and coarsen
+        toLabel.keys.toArray.foreach { orig =>
+          toLabel(orig) = commOf(toLabel(orig))
+        }
+        val newSelf = mutable.Map[Long, Double]().withDefaultValue(0.0)
+        val newAdj = mutable.Map[(Long, Long), Double]().withDefaultValue(0.0)
+        nodes.foreach { u =>
+          val cu = commOf(u)
+          newSelf(cu) += self.getOrElse(u, 0.0)
+          adj.getOrElse(u, Array.empty).foreach { case (v, w) =>
+            val cv = commOf(v)
+            if (cu == cv) newSelf(cu) += w / 2.0 // sym: each intra edge seen twice
+            else newAdj((cu, cv)) += w
+          }
+        }
+        nodes = commOf.values.toArray.distinct.sorted
+        adj = newAdj.toSeq.groupBy(_._1._1)
+          .map { case (u, es) => u -> es.map { case ((_, v), w) => (v, w) }.toArray }
+        self = newSelf.toMap
+        if (nodes.length <= 1) improvedLevel = false
+      }
+    }
+    toLabel.toMap
+  }
+}

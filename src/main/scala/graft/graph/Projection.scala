@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schemas.Tables
+
+/** Graph projection: bipartite engagement (user → post) to the weighted
+  * undirected user–user co-engagement graph (SURVEY.md J1/G8; reference
+  * Cypher projection at project/metrics/community_detection.py:22-38).
+  *
+  * Scale notes: the self-join shuffles on the post key only — the
+  * canonicalizing `u1 < u2` predicate is applied post-match, halving output
+  * (same hand-optimization the reference bakes into its Cypher,
+  * community_detection.py:25). Hot posts (engaged by k users) emit k²/2
+  * pairs — at 100 TB, cap fan-out per post (`maxFanout`) the way the
+  * reference caps its crawl (MAX_LIKERS=20), or salt the post key; AQE skew
+  * join handles the residual imbalance.
+  */
+object Projection {
+
+  /** Weighted undirected co-engagement edges, canonical orientation
+    * (src < dst), weight = number of co-engaged posts. */
+  def coEngagement(engagements: DataFrame, userCol: String, postCol: String,
+      maxFanout: Option[Int] = None): DataFrame = {
+    val e0 = engagements
+      .select(col(postCol).as("post"), col(userCol).as("user"))
+      .distinct()
+    val e = maxFanout match {
+      case Some(k) =>
+        // bound the quadratic blow-up of ultra-hot posts: keep the k
+        // smallest user ids per post (deterministic)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("post")).orderBy(col("user"))
+        e0.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+      case None => e0
+    }
+    e.as("a").join(e.as("b"),
+        col("a.post") === col("b.post") && col("a.user") < col("b.user"))
+      .groupBy(col("a.user").as("src"), col("b.user").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+  }
+
+  /** Both orientations — the form iterative algorithms consume
+    * (undirectedness as symmetric closure, SURVEY.md G8). */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("weight"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+
+  /** Supplier co-engagement over lineitem (suppliers sharing an order) —
+    * the testdata instantiation of the reference's user/post graph. */
+  def supplierGraph(spark: SparkSession, dir: String): DataFrame =
+    coEngagement(Tables.load(spark, dir, "lineitem"), "l_suppkey", "l_orderkey")
+
+  /** Weighted degree table from canonical edges. */
+  def degrees(edges: DataFrame): DataFrame =
+    symmetrize(edges).groupBy(col("src").as("node"))
+      .agg(sum(col("weight")).as("degree"))
+}

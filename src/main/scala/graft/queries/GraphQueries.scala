@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schemas.Tables
+import graft.graph.{FastRP, GraphAlgos, KCore, Louvain, Projection}
+import graft.metrics.CommunityMetrics
+import graft.functions.VectorFunctions
+
+/** Graph analytics suite (SURVEY.md §2.9 G1–G8 + §2.4 A7–A12 metrics) on
+  * the supplier co-engagement graph (suppliers sharing orders — the
+  * testdata instantiation of the reference's user/post bipartite graph),
+  * with communities given by s_nationkey where a fixed labeling is needed.
+  *
+  * q15–q18 are closed-form metric queries with exact DuckDB oracles.
+  * q40–q44 run the iterative algorithms (h-index k-core, GraphX LPA,
+  * connected components, DataFrame Louvain, FastRP) — not SQL-expressible,
+  * driver rows-only check + golden/invariant ScalaTests (GraphAlgoSpec).
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def graph(spark: SparkSession, dir: String): DataFrame =
+    Projection.supplierGraph(spark, dir)
+
+  private def labels(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("node"), col("s_nationkey").as("label"))
+
+  /** q15 — modularity of the nation partition (A10 closed form). */
+  val q15Modularity: Q = (spark, dir) => {
+    CommunityMetrics.modularity(graph(spark, dir), labels(spark, dir))
+      .select(round(col("modularity"), 6).as("modularity"),
+        col("m"), col("n_communities"))
+  }
+
+  /** q16 — per-community structure: internal/cut weight, volume,
+    * conductance, density (A7–A9) in one pass. */
+  val q16Structure: Q = (spark, dir) => {
+    CommunityMetrics.structure(graph(spark, dir), labels(spark, dir))
+      .select(col("label"), col("size"), col("internal_weight"),
+        col("cut_weight"), col("internal_edge_count"), col("volume"),
+        round(col("conductance"), 6).as("conductance"),
+        round(col("density"), 6).as("density"))
+  }
+
+  /** q17 — per-community ECS = cohesion × separation over unit embeddings,
+    * via the O(N·dim) vector-sum identity — no pair join (A12). */
+  val q17Ecs: Q = (spark, dir) => {
+    val members = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), VectorFunctions.l2normalize(col("embedding")).as("v"))
+    CommunityMetrics.ecs(members)
+      .select(col("label"), col("n_c"),
+        round(col("cohesion"), 6).as("cohesion"),
+        round(col("separation"), 6).as("separation"),
+        round(col("ecs"), 6).as("ecs"))
+      .orderBy(col("label"))
+  }
+
+  /** q18 — homophily: mean embedding similarity across graph edges (A5;
+    * metrics.py:101-106), supplier vectors joined by key. */
+  val q18Homophily: Q = (spark, dir) => {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("node"), VectorFunctions.l2normalize(col("embedding")).as("v"))
+    CommunityMetrics.homophily(graph(spark, dir), vecs)
+      .select(round(col("edge_mean_sim"), 6).as("edge_mean_sim"), col("n_edges"))
+  }
+
+  /** q40 — k-core decomposition (G3) by distributed h-index convergence. */
+  val q40KCore: Q = (spark, dir) => KCore.run(graph(spark, dir))
+
+  /** q41 — label propagation (G4, GraphX built-in). */
+  val q41LabelProp: Q = (spark, dir) =>
+    GraphAlgos.labelPropagation(graph(spark, dir), maxSteps = 10)
+
+  /** q43 — connected components (min-id labels). */
+  val q43ConnectedComponents: Q = (spark, dir) =>
+    GraphAlgos.connectedComponents(graph(spark, dir))
+
+  /** q42 — Louvain community detection (G6), DataFrame local-move +
+    * coarsening. */
+  val q42Louvain: Q = (spark, dir) =>
+    Louvain.run(graph(spark, dir))
+
+  /** q44 — FastRP node embeddings (G1): surface (node, dim, norm) — the
+    * vectors themselves are checked by invariants in ScalaTest. */
+  val q44FastRP: Q = (spark, dir) => {
+    FastRP.run(graph(spark, dir), dim = 32)
+      .select(col("node"), size(col("embedding")).as("dim"),
+        round(VectorFunctions.l2norm(col("embedding")), 4).as("norm"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q15_modularity" -> q15Modularity,
+    "q16_structure" -> q16Structure,
+    "q17_ecs" -> q17Ecs,
+    "q18_homophily" -> q18Homophily,
+    "q40_kcore" -> q40KCore,
+    "q41_label_prop" -> q41LabelProp,
+    "q42_louvain" -> q42Louvain,
+    "q43_connected_components" -> q43ConnectedComponents,
+    "q44_fastrp" -> q44FastRP)
+
+  private val edgeCte =
+    """e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),
+      |w AS (SELECT a.usr AS u1, b.usr AS u2, count(*)::DOUBLE AS wt
+      |  FROM e a JOIN e b ON a.post = b.post AND a.usr < b.usr GROUP BY 1, 2),
+      |lab AS (SELECT s_suppkey AS node, s_nationkey AS label FROM supplier),
+      |le AS (SELECT w.u1, w.u2, w.wt, la.label AS l1, lb.label AS l2
+      |  FROM w JOIN lab la ON w.u1 = la.node JOIN lab lb ON w.u2 = lb.node),
+      |degs AS (SELECT usr, sum(wt) AS k FROM
+      |  (SELECT u1 AS usr, wt FROM w UNION ALL SELECT u2, wt FROM w) GROUP BY usr)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q15_modularity" ->
+      s"""WITH $edgeCte,
+         |tot AS (SELECT sum(wt) AS m,
+         |  sum(CASE WHEN l1 = l2 THEN wt ELSE 0 END) AS intra FROM le),
+         |dc AS (SELECT lab.label, coalesce(sum(degs.k), 0) AS d_c
+         |  FROM lab LEFT JOIN degs ON lab.node = degs.usr GROUP BY lab.label),
+         |sq AS (SELECT sum(d_c * d_c) AS sum_dc_sq,
+         |  count(*) AS n_communities FROM dc)
+         |SELECT round(intra / m - sum_dc_sq / (4 * m * m), 6) AS modularity,
+         |  m, n_communities
+         |FROM tot, sq""".stripMargin,
+    "q16_structure" ->
+      s"""WITH $edgeCte,
+         |m2 AS (SELECT 2 * sum(wt) AS v FROM w),
+         |contrib AS (
+         |  SELECT l1 AS label,
+         |    CASE WHEN l1 = l2 THEN wt ELSE 0 END AS internal_w,
+         |    CASE WHEN l1 <> l2 THEN wt ELSE 0 END AS cut_w,
+         |    CASE WHEN l1 = l2 THEN 1 ELSE 0 END AS internal_n
+         |  FROM le
+         |  UNION ALL
+         |  SELECT l2, 0, CASE WHEN l1 <> l2 THEN wt ELSE 0 END, 0 FROM le),
+         |pc AS (SELECT label, sum(internal_w) AS internal_weight,
+         |    sum(cut_w) AS cut_weight, sum(internal_n) AS internal_edge_count
+         |  FROM contrib GROUP BY label),
+         |sz AS (SELECT label, count(*) AS size FROM lab GROUP BY label),
+         |vol AS (SELECT lab.label, sum(degs.k) AS volume FROM lab
+         |  JOIN degs ON lab.node = degs.usr GROUP BY lab.label)
+         |SELECT sz.label, sz.size,
+         |  coalesce(pc.internal_weight, 0) AS internal_weight,
+         |  coalesce(pc.cut_weight, 0) AS cut_weight,
+         |  coalesce(pc.internal_edge_count, 0) AS internal_edge_count,
+         |  coalesce(vol.volume, 0) AS volume,
+         |  round(CASE WHEN least(coalesce(vol.volume, 0), m2.v - coalesce(vol.volume, 0)) > 0
+         |    THEN coalesce(pc.cut_weight, 0) / least(coalesce(vol.volume, 0), m2.v - coalesce(vol.volume, 0))
+         |    END, 6) AS conductance,
+         |  round(CASE WHEN sz.size > 1
+         |    THEN coalesce(pc.internal_edge_count, 0)::DOUBLE * 2 / (sz.size * (sz.size - 1))
+         |    END, 6) AS density
+         |FROM sz LEFT JOIN pc ON sz.label = pc.label
+         |LEFT JOIN vol ON sz.label = vol.label, m2""".stripMargin,
+    "q17_ecs" ->
+      """WITH nrm AS (SELECT label,
+        |  list_transform(embedding::DOUBLE[], x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+        |  FROM embeddings),
+        |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM nrm),
+        |sc AS (SELECT label, list(sv ORDER BY pos) AS s_c FROM
+        |  (SELECT label, pos, sum(val) AS sv FROM u GROUP BY label, pos) GROUP BY label),
+        |nc AS (SELECT label, count(*) AS n_c FROM embeddings GROUP BY label),
+        |st AS (SELECT list(sv ORDER BY pos) AS s_tot FROM
+        |  (SELECT pos, sum(val) AS sv FROM u GROUP BY pos)),
+        |tot AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT nc.label, nc.n_c,
+        |  round(CASE WHEN nc.n_c > 1 THEN
+        |    (list_inner_product(sc.s_c, sc.s_c) - nc.n_c) / (nc.n_c * (nc.n_c - 1)) END, 6) AS cohesion,
+        |  round(CASE WHEN tot.n > nc.n_c THEN
+        |    1.0 - (list_inner_product(sc.s_c, st.s_tot) - list_inner_product(sc.s_c, sc.s_c))
+        |      / (nc.n_c * (tot.n - nc.n_c)) END, 6) AS separation,
+        |  round((CASE WHEN nc.n_c > 1 THEN
+        |    (list_inner_product(sc.s_c, sc.s_c) - nc.n_c) / (nc.n_c * (nc.n_c - 1)) END)
+        |   * (CASE WHEN tot.n > nc.n_c THEN
+        |    1.0 - (list_inner_product(sc.s_c, st.s_tot) - list_inner_product(sc.s_c, sc.s_c))
+        |      / (nc.n_c * (tot.n - nc.n_c)) END), 6) AS ecs
+        |FROM nc JOIN sc ON nc.label = sc.label, st, tot
+        |ORDER BY nc.label""".stripMargin,
+    "q18_homophily" ->
+      s"""WITH $edgeCte,
+         |nv AS (SELECT vec_id AS node,
+         |  list_transform(embedding::DOUBLE[], x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+         |  FROM embeddings)
+         |SELECT round(avg(list_inner_product(a.v, b.v)), 6) AS edge_mean_sim,
+         |  count(*) AS n_edges
+         |FROM w JOIN nv a ON w.u1 = a.node JOIN nv b ON w.u2 = b.node""".stripMargin,
+    "q43_connected_components" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),
+        |w AS (SELECT a.usr AS u1, b.usr AS u2 FROM e a
+        |  JOIN e b ON a.post = b.post AND a.usr < b.usr GROUP BY 1, 2),
+        |sym AS (SELECT u1, u2 FROM w UNION ALL SELECT u2, u1 FROM w),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT u1 AS node, u1 AS lbl FROM sym
+        |  UNION
+        |  SELECT sym.u2, reach.lbl FROM reach JOIN sym ON reach.node = sym.u1
+        |  WHERE reach.lbl < sym.u2)
+        |SELECT node, min(lbl) AS label FROM reach GROUP BY node""".stripMargin)
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.graph.{FastRP, GraphAlgos, KCore, Louvain, Projection}
+import graft.metrics.CommunityMetrics
+
+/** Golden-graph tests (FIXTURES.md §B): exact values for deterministic
+  * algorithms, invariants for heuristic ones. */
+class GraphAlgoSpec extends SparkSpec with Matchers {
+
+  private def edges(e: Seq[(Long, Long)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    e.toDF("src", "dst").withColumn("weight", lit(1.0))
+  }
+
+  /** triangle 1-2-3 + pendant 4 hanging off 1 */
+  private lazy val trianglePendant = edges(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)))
+
+  /** two 4-cliques {1..4}, {5..8} joined by bridge 4-5 */
+  private lazy val twoCliques = {
+    val c1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val c2 = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    edges(c1 ++ c2 :+ (4L, 5L))
+  }
+
+  test("k-core: triangle+pendant → triangle nodes core 2, pendant core 1") {
+    val out = KCore.run(trianglePendant).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out(1L) shouldBe 2
+    out(2L) shouldBe 2
+    out(3L) shouldBe 2
+    out(4L) shouldBe 1
+  }
+
+  test("k-core: two 4-cliques + bridge → all clique nodes core 3") {
+    val out = KCore.run(twoCliques).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (1L to 8L).foreach { n => out(n) shouldBe 3 }
+  }
+
+  test("connected components: two disconnected cliques → 2 min-id labels") {
+    val c1 = edges(Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)))
+    val out = GraphAlgos.connectedComponents(c1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 1L; out(2L) shouldBe 1L; out(3L) shouldBe 1L
+    out(10L) shouldBe 10L; out(11L) shouldBe 10L; out(12L) shouldBe 10L
+  }
+
+  test("label propagation: disconnected cliques never share labels") {
+    val c1 = edges(Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L)))
+    val out = GraphAlgos.labelPropagation(c1, maxSteps = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Set(out(1L), out(2L), out(3L)).intersect(Set(out(10L), out(11L), out(12L))) shouldBe empty
+  }
+
+  test("modularity closed form: two cliques + bridge with perfect partition") {
+    val s = spark
+    import s.implicits._
+    val labels = ((1L to 4L).map(_ -> 0) ++ (5L to 8L).map(_ -> 1))
+      .toDF("node", "label")
+    val q = CommunityMetrics.modularity(twoCliques, labels)
+      .collect()(0).getDouble(0)
+    // m=13, intra=12, d_0=d_1=13 → Q = 12/13 − 2·(13/26)² = 12/13 − 1/2
+    q shouldBe (12.0 / 13.0 - 0.5) +- 1e-9
+  }
+
+  test("Louvain: two cliques + bridge → exactly the two cliques") {
+    val out = Louvain.run(twoCliques).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.values.toSet.size shouldBe 2
+    Set(out(1L), out(2L), out(3L), out(4L)).size shouldBe 1
+    Set(out(5L), out(6L), out(7L), out(8L)).size shouldBe 1
+    out(1L) should not be out(5L)
+  }
+
+  test("Louvain: partition is total and modularity beats singleton baseline") {
+    val g = Projection.supplierGraph(spark, "/root/testdata/sf0.001")
+    val nodes = g.select(col("src").as("node"))
+      .union(g.select(col("dst").as("node"))).distinct()
+    val comm = Louvain.run(g)
+    comm.count() shouldBe nodes.count() // every node labeled exactly once
+    comm.groupBy("node").count().filter(col("count") > 1).count() shouldBe 0
+    val q = CommunityMetrics.modularity(g, comm).collect()(0).getDouble(0)
+    // the dense co-engagement testgraph has no real community structure, so
+    // Louvain may legitimately return one community (Q = 0); anything below
+    // the all-in-one baseline would be a bug, as would the negative-Q
+    // singleton partition
+    q should be >= -1e-9
+  }
+
+  test("conductance of the bridge cut = 1/13 per side") {
+    val s = spark
+    import s.implicits._
+    val labels = ((1L to 4L).map(_ -> 0) ++ (5L to 8L).map(_ -> 1))
+      .toDF("node", "label")
+    val out = CommunityMetrics.structure(twoCliques, labels)
+      .select("label", "conductance").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // cut=1, vol(C)=2·6+1=13, 2m−vol=13 → φ = 1/13
+    out(0) shouldBe 1.0 / 13.0 +- 1e-9
+    out(1) shouldBe 1.0 / 13.0 +- 1e-9
+  }
+
+  test("FastRP: deterministic across runs, unit vectors, right dim") {
+    val a = FastRP.run(twoCliques, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = FastRP.run(twoCliques, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    a shouldBe b
+    a.values.foreach { v =>
+      v.length shouldBe 16
+      math.sqrt(v.map(x => x * x).sum) shouldBe 1.0 +- 1e-9
+    }
+  }
+}

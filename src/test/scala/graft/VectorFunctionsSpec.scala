@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.{VectorFunctions => V, VectorMean}
+
+class VectorFunctionsSpec extends SparkSpec with Matchers {
+
+  private def df1(v: Seq[(Seq[Double], Seq[Double])]) = {
+    val s = spark
+    import s.implicits._
+    v.toDF("a", "b")
+  }
+
+  test("cosine: orthogonal axes → 0, identical → 1, opposite → −1") {
+    val rows = df1(Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0))))
+      .select(V.cosine(col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    rows(0) shouldBe 0.0 +- 1e-12
+    rows(1) shouldBe 1.0 +- 1e-12
+    rows(2) shouldBe -1.0 +- 1e-12
+  }
+
+  test("cosine zero-norm guard → 0.0 (reference metrics_interface.py:53-55)") {
+    val r = df1(Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))))
+      .select(V.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    r shouldBe 0.0
+  }
+
+  test("l2normalize: unit norm, idempotent, zero-vector passthrough") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(Seq(3.0, 4.0), Seq(0.0, 0.0)).toDF("v")
+    val once = d.select(V.l2normalize(col("v")).as("n"))
+    val norms = once.select(V.l2norm(col("n"))).collect().map(_.getDouble(0))
+    norms(0) shouldBe 1.0 +- 1e-12
+    norms(1) shouldBe 0.0
+    val twice = once.select(V.l2normalize(col("n")).as("n2"))
+      .collect()(0).getSeq[Double](0)
+    twice(0) shouldBe 0.6 +- 1e-12
+    twice(1) shouldBe 0.8 +- 1e-12
+  }
+
+  test("VectorMean: element-wise mean with exact expected values") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(5.0, 6.0)))
+      .toDF("g", "v")
+    val out = d.groupBy("g").agg(VectorMean(col("v")).as("m"))
+      .orderBy("g").collect()
+    out(0).getSeq[Double](1) shouldBe Seq(2.0, 3.0)
+    out(1).getSeq[Double](1) shouldBe Seq(5.0, 6.0)
+  }
+
+  test("l2distSq exact") {
+    val r = df1(Seq((Seq(1.0, 2.0), Seq(4.0, 6.0))))
+      .select(V.l2distSq(col("a"), col("b"))).collect()(0).getDouble(0)
+    r shouldBe 25.0
+  }
+}
