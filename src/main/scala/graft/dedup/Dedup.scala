@@ -43,6 +43,7 @@ object Dedup {
         lshBands(minhashSignature(col("shingles"), k), bands, rows).as("bh"))
       .select(col("doc_id"), explode(col("bh")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.h").as("h"))
+      .localCheckpoint() // signatures are expensive; never recompute for the self-join
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -76,13 +76,11 @@ object TextFunctions {
     array_distinct(joined)
   }
 
-  /** MinHash signature of a shingle array: k independent permutations
-    * approximated by xxhash64 with per-row seed salting. Fully codegen'd —
-    * no UDF. */
+  /** MinHash signature of a shingle array — single-pass custom expression
+    * (see [[graft.functions.MinHashSig]]): one content hash per element +
+    * k universal-hash mixes, not k full rehashes. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingles,
-        s => xxhash64(s, seed))))
+    TextExpressions.minhash_sig(shingles, k)
 
   /** LSH band hashes: signature of length k split into `bands` bands of
     * k/bands rows each; docs sharing any band hash are candidate pairs.

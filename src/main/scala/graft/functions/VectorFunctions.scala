@@ -17,12 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision (sequential left fold — deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ in double precision (sequential left fold — deterministic).
+    * Backed by the codegen'd [[DotProduct]] kernel; numerically identical to
+    * the zip_with/aggregate composition it replaced. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.vec_dot(a, b)
 
   /** Σ aᵢ² */
   def normSq(a: Column): Column = dot(a, a)
@@ -43,15 +41,8 @@ object VectorFunctions {
   def cosineUnguarded(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Σ (aᵢ−bᵢ)² */
-  def l2distSq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Σ (aᵢ−bᵢ)² — codegen'd [[SqDist]] kernel. */
+  def l2distSq(a: Column, b: Column): Column = VectorExpressions.vec_sqdist(a, b)
 
   /** v/‖v‖ as array<double>; zero vector passes through unscaled
     * (metrics_interface.py:53-55 guard). */

@@ -1,0 +1,102 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Density clustering over embedding vectors (SURVEY.md G2 — the engine's
+  * substitute for the reference's HDBSCAN-over-FastRP GDS call at
+  * project/metrics/community_detection.py:49-54).
+  *
+  * Exact HDBSCAN parity is explicitly out of scope (the reference's own
+  * output is nondeterministic; SURVEY.md §5) — what the workload needs is
+  * "density clustering with noise labels (-1)" over node embeddings, which
+  * this provides as distributed DBSCAN in cosine space:
+  *
+  *  1. candidate pairs via random-hyperplane LSH buckets (equality join on
+  *     (table, bucket-signature) — never all-pairs);
+  *  2. ε-neighbor edges verified with the codegen'd dot-product kernel;
+  *  3. core points = ≥ minPts neighbors; clusters = connected components
+  *     of the core-core ε-graph (GraphX); border points attach to any
+  *     neighboring core's cluster; everything else is noise (-1), matching
+  *     the reference's noise-label convention (F3).
+  *
+  * Multi-probe: `tables` independent hyperplane sets trade shuffle volume
+  * for recall, the standard LSH knob.
+  */
+object DensityCluster {
+
+  /** @param points (id, v) with v array<double> L2-normalized
+    * @param eps    cosine-similarity threshold (neighbors: sim ≥ eps)
+    * @param minPts core threshold (neighbors counted excluding self)
+    * @return (id, label) — label = min core id of the cluster, or -1 noise */
+  def dbscan(points: DataFrame, eps: Double, minPts: Int,
+      bits: Int = 12, tables: Int = 4): DataFrame = {
+    val spark = points.sparkSession
+
+    // 1. random-hyperplane signatures: bit b of table t = sign(v · h_{t,b}),
+    // hyperplanes seeded deterministically from (t, b, dim index)
+    val dim = points.select(size(col("v"))).first().getInt(0)
+    def hyperplane(t: Int, b: Int): Seq[Double] =
+      Seq.tabulate(dim) { d =>
+        val h = graft.functions.Hashing.fnv1a64(s"dbscan-$t-$b-$d")
+        (h.toDouble / Long.MaxValue.toDouble) // deterministic in [-1, 1]
+      }
+    val sigCols = (0 until tables).map { t =>
+      val bitsExpr = (0 until bits).map { b =>
+        val plane = array(hyperplane(t, b).map(lit): _*)
+        when(VectorFunctions.dot(col("v"), plane) >= 0.0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bitsExpr.as("sig"))
+    }
+    val bucketed = points
+      .select(col("id"), col("v"), explode(array(sigCols: _*)).as("b"))
+      .select(col("id"), col("v"), col("b.t"), col("b.sig"))
+      .localCheckpoint()
+
+    // 2. ε-edges from bucket-mates (verified exactly), deduped across tables
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("src", "dst")
+      .filter(VectorFunctions.dot(col("va"), col("vb")) >= eps)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+
+    // 3. core points: neighbor degree ≥ minPts
+    val degrees = pairs.select(col("src").as("id"))
+      .union(pairs.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val core = degrees.filter(col("deg") >= minPts).select(col("id")).cache()
+
+    // clusters = CC over the core-core subgraph
+    val coreEdges = pairs
+      .join(core.select(col("id").as("src")), "src", "left_semi")
+      .join(core.select(col("id").as("dst")), "dst", "left_semi")
+      .select(col("src"), col("dst"))
+    val coreLabels =
+      if (coreEdges.isEmpty) core.select(col("id").as("node"), col("id").as("label"))
+      else GraphAlgos.connectedComponents(coreEdges)
+        .unionByName(
+          // isolated cores (no core neighbor) are their own cluster
+          core.select(col("id").as("node"), col("id").as("label"))
+            .join(coreEdges.select(col("src").as("node"))
+              .union(coreEdges.select(col("dst").as("node"))).distinct(),
+              Seq("node"), "left_anti"))
+
+    // 4. border points: any non-core with a core ε-neighbor joins its
+    // (smallest-label) cluster; the rest is noise (-1)
+    val nbrOfCore = pairs.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(pairs.select(col("dst").as("node"), col("src").as("nbr")))
+      .join(coreLabels.select(col("node").as("nbr"), col("label")), "nbr")
+      .groupBy("node").agg(min(col("label")).as("border_label"))
+    points.select(col("id").as("node"))
+      .join(coreLabels.withColumnRenamed("label", "core_label"), Seq("node"), "left")
+      .join(nbrOfCore, Seq("node"), "left")
+      .select(col("node").as("id"),
+        coalesce(col("core_label"), col("border_label"), lit(-1L)).as("label"))
+  }
+}

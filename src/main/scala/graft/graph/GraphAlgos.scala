@@ -9,11 +9,22 @@ import org.apache.spark.sql.functions.col
   * Canonical-edge DataFrames in, (node, label) DataFrames out. */
 object GraphAlgos {
 
+  /** Partition count proportional to edge volume (~500k edges/partition,
+    * capped by cluster parallelism): iterative GraphX jobs pay per-partition
+    * scheduling overhead every superstep, so a small graph on 32 partitions
+    * is pure waste, while a big one still spreads across the cluster. */
+  private[graph] def sizedPartitions(edges: DataFrame, nEdges: Long): Int = {
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    math.max(2, math.min(par, (nEdges / 500000L).toInt + 1))
+  }
+
   private def toGraph(edges: DataFrame): Graph[Int, Int] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }
+    val cached = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
+    val p = sizedPartitions(cached, cached.count())
+    val edgeRdd = cached.as[(Long, Long)].rdd
+      .coalesce(p).map { case (s, d) => Edge(s, d, 1) }
     Graph.fromEdges(edgeRdd, defaultValue = 0)
   }
 

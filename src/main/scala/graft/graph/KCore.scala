@@ -24,8 +24,10 @@ object KCore {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }
+    val cached = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
+    val p = GraphAlgos.sizedPartitions(cached, cached.count())
+    val edgeRdd = cached.as[(Long, Long)].rdd
+      .coalesce(p).map { case (s, d) => Edge(s, d, 1) }
     val g0 = Graph.fromEdges(edgeRdd, defaultValue = 0)
     // init: estimate = degree
     var g = g0.outerJoinVertices(g0.degrees) { (_, _, d) => d.getOrElse(0) }.cache()

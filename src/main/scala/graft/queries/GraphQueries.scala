@@ -84,6 +84,20 @@ object GraphQueries {
   val q42Louvain: Q = (spark, dir) =>
     Louvain.run(graph(spark, dir))
 
+  /** q45 — Leiden community detection (G5): Louvain + refinement phase. */
+  val q45Leiden: Q = (spark, dir) =>
+    graft.graph.Leiden.run(graph(spark, dir))
+
+  /** q46 — density clustering with noise labels over embeddings (G2's
+    * HDBSCAN-equivalent; noise = -1 like the reference's F3 filter). */
+  val q46Density: Q = (spark, dir) => {
+    val pts = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        VectorFunctions.l2normalize(col("embedding")).as("v"))
+    graft.graph.DensityCluster.dbscan(pts, eps = 0.35, minPts = 2,
+      bits = 8, tables = 4)
+  }
+
   /** q44 — FastRP node embeddings (G1): surface (node, dim, norm) — the
     * vectors themselves are checked by invariants in ScalaTest. */
   val q44FastRP: Q = (spark, dir) => {
@@ -101,7 +115,9 @@ object GraphQueries {
     "q41_label_prop" -> q41LabelProp,
     "q42_louvain" -> q42Louvain,
     "q43_connected_components" -> q43ConnectedComponents,
-    "q44_fastrp" -> q44FastRP)
+    "q44_fastrp" -> q44FastRP,
+    "q45_leiden" -> q45Leiden,
+    "q46_density" -> q46Density)
 
   private val edgeCte =
     """e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),

@@ -27,7 +27,7 @@ object Scd2 {
       .withColumn("valid_to",
         when(col("__expire").isNotNull && col("valid_to").isNull, at)
           .otherwise(col("valid_to")))
-      .drop("__expire")
+      .select(current.columns.map(col): _*) // join put the key first; restore order
   }
 
   /** M1 full step: expire current rows for keys present in `incoming`,

@@ -105,6 +105,36 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
     out(1) shouldBe 1.0 / 13.0 +- 1e-9
   }
 
+  test("Leiden: two cliques + bridge → the two cliques (refined)") {
+    val out = graft.graph.Leiden.run(twoCliques, distRounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.values.toSet.size shouldBe 2
+    Set(out(1L), out(2L), out(3L), out(4L)).size shouldBe 1
+    Set(out(5L), out(6L), out(7L), out(8L)).size shouldBe 1
+  }
+
+  test("density clustering: two tight vector clusters + one outlier → 2 clusters, noise -1") {
+    val s = spark
+    import s.implicits._
+    // cluster A around e1, cluster B around e2, outlier near e3
+    def jitter(base: Seq[Double], i: Int): Seq[Double] = {
+      val v = base.zipWithIndex.map { case (x, d) => x + 0.01 * ((i * 7 + d) % 3 - 1) }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val a = (0 until 5).map(i => (i.toLong, jitter(Seq(1.0, 0.0, 0.0, 0.0), i)))
+    val b = (0 until 5).map(i => ((10 + i).toLong, jitter(Seq(0.0, 1.0, 0.0, 0.0), i)))
+    val outlier = Seq((99L, Seq(0.0, 0.0, 0.0, 1.0)))
+    val pts = (a ++ b ++ outlier).toDF("id", "v")
+    val out = graft.graph.DensityCluster.dbscan(pts, eps = 0.9, minPts = 2,
+      bits = 2, tables = 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(99L) shouldBe -1L
+    (0L to 4L).map(out).toSet.size shouldBe 1
+    (10L to 14L).map(out).toSet.size shouldBe 1
+    out(0L) should not be out(10L)
+    out(0L) should not be -1L
+  }
+
   test("FastRP: deterministic across runs, unit vectors, right dim") {
     val a = FastRP.run(twoCliques, dim = 16).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
