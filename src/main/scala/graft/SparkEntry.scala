@@ -28,11 +28,13 @@ object SparkEntry {
     RelationalQueries.defs ++
       VectorQueries.defs ++
       TextQueries.defs ++
-      GraphQueries.defs
+      GraphQueries.defs ++
+      PipelineQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       VectorQueries.oracles ++
       TextQueries.oracles ++
-      GraphQueries.oracles
+      GraphQueries.oracles ++
+      PipelineQueries.oracles
 }

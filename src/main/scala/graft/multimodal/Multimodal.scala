@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for a training-data pipeline: image/audio/
+  * video payloads travel as opaque `binary` columns with typed metadata
+  * structs, and per-batch feature extraction runs through the same
+  * partition-batched shape a Pandas-UDF/`mapInPandas` pipeline would use —
+  * expressed Scala-side as `mapPartitions` over a typed Dataset.
+  *
+  * The actual codec work (JPEG decode, audio resample, frame sampling) is
+  * STUBBED — this container ships no media libraries — behind
+  * deterministic byte-level stand-ins, clearly marked. Everything Spark
+  * cares about (schema, nullability, batching, partition sizing,
+  * shuffle-free column derivation) is real and tested.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),   // image | audio | video
+    StructField("payload", BinaryType),                   // opaque encoded bytes
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("codec", StringType))))))
+
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, duration_ms: Long, codec: String)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      features: Array[Double])
+
+  /** Wrap a text/doc table into a media table (test harness: payload =
+    * UTF-8 bytes standing in for encoded media). */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      (when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
+        (col("n_chars") * 10).as("duration_ms"),
+        lit("stub").as("codec")).as("meta"))
+
+  /** STUB "decode + feature extract": a 16-bin byte-value histogram,
+    * L1-normalized — deterministic, shaped exactly like a real embedding
+    * extraction (batch in, fixed-width float features out). Swap the body
+    * for a real decoder when the codec libs exist; the Spark plumbing
+    * (partition batching, typed encoders, schema) does not change. */
+  def extractFeatures(media: DataFrame, featureDim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaRecord] = media.select(
+        col("media_id"), col("kind"), col("payload"),
+        col("meta.width"), col("meta.height"), col("meta.duration_ms"), col("meta.codec"))
+      .as[MediaRecord]
+    ds.mapPartitions { it =>
+      // per-partition (≙ per-batch) processing: amortize any per-batch model
+      // setup here, exactly where a mapInPandas body would do it
+      it.map { r =>
+        val hist = new Array[Double](featureDim)
+        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xff) * featureDim / 256) += 1.0
+          i += 1
+        }
+        val total = math.max(1.0, bytes.length.toDouble)
+        MediaFeatures(r.media_id, r.kind, bytes.length, hist.map(_ / total))
+      }
+    }.toDF()
+  }
+
+  /** STUB resize: deterministic byte decimation to ≈targetBytes (stands in
+    * for image resize keeping the binary-in/binary-out contract). */
+  def resizePayload(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("payload",
+      expr(s"substring(payload, 1, $targetBytes)"))
+
+  /** STUB frame sampling: split payload into `frames` equal binary chunks
+    * (stands in for video frame extraction: one row in, N typed rows out). */
+  def sampleFrames(media: DataFrame, frames: Int): DataFrame =
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(frames - 1))))
+      .withColumn("frame_bytes",
+        expr(s"substring(payload, cast(frame_idx * length(payload) / $frames AS INT) + 1, " +
+          s"cast(length(payload) / $frames AS INT))"))
+      .drop("payload")
+}

