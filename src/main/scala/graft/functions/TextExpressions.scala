@@ -33,6 +33,23 @@ object Hashing {
   }
 
   def fnv1a64(s: String): Long = fnv1a64(s.getBytes("UTF-8"))
+
+  /** Murmur3-style 64-bit finalizer. FNV-1a alone has weak high-bit
+    * avalanche (a last-byte change barely moves the top 24 bits — measured:
+    * "seed-0".."seed-3" produced near-identical doubles when divided by
+    * Long.MaxValue, degenerating every hyperplane to a constant vector).
+    * Use `mixed` whenever the HIGH bits or the sign of the hash matter. */
+  def mix64(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  def mixed(s: String): Long = mix64(fnv1a64(s))
 }
 
 /** Deterministic text → fixed-dim float embedding by signed feature hashing

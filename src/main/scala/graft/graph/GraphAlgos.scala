@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions.col
   * Canonical-edge DataFrames in, (node, label) DataFrames out. */
 object GraphAlgos {
 
-  /** Partition count proportional to edge volume (~500k edges/partition,
+  /** Partition count proportional to edge volume (~50k edges/partition,
     * capped by cluster parallelism): iterative GraphX jobs pay per-partition
     * scheduling overhead every superstep, so a small graph on 32 partitions
-    * is pure waste, while a big one still spreads across the cluster. */
+    * is pure waste, while message-heavy supersteps (LPA label maps) still
+    * need real parallelism once edges reach the hundreds of thousands. */
   private[graph] def sizedPartitions(edges: DataFrame, nEdges: Long): Int = {
     val par = edges.sparkSession.sparkContext.defaultParallelism
-    math.max(2, math.min(par, (nEdges / 500000L).toInt + 1))
+    math.max(2, math.min(par, (nEdges / 50000L).toInt + 1))
   }
 
   private def toGraph(edges: DataFrame): Graph[Int, Int] = {

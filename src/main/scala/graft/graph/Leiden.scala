@@ -26,25 +26,15 @@ object Leiden {
     val spark = edges0.sparkSession
     import spark.implicits._
 
-    // Phase 1 (distributed prune): reuse Louvain's scalable local-move rounds
-    // to shrink the graph, then refine in memory. Louvain.run's phase-1 body
-    // is re-invoked here with its own contraction.
-    val pre = Louvain.run(edges0, distRounds = distRounds,
-      collectThreshold = collectThreshold)
+    // Phase 1 (distributed prune + contraction) shared with Louvain
+    val (pre, contracted, m2) = Louvain.distributedPhase(edges0, distRounds)
+    val nEdges = contracted.count()
+    require(nEdges <= collectThreshold,
+      s"super-graph still has $nEdges directed edges; raise distRounds/collectThreshold")
 
-    // Contract by the pre-partition, then run in-memory Leiden on the result
-    val sym = Projection.symmetrize(edges0)
-      .groupBy("src", "dst").agg(sum("weight").as("weight"))
-    val m2 = sym.agg(sum("weight")).first().getDouble(0)
-    val contracted = sym
-      .join(pre.select(col("node").as("src"), col("label").as("csrc")), "src")
-      .join(pre.select(col("node").as("dst"), col("label").as("cdst")), "dst")
-      .groupBy(col("csrc"), col("cdst")).agg(sum("weight").as("weight"))
-      .as[(Long, Long, Double)].collect()
-
-    val refined = leidenInMemory(contracted, m2)
+    val refined = leidenInMemory(contracted.as[(Long, Long, Double)].collect(), m2)
     val labelDf = refined.toSeq.toDF("pl", "label")
-    pre.join(broadcast(labelDf), pre("label") === labelDf("pl"))
+    pre.join(broadcast(labelDf), pre("comm") === labelDf("pl"))
       .select(col("node"), labelDf("label"))
   }
 

@@ -30,12 +30,12 @@ import scala.collection.mutable
   */
 object Louvain {
 
-  /** @param edges0 canonical (src, dst, weight)
-    * @return (node, label) */
-  def run(edges0: DataFrame, distRounds: Int = 4,
-      collectThreshold: Long = 2000000L): DataFrame = {
+  /** Distributed phase shared by Louvain and Leiden: local-move rounds on
+    * the full graph, then contraction.
+    * @return (node→pre-community mapping, contracted symmetric edges, 2m) */
+  private[graph] def distributedPhase(edges0: DataFrame, distRounds: Int)
+      : (DataFrame, DataFrame, Double) = {
     val spark = edges0.sparkSession
-    import spark.implicits._
 
     var sym = Projection.symmetrize(edges0)
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
@@ -95,6 +95,17 @@ object Louvain {
       .groupBy(col("csrc"), col("cdst"))
       .agg(sum("weight").as("weight"))
       .localCheckpoint()
+
+    (comm, contracted, m2)
+  }
+
+  /** @param edges0 canonical (src, dst, weight)
+    * @return (node, label) */
+  def run(edges0: DataFrame, distRounds: Int = 4,
+      collectThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val (comm, contracted, m2) = distributedPhase(edges0, distRounds)
 
     val nEdges = contracted.count()
     require(nEdges <= collectThreshold,

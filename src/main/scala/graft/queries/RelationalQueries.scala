@@ -235,7 +235,19 @@ object RelationalQueries {
     buyers95.intersect(rich)
   }
 
+  /** q19 — hierarchical subtotals via ROLLUP (free from Catalyst; the
+    * reference never needed it, the warehouse layer gets it anyway). */
+  val q19Rollup: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q19_rollup" -> q19Rollup,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_region_revenue" -> q02RegionRevenue,
     "q03_top_orders" -> q03TopOrders,
@@ -252,6 +264,12 @@ object RelationalQueries {
     "q14_set_ops" -> q14SetOps)
 
   val oracles: Map[String, String] = Map(
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

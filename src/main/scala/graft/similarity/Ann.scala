@@ -34,7 +34,7 @@ object Ann {
   /** Deterministic random hyperplane (seeded, unit-free). */
   private def plane(seed: String, dim: Int): Column =
     array(Seq.tabulate(dim) { d =>
-      lit(graft.functions.Hashing.fnv1a64(s"$seed-$d").toDouble / Long.MaxValue.toDouble)
+      lit(graft.functions.Hashing.mixed(s"$seed-$d").toDouble / Long.MaxValue.toDouble)
     }: _*)
 
   /** LSH top-k: probe bucket-mates of the query across `tables` hyperplane
