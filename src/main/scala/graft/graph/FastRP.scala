@@ -36,7 +36,12 @@ object FastRP {
         when(h === 0, lit(s)).when(h === 1, lit(-s)).otherwise(lit(0.0))
       })
 
-    var vecs = deg.select(col("node"), initVec(col("node")).as("v")).localCheckpoint()
+    // cache() rather than localCheckpoint(): keeps size statistics visible,
+    // so Catalyst broadcast-joins the (node-count-sized) vector table into
+    // the edge join when it actually fits, and shuffles when it doesn't —
+    // the right plan at every scale. Lineage depth is bounded by the
+    // (small, fixed) iteration count.
+    var vecs = deg.select(col("node"), initVec(col("node")).as("v")).cache()
     var combined = deg.select(col("node"),
       transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)).as("acc"))
 
@@ -54,12 +59,11 @@ object FastRP {
       vecs = deg.select(col("node")).join(next, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("v"), initVec(col("node"))).as("v"))
-        .localCheckpoint()
+        .cache()
       if (beta != 0.0) {
         combined = combined.join(vecs, "node")
           .select(col("node"),
             zip_with(col("acc"), col("v"), (a, x) => a + lit(beta) * x).as("acc"))
-          .localCheckpoint()
       }
     }
     combined.select(col("node"),

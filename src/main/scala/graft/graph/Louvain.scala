@@ -45,7 +45,10 @@ object Louvain {
       .localCheckpoint()
 
     // ---- phase 1: distributed local-move rounds on the full graph ----
-    var comm = deg.select(col("node"), col("node").as("comm")).localCheckpoint()
+    // comm is node-count-sized and cached (not checkpointed) so Catalyst
+    // keeps size stats and broadcast-joins it into the edge-sized nbrComm
+    // join whenever it fits — shuffle only when it genuinely doesn't.
+    var comm = deg.select(col("node"), col("node").as("comm")).cache()
     var round = 0
     var moved = 1L
     while (round < distRounds && moved > 0) {
@@ -79,11 +82,14 @@ object Louvain {
         .localCheckpoint() // single evaluation; reused by count + join
       moved = moves.count()
       if (moved > 0) {
+        val prev = comm
         comm = comm.as("c")
           .join(moves, col("c.node") === col("mn"), "left")
           .select(col("c.node").as("node"),
             coalesce(col("target"), col("c.comm")).as("comm"))
-          .localCheckpoint()
+          .cache()
+        comm.count() // materialize before dropping the parent from cache
+        prev.unpersist(blocking = false)
       }
       round += 1
     }

@@ -57,8 +57,12 @@ object TextQueries {
   val q33NgramJaccard: Q = (spark, dir) => {
     import spark.implicits._
     val sh = Dedup.shingled(docs(spark, dir), "doc_id", "text", 3, keep = Seq("source"))
+    // join on 8-byte shingle hashes, not 20-byte strings: same counts
+    // (64-bit collisions are negligible at this cardinality), ~60% less
+    // shuffle volume on the inverted-index self-join
     val ex = sh.select($"doc_id", $"source", size($"shingles").as("n"),
-      explode($"shingles").as("s"))
+      explode($"shingles").as("s0"))
+      .select($"doc_id", $"source", $"n", xxhash64($"s0").as("s"))
     ex.as("a").join(ex.as("b"),
         $"a.s" === $"b.s" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
