@@ -128,6 +128,14 @@ object Louvain {
       .select(col("node"), col("final_label").as("label"))
   }
 
+  /** Modularity optimization à la GDS (SURVEY.md G7; reference call at
+    * project/metrics/community_detection.py:78-83): parallel local moving
+    * WITHOUT coarsening — exactly the distributed phase, labels as-is. */
+  def modularityOptimization(edges0: DataFrame, rounds: Int = 8): DataFrame = {
+    val (comm, _, _) = distributedPhase(edges0, rounds)
+    comm.select(col("node"), col("comm").as("label"))
+  }
+
   /** Classic sequential Louvain (local moves + coarsening) over an
     * in-memory symmetric weighted edge list. Deterministic: nodes visited
     * in ascending id, ties to smallest community. Self-loops (csrc==cdst)

@@ -101,6 +101,11 @@ object GraphQueries {
       bits = 8, tables = 4)
   }
 
+  /** q47 — modularity optimization (G7): parallel local moves, no
+    * coarsening. */
+  val q47ModularityOpt: Q = (spark, dir) =>
+    Louvain.modularityOptimization(graph(spark, dir), rounds = 4)
+
   /** q44 — FastRP node embeddings (G1): surface (node, dim, norm) — the
     * vectors themselves are checked by invariants in ScalaTest. */
   val q44FastRP: Q = (spark, dir) => {
@@ -120,7 +125,8 @@ object GraphQueries {
     "q43_connected_components" -> q43ConnectedComponents,
     "q44_fastrp" -> q44FastRP,
     "q45_leiden" -> q45Leiden,
-    "q46_density" -> q46Density)
+    "q46_density" -> q46Density,
+    "q47_modularity_opt" -> q47ModularityOpt)
 
   private val edgeCte =
     """e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),

@@ -246,8 +246,37 @@ object RelationalQueries {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** q52 — CSV sink + source round-trip (S10/S11; the reference's
+    * `*_clusters.csv` export/import shape, metrics_interface.py:47-50):
+    * write with header, read back with an explicit schema, aggregate.
+    * The oracle sees the same parquet-derived values — a lossy round-trip
+    * would hash-mismatch. */
+  val q52CsvRoundtrip: Q = (spark, dir) => {
+    import spark.implicits._
+    val out = s"/tmp/graft_csv/${new java.io.File(dir).getName}/doc_langs"
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.option("header", "true")
+      .schema("doc_id LONG, lang STRING, source STRING").csv(out)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+  }
+
+  /** q53 — date formatting + monthly revenue (X7/X8). */
+  val q53MonthlyRevenue: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(sum(dec($"o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"month")
+  }
+
   val defs: Map[String, Q] = Map(
     "q19_rollup" -> q19Rollup,
+    "q52_csv_roundtrip" -> q52CsvRoundtrip,
+    "q53_monthly_revenue" -> q53MonthlyRevenue,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_region_revenue" -> q02RegionRevenue,
     "q03_top_orders" -> q03TopOrders,
@@ -264,6 +293,14 @@ object RelationalQueries {
     "q14_set_ops" -> q14SetOps)
 
   val oracles: Map[String, String] = Map(
+    "q52_csv_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "q53_monthly_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q19_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

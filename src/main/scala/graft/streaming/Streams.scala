@@ -70,6 +70,21 @@ object Streams {
         ()
       }
 
+  /** S6/F2/X4/X5 — the vector-ingest transform of the reference's Qdrant
+    * consumer (project/qdrant/consumer_post.py:67-108): required-field
+    * validation (blank text / missing cid dropped), deterministic content
+    * id (md5 of cid ≙ uuid5), deterministic embedding. Works identically
+    * on batch and streaming DataFrames; pair with [[upsertSink]] keyed on
+    * `id` for the idempotent vector-store write. */
+  def embedPosts(posts: DataFrame, dim: Int = 64): DataFrame =
+    posts
+      .filter(length(trim(col("text"))) > 0 && col("cid").isNotNull)
+      .select(
+        md5(col("cid")).as("id"),
+        col("uri"),
+        col("text"),
+        graft.functions.TextExpressions.embed_text(col("text"), dim).as("embedding"))
+
   /** SET3/ST4 — streaming dedup with watermarked state (the reference's
     * unbounded `seen_users` set, given a TTL so state can't grow forever —
     * SURVEY.md §7 step 6). */

@@ -68,6 +68,25 @@ class StreamingSpec extends SparkSpec with Matchers {
     afterReplay shouldBe afterFirst
   }
 
+  test("vector ingest: validation + deterministic id + unit embedding (S6/F2/X4/X5)") {
+    val s = spark
+    import s.implicits._
+    val posts = Seq(
+      ("u1", "c1", "some real text", "a1"),
+      ("u2", "c2", "   ", "a2"),          // blank text → dropped (F2)
+      ("u3", null, "has text no cid", "a3"), // null cid → dropped
+      ("u4", "c4", "more text", "a4"))
+      .toDF("uri", "cid", "text", "author")
+    val out = Streams.embedPosts(posts, dim = 16).collect()
+    out.length shouldBe 2
+    val r = out.find(_.getAs[String]("uri") == "u1").get
+    r.getAs[String]("id") shouldBe java.security.MessageDigest.getInstance("MD5")
+      .digest("c1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val emb: Seq[Float] = r.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    emb.length shouldBe 16
+    math.sqrt(emb.map(x => x.toDouble * x).sum) shouldBe 1.0 +- 1e-5
+  }
+
   test("watermarked streaming dedup bounds the reference's unbounded seen-set (SET3)") {
     val s = spark
     import s.implicits._
