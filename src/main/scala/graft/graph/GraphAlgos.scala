@@ -3,7 +3,7 @@ package graft.graph
 import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.graphx.lib.{ConnectedComponents => CCLib, LabelPropagation => LPLib}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** GraphX-hosted algorithms (SURVEY.md G4 + connected components).
   * Canonical-edge DataFrames in, (node, label) DataFrames out. */
@@ -36,6 +36,35 @@ object GraphAlgos {
     val spark = edges.sparkSession
     import spark.implicits._
     LPLib.run(toGraph(edges), maxSteps).vertices.toDF("node", "label")
+  }
+
+  /** Synchronous label propagation as pure DataFrame iteration — same
+    * semantics as the GraphX version (every node adopts its neighborhood's
+    * most frequent label each step; deterministic smallest-label
+    * tie-break), but each superstep is two shuffles of (node, label)
+    * pairs with map-side combine instead of Pregel's per-vertex
+    * Map[label,count] messages — dense graphs propagate an order of
+    * magnitude cheaper, and the same plan scales out. */
+  def labelPropagationDF(edges: DataFrame, maxSteps: Int = 5): DataFrame = {
+    val sym = Projection.symmetrize(edges).select(col("src"), col("dst")).cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).cache()
+    for (_ <- 1 to maxSteps) {
+      val counts = sym
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src"), col("nl"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = counts
+        .groupBy(col("src").as("node"))
+        .agg(max(struct(col("cnt"), (lit(0L) - col("nl")).as("negl"))).as("b"))
+        .select(col("node"), (lit(0L) - col("b.negl")).as("label"))
+      val prev = labels
+      labels = best.cache()
+      labels.count()
+      prev.unpersist(blocking = false)
+    }
+    sym.unpersist(blocking = false)
+    labels
   }
 
   /** Connected components (free from GraphX; label = min vertex id). */

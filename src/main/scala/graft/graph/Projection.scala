@@ -48,9 +48,30 @@ object Projection {
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
 
   /** Supplier co-engagement over lineitem (suppliers sharing an order) —
-    * the testdata instantiation of the reference's user/post graph. */
+    * the testdata instantiation of the reference's user/post graph.
+    *
+    * Cached per (session, dir) — the reference's named GDS projection
+    * (G8: `gds.graph.project` at community_detection.py:18-47) is exactly
+    * a cached materialized graph reused by every algorithm; [[dropGraph]]
+    * is the drop-if-exists twin (`:19-20`). */
   def supplierGraph(spark: SparkSession, dir: String): DataFrame =
-    coEngagement(Tables.load(spark, dir, "lineitem"), "l_suppkey", "l_orderkey")
+    projections.synchronized {
+      projections.getOrElseUpdate((spark, dir), {
+        val g = coEngagement(Tables.load(spark, dir, "lineitem"), "l_suppkey", "l_orderkey")
+          .cache()
+        g.count() // materialize once
+        g
+      })
+    }
+
+  private val projections =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  /** Invalidate a cached projection (the reference's drop-and-rebuild). */
+  def dropGraph(spark: SparkSession, dir: String): Unit =
+    projections.synchronized {
+      projections.remove((spark, dir)).foreach(_.unpersist(blocking = false))
+    }
 
   /** Weighted degree table from canonical edges. */
   def degrees(edges: DataFrame): DataFrame =

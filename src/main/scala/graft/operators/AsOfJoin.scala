@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal point) join: for every left row, the latest right row
+  * with the same key and `rightTs ≤ leftTs`.
+  *
+  * Not a reference operator (SURVEY.md §2.3 notes its absence) but a core
+  * temporal-warehouse primitive the SCD-2 layer implies, and a standard
+  * "operator Spark lacks" showcase. Formulated the scalable way: ONE
+  * shuffle — union both sides, sort within key partitions by
+  * (ts, side), and carry the last-seen right payload forward with
+  * `last(..., ignoreNulls)` — instead of the naive inequality join whose
+  * intermediate is |left| × |matching right| (quadratic in hot keys).
+  * Right rows sort before left rows on timestamp ties, giving inclusive
+  * (≤) semantics.
+  */
+object AsOfJoin {
+
+  /** @param left       left relation
+    * @param right      right relation (must share no column names with left
+    *                   except `keyCol`)
+    * @param keyCol     equality key present on both sides
+    * @param leftTs     event-time column name on the left
+    * @param rightTs    event-time column name on the right
+    * @param payload    right columns to carry (as-of values; nullable when
+    *                   no right row precedes the left row)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val unioned = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select((Seq(col(keyCol), col("__ts"), col("__side")) ++
+        leftCols.filterNot(_ == keyCol).map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+      .unionByName(right
+        .withColumn("__ts", col(rightTs))
+        .withColumn("__side", lit(0))
+        .select((Seq(col(keyCol), col("__ts"), col("__side")) ++
+          leftCols.filterNot(_ == keyCol)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(col)): _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((Seq(col(keyCol)) ++ leftCols.filterNot(_ == keyCol).map(col) ++
+        payload.map(col)): _*)
+  }
+}

@@ -76,7 +76,7 @@ object GraphQueries {
     * co-engagement-density graphs, and each Pregel superstep costs a fixed
     * scheduling quantum. */
   val q41LabelProp: Q = (spark, dir) =>
-    GraphAlgos.labelPropagation(graph(spark, dir), maxSteps = 5)
+    GraphAlgos.labelPropagationDF(graph(spark, dir), maxSteps = 5)
 
   /** q43 — connected components (min-id labels). */
   val q43ConnectedComponents: Q = (spark, dir) =>

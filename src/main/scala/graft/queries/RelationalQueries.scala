@@ -246,6 +246,37 @@ object RelationalQueries {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** q28 — as-of join (temporal point join): each event picks the user's
+    * latest order with orderdate ≤ event time. Single-shuffle union+window
+    * formulation (see [[graft.operators.AsOfJoin]]); DuckDB's native ASOF
+    * JOIN is the oracle. */
+  val q28AsOf: Q = (spark, dir) => {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter($"o_custkey" <= 150)
+      .select(($"o_custkey" - 1).as("user_id"), $"o_orderdate".as("ots"), $"o_orderkey")
+      .groupBy($"user_id", $"ots")
+      .agg(max($"o_orderkey").as("asof_order")) // dedup ties deterministically
+    graft.operators.AsOfJoin.asOf(events, orders, "user_id", "ts", "ots",
+        payload = Seq("asof_order"))
+      .select($"event_id", $"user_id", $"asof_order")
+  }
+
+  /** q54 — tumbling-window aggregation (the batch shape of the streaming
+    * windowed agg, ST1/event-time): 1-hour buckets over the events stream
+    * table. */
+  val q54TumblingWindow: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(window($"ts", "1 hour").getField("start").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .select(unix_micros($"bucket").as("bucket_us"), $"n", $"sum_value")
+      .orderBy($"bucket_us")
+  }
+
   /** q52 — CSV sink + source round-trip (S10/S11; the reference's
     * `*_clusters.csv` export/import shape, metrics_interface.py:47-50):
     * write with header, read back with an explicit schema, aggregate.
@@ -275,8 +306,10 @@ object RelationalQueries {
 
   val defs: Map[String, Q] = Map(
     "q19_rollup" -> q19Rollup,
+    "q28_asof_join" -> q28AsOf,
     "q52_csv_roundtrip" -> q52CsvRoundtrip,
     "q53_monthly_revenue" -> q53MonthlyRevenue,
+    "q54_tumbling_window" -> q54TumblingWindow,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_region_revenue" -> q02RegionRevenue,
     "q03_top_orders" -> q03TopOrders,
@@ -293,6 +326,18 @@ object RelationalQueries {
     "q14_set_ops" -> q14SetOps)
 
   val oracles: Map[String, String] = Map(
+    "q28_asof_join" ->
+      """WITH o AS (SELECT o_custkey - 1 AS user_id, o_orderdate AS ots,
+        |  max(o_orderkey) AS asof_order
+        |  FROM orders WHERE o_custkey <= 150 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.asof_order
+        |FROM events e ASOF LEFT JOIN o
+        |ON e.user_id = o.user_id AND o.ots <= e.ts""".stripMargin,
+    "q54_tumbling_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_csv_roundtrip" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM documents GROUP BY lang, source""".stripMargin,

@@ -57,6 +57,14 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
     Set(out(1L), out(2L), out(3L)).intersect(Set(out(10L), out(11L), out(12L))) shouldBe empty
   }
 
+  test("DataFrame label propagation: same disconnection invariant, total labeling") {
+    val c1 = edges(Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L)))
+    val out = GraphAlgos.labelPropagationDF(c1, maxSteps = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 10L, 11L, 12L)
+    Set(out(1L), out(2L), out(3L)).intersect(Set(out(10L), out(11L), out(12L))) shouldBe empty
+  }
+
   test("modularity closed form: two cliques + bridge with perfect partition") {
     val s = spark
     import s.implicits._
