@@ -19,8 +19,8 @@ object SparkEntry {
     * per-community structure metrics (A7–A10). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val edges = graft.graph.Projection.supplierGraph(spark, dir).cache()
-    val communities = graft.graph.Louvain.run(edges)
+    val edges = graft.graph.Projection.supplierGraph(spark, dir)
+    val communities = graft.graph.Louvain.run(edges, distRounds = 2)
     graft.metrics.CommunityMetrics.structure(edges, communities)
   }
 

@@ -63,6 +63,7 @@ object TextQueries {
     val ex = sh.select($"doc_id", $"source", size($"shingles").as("n"),
       explode($"shingles").as("s0"))
       .select($"doc_id", $"source", $"n", xxhash64($"s0").as("s"))
+      .localCheckpoint() // shingling is the expensive part; never do it twice
     ex.as("a").join(ex.as("b"),
         $"a.s" === $"b.s" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))

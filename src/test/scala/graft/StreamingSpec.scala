@@ -87,6 +87,33 @@ class StreamingSpec extends SparkSpec with Matchers {
     math.sqrt(emb.map(x => x.toDouble * x).sum) shouldBe 1.0 +- 1e-5
   }
 
+  test("stateful sessionization via flatMapGroupsWithState (ST4 custom state)") {
+    val s = spark
+    import s.implicits._
+    // two micro-batches: user 7's session spans the first batch; the gap in
+    // the second batch closes it and emits exactly one session row
+    val dir = writeTopic(Seq(
+      """{"user_id":7,"ts":"2024-01-01T00:00:00.000Z"}""",
+      """{"user_id":7,"ts":"2024-01-01T00:10:00.000Z"}"""))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = Streams.subscribe(spark, dir, schema).as[Streams.SessionEvent]
+    val q = Streams.sessionizeStream(stream)
+      .writeStream.format("memory").queryName("sessions_t")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second batch: an event far beyond the gap closes the open session
+    val f = new java.io.File(dir, "batch1.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"user_id":7,"ts":"2024-01-01T06:00:00.000Z"}""")
+    w.close()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT * FROM sessions_t").collect()
+    rows.length shouldBe 1
+    rows(0).getAs[Int]("n_events") shouldBe 2 // the two first-batch events
+  }
+
   test("watermarked streaming dedup bounds the reference's unbounded seen-set (SET3)") {
     val s = spark
     import s.implicits._
