@@ -54,4 +54,29 @@ object AsOfJoin {
       .select((Seq(col(keyCol)) ++ leftCols.filterNot(_ == keyCol).map(col) ++
         payload.map(col)): _*)
   }
+
+  /** Same semantics through the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]): registers the planner strategy on the
+    * live session (also injectable via GraftExtensions) and plans the
+    * logical [[graft.plans.AsOfJoinPlan]] node directly — one co-partitioned
+    * sorted-merge pass, no window state. */
+  def asOfPlanned(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    ColumnBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, keyCol), attr(rPlan, keyCol),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      payload.map(attr(rPlan, _))))
+  }
 }

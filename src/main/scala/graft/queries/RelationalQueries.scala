@@ -264,6 +264,24 @@ object RelationalQueries {
       .select($"event_id", $"user_id", $"asof_order")
   }
 
+  /** q29 — the same as-of join through the CUSTOM PHYSICAL OPERATOR
+    * (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec: co-partitioned
+    * sorted merge, graft.plans). Same oracle as q28 — a library-defined
+    * SparkPlan under the DuckDB correctness gate. */
+  val q29AsOfPlanned: Q = (spark, dir) => {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter($"o_custkey" <= 150)
+      .select(($"o_custkey" - 1).as("user_id"), $"o_orderdate".as("ots"), $"o_orderkey")
+      .groupBy($"user_id", $"ots")
+      .agg(max($"o_orderkey").as("asof_order"))
+    graft.operators.AsOfJoin.asOfPlanned(events, orders, "user_id", "ts", "ots",
+        payload = Seq("asof_order"))
+      .select($"event_id", $"user_id", $"asof_order")
+  }
+
   /** q54 — tumbling-window aggregation (the batch shape of the streaming
     * windowed agg, ST1/event-time): 1-hour buckets over the events stream
     * table. */
@@ -307,6 +325,7 @@ object RelationalQueries {
   val defs: Map[String, Q] = Map(
     "q19_rollup" -> q19Rollup,
     "q28_asof_join" -> q28AsOf,
+    "q29_asof_planned" -> q29AsOfPlanned,
     "q52_csv_roundtrip" -> q52CsvRoundtrip,
     "q53_monthly_revenue" -> q53MonthlyRevenue,
     "q54_tumbling_window" -> q54TumblingWindow,
@@ -327,6 +346,13 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q28_asof_join" ->
+      """WITH o AS (SELECT o_custkey - 1 AS user_id, o_orderdate AS ots,
+        |  max(o_orderkey) AS asof_order
+        |  FROM orders WHERE o_custkey <= 150 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.asof_order
+        |FROM events e ASOF LEFT JOIN o
+        |ON e.user_id = o.user_id AND o.ots <= e.ts""".stripMargin,
+    "q29_asof_planned" ->
       """WITH o AS (SELECT o_custkey - 1 AS user_id, o_orderdate AS ots,
         |  max(o_orderkey) AS asof_order
         |  FROM orders WHERE o_custkey <= 150 GROUP BY 1, 2)

@@ -95,6 +95,32 @@ object Ann {
         first(col(vecCol)).as(vecCol))
       .select(col(idCol), col(vecCol), col("b.cell").as("cell"))
 
+  /** Persist the IVF index partitioned BY CELL: at query time only the
+    * probed cells' files are read (partition pruning — `PartitionFilters`
+    * in the scan node). This is what makes IVF the 100 TB tier: a query
+    * touches nprobe/nlist of the corpus bytes on disk, not just in CPU. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, path: String): Unit =
+    ivfAssign(corpus, idCol, vecCol, centroids)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Query a persisted IVF index: resolve probe cells from the (tiny)
+    * centroid table, then scan only those partitions. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      qv: Column, k: Int, nprobe: Int): DataFrame = {
+    val probeCells = centroids
+      .select(col("cell"), VectorFunctions.dot(col("centroid"), qv).as("sim"))
+      .orderBy(col("sim").desc).limit(nprobe)
+      .collect().map(_.getLong(0))
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*)) // → partition pruning
+      .select(col(idCol),
+        VectorFunctions.cosineUnguarded(col(vecCol), qv).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF top-k: probe the `nprobe` nearest cells, exact within them. */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, qv: Column, k: Int, nprobe: Int): DataFrame = {

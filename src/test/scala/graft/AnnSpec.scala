@@ -40,6 +40,21 @@ class AnnSpec extends SparkSpec with Matchers {
     full shouldBe exact
   }
 
+  test("persisted IVF index: partition-pruned scan, same results as in-memory IVF") {
+    val centroids = Ann.kmeansCentroids(pts, "id", "v", nlist = 8, iters = 1)
+    val corpus = pts.filter(col("id") =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toFile.getAbsolutePath + "/index"
+    Ann.writeIvfIndex(corpus, "id", "v", centroids, path)
+    val fromIndex = Ann.ivfTopKFromIndex(spark, path, centroids, "id", "v", qcol, 10, nprobe = 3)
+    val inMemory = Ann.ivfTopK(Ann.ivfAssign(corpus, "id", "v", centroids),
+      centroids, "id", "v", qcol, 10, nprobe = 3)
+    fromIndex.collect().map(_.getLong(0)).toSeq shouldBe
+      inMemory.collect().map(_.getLong(0)).toSeq
+    // the scan must prune partitions, not filter rows post-read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+  }
+
   test("LSH ANN returns verified-exact scores (subset of corpus, desc order)") {
     val res = Ann.lshTopK(pts.filter(col("id") =!= 0), "id", "v", qcol, 10,
       bits = 4, tables = 8).collect()

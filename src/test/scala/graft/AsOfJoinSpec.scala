@@ -31,4 +31,25 @@ class AsOfJoinSpec extends SparkSpec with Matchers {
     out(3L) shouldBe None       // nothing precedes
     out(4L) shouldBe None       // key absent on right
   }
+
+  test("custom physical operator (AsOfJoinExec) matches the union+window formulation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val left = graft.schemas.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"user_id", $"ts")
+    val right = graft.schemas.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .filter($"o_custkey" <= 150)
+      .select(($"o_custkey" - 1).as("user_id"), $"o_orderdate".as("ots"), $"o_orderkey")
+      .groupBy($"user_id", $"ots").agg(max($"o_orderkey").as("asof_order"))
+    val viaWindow = AsOfJoin.asOf(left, right, "user_id", "ts", "ots", Seq("asof_order"))
+      .select($"event_id", $"asof_order").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("asof_order"))).toMap
+    val planned = AsOfJoin.asOfPlanned(left, right, "user_id", "ts", "ots", Seq("asof_order"))
+    planned.queryExecution.executedPlan.toString should include("AsOfJoin ")
+    val viaExec = planned.select($"event_id", $"asof_order").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("asof_order"))).toMap
+    viaExec.size shouldBe viaWindow.size
+    viaExec shouldBe viaWindow
+  }
 }
