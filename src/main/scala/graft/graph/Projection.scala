@@ -73,6 +73,38 @@ object Projection {
       projections.remove((spark, dir)).foreach(_.unpersist(blocking = false))
     }
 
+  /** Co-engagement with SALTED hot-post handling: posts whose engagement
+    * count exceeds `hotThreshold` get their self-join decomposed into
+    * salt×salt sub-joins so no single reducer sees a k² pair block —
+    * the explicit skew mitigation for when AQE's runtime splitting isn't
+    * available (e.g. disabled AQE or extreme keys). Results are identical
+    * to [[coEngagement]] (proved in ProjectionSpec). */
+  def coEngagementSalted(engagements: DataFrame, userCol: String,
+      postCol: String, hotThreshold: Int = 1000, salts: Int = 8): DataFrame = {
+    val e = engagements
+      .select(col(postCol).as("post"), col(userCol).as("user"))
+      .distinct()
+    val counts = e.groupBy(col("post")).agg(count(lit(1)).as("n"))
+    val tagged = e.join(counts, "post")
+      .withColumn("salt",
+        when(col("n") > hotThreshold, pmod(xxhash64(col("user")), lit(salts)))
+          .otherwise(lit(0L)))
+    // pair (saltA, saltB) grid: replicate the b-side per saltA so every
+    // (a.salt, b.salt) combination meets exactly once
+    val a = tagged.select(col("post"), col("user"), col("salt"))
+    // replicate ONLY hot posts' b-rows across the salt grid; cold posts
+    // keep a single copy (no shuffle inflation on the long tail)
+    val b = tagged.select(col("post"), col("user").as("user_b"), col("n"))
+      .withColumn("salt_a", explode(
+        when(col("n") > hotThreshold, sequence(lit(0L), lit(salts - 1L)))
+          .otherwise(array(lit(0L)))))
+    a.join(b,
+        a("post") === b("post") && col("salt") === col("salt_a") &&
+          col("user") < col("user_b"))
+      .groupBy(col("user").as("src"), col("user_b").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+  }
+
   /** Weighted degree table from canonical edges. */
   def degrees(edges: DataFrame): DataFrame =
     symmetrize(edges).groupBy(col("src").as("node"))

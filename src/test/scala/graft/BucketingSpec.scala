@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.graph.Projection
+import graft.schemas.Tables
+import graft.warehouse.Bucketing
+
+class BucketingSpec extends SparkSpec with Matchers {
+
+  test("bucketed fact⋈fact join runs shuffle-free and matches the shuffled result") {
+    // managed tables land under the default spark.sql.warehouse.dir
+    // (./spark-warehouse, gitignored)
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Bucketing.saveBucketed(li, "li_b", "l_orderkey", 8)
+    Bucketing.saveBucketed(orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "orders_b", "l_orderkey", 8)
+
+    val joined = Bucketing.table(spark, "li_b")
+      .join(Bucketing.table(spark, "orders_b"), "l_orderkey")
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"), max("o_totalprice").as("p"))
+    Bucketing.isShuffleFree(joined) shouldBe true // both exchanges elided
+
+    val shuffled = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"), max("o_totalprice").as("p"))
+    joined.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted shouldBe
+      shuffled.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
+  }
+
+  test("salted co-engagement equals the plain projection exactly") {
+    val s = spark
+    import s.implicits._
+    // one hot post (40 users) + long tail
+    val eng = ((1 to 40).map(u => (900L, u.toLong)) ++
+      (1 to 30).map(i => (i.toLong, (i % 7).toLong)) ++
+      Seq((10L, 50L), (10L, 51L))).toDF("post", "user")
+    val plain = Projection.coEngagement(eng, "user", "post").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Projection.coEngagementSalted(eng, "user", "post",
+      hotThreshold = 10, salts = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    salted shouldBe plain
+    plain.nonEmpty shouldBe true
+  }
+}
