@@ -42,7 +42,10 @@ object GraftExtensions {
     "hamming64" -> ((args: Seq[Expression]) => HammingDist64(args.head, args(1))),
     "minhash_sig" -> ((args: Seq[Expression]) => MinHashSig(args.head, intArg(args(1)))),
     "vec_dot" -> ((args: Seq[Expression]) => DotProduct(args.head, args(1))),
-    "vec_sqdist" -> ((args: Seq[Expression]) => SqDist(args.head, args(1))))
+    "vec_sqdist" -> ((args: Seq[Expression]) => SqDist(args.head, args(1))),
+    "kmv_distinct" -> ((args: Seq[Expression]) =>
+      KmvDistinct(args.head, if (args.length > 1) intArg(args(1)) else 256)
+        .toAggregateExpression()))
 
   /** Register on an already-built session (temp functions in the session's
     * FunctionRegistry) — for sessions created without the extensions conf. */

@@ -295,6 +295,19 @@ object RelationalQueries {
       .orderBy($"bucket_us")
   }
 
+  /** q55 — KMV sketch distinct counts per group (constant state per group
+    * vs exact distinct's full-value shuffle — the 100 TB cardinality
+    * estimator). Engine-native hashing → rows-only check; accuracy bound
+    * asserted in KmvSketchSpec. */
+  val q55KmvDistinct: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(graft.functions.KmvSketch.kmv_distinct($"l_orderkey", 256).as("approx_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   /** q52 — CSV sink + source round-trip (S10/S11; the reference's
     * `*_clusters.csv` export/import shape, metrics_interface.py:47-50):
     * write with header, read back with an explicit schema, aggregate.
@@ -329,6 +342,7 @@ object RelationalQueries {
     "q52_csv_roundtrip" -> q52CsvRoundtrip,
     "q53_monthly_revenue" -> q53MonthlyRevenue,
     "q54_tumbling_window" -> q54TumblingWindow,
+    "q55_kmv_distinct" -> q55KmvDistinct,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_region_revenue" -> q02RegionRevenue,
     "q03_top_orders" -> q03TopOrders,

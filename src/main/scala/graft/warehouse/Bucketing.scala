@@ -16,13 +16,25 @@ import org.apache.spark.sql.functions._
 object Bucketing {
 
   def saveBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent across sessions: a fresh in-memory catalog doesn't know the
+    // table, but its previous on-disk location may survive — clear both
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
     df.write
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
