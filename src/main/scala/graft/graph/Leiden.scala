@@ -26,16 +26,92 @@ object Leiden {
     val spark = edges0.sparkSession
     import spark.implicits._
 
-    // Phase 1 (distributed prune + contraction) shared with Louvain
-    val (pre, contracted, m2) = Louvain.distributedPhase(edges0, distRounds)
-    val nEdges = contracted.count()
-    require(nEdges <= collectThreshold,
-      s"super-graph still has $nEdges directed edges; raise distRounds/collectThreshold")
+    // Phase 1 (distributed local moves) shared with Louvain
+    val phase = Louvain.distributedPhase(edges0, distRounds)
 
-    val refined = leidenInMemory(contracted.as[(Long, Long, Double)].collect(), m2)
-    val labelDf = refined.toSeq.toDF("pl", "label")
-    pre.join(broadcast(labelDf), pre("comm") === labelDf("pl"))
+    // Phase 2: DISTRIBUTED refinement at the full-graph level — the
+    // scale-critical part of Leiden's guarantee happens before any
+    // contraction (ROADMAP gap 1 closed)
+    val ref = refineDistributed(phase, rounds = 2)
+
+    // contract by the REFINED partition (Leiden's rule), then finish in
+    // memory on the super-graph
+    val contractedRef = phase.sym
+      .join(ref.select(col("node").as("src"), col("ref").as("rsrc")), "src")
+      .join(ref.select(col("node").as("dst"), col("ref").as("rdst")), "dst")
+      .groupBy(col("rsrc"), col("rdst")).agg(sum("weight").as("weight"))
+      .localCheckpoint()
+    val nEdges = contractedRef.count()
+    require(nEdges <= collectThreshold,
+      s"refined super-graph still has $nEdges directed edges; raise distRounds/collectThreshold")
+
+    val finished = leidenInMemory(contractedRef.as[(Long, Long, Double)].collect(), phase.m2)
+    val labelDf = finished.toSeq.toDF("rl", "label")
+    ref.join(broadcast(labelDf), ref("ref") === labelDf("rl"))
       .select(col("node"), labelDf("label"))
+  }
+
+  /** Distributed Leiden refinement: within each coarse community, nodes
+    * that are still SINGLETONS in the refined partition greedily merge
+    * into a refined subcommunity of their coarse community they are
+    * actually CONNECTED to, when the modularity gain is positive
+    * (Traag et al. §A, the move set that guarantees well-connected
+    * communities). Same shuffle shape as the local-move phase; hash-parity
+    * damping; every structure node-or-edge-sized. */
+  private[graph] def refineDistributed(phase: Louvain.Phase, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sym = phase.sym
+    val comm = phase.comm
+    val deg = phase.deg
+    val m2 = phase.m2
+
+    // edges with BOTH endpoints in the same coarse community (only these
+    // participate in refinement)
+    val intra = sym
+      .join(comm.select(col("node").as("src"), col("comm").as("csrc")), "src")
+      .join(comm.select(col("node").as("dst"), col("comm").as("cdst")), "dst")
+      .filter(col("csrc") === col("cdst"))
+      .select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint()
+
+    var ref = comm.select(col("node"), col("node").as("ref")).cache()
+    var round = 0
+    var moved = 1L
+    while (round < rounds && moved > 0) {
+      val refSize = ref.groupBy(col("ref")).agg(count(lit(1)).as("sz"))
+      val singles = ref.join(refSize, "ref").filter(col("sz") === 1)
+        .select(col("node"))
+      val refTot = ref.join(deg, "node")
+        .groupBy(col("ref")).agg(sum(col("k")).as("tot"))
+      val cand = intra
+        .join(singles.select(col("node").as("src")), "src", "left_semi")
+        .join(ref.select(col("node").as("dst"), col("ref").as("rnbr")), "dst")
+        .groupBy(col("src").as("node"), col("rnbr"))
+        .agg(sum("weight").as("w_ur"))
+        .join(deg, "node")
+        .join(refTot.select(col("ref").as("r2"), col("tot")), col("rnbr") === col("r2"))
+        .filter(col("rnbr") =!= col("node")) // its own singleton group is no target
+        .withColumn("gain", col("w_ur") - col("k") * col("tot") / lit(m2))
+        .filter(col("gain") > 0.0) // positive-gain, connected merges only
+      val moves = cand
+        .groupBy(col("node"))
+        .agg(max(struct(col("gain"), (lit(0L) - col("rnbr")).as("negr"))).as("b"))
+        .select(col("node").as("mn"), (lit(0L) - col("b.negr")).as("target"))
+        .filter(pmod(xxhash64(col("mn")) + lit(round), lit(2)) === 0)
+        .localCheckpoint()
+      moved = moves.count()
+      if (moved > 0) {
+        val prev = ref
+        ref = ref.as("r").join(moves, col("r.node") === col("mn"), "left")
+          .select(col("r.node").as("node"),
+            coalesce(col("target"), col("r.ref")).as("ref"))
+          .cache()
+        ref.count()
+        prev.unpersist(blocking = false)
+      }
+      round += 1
+    }
+    ref
   }
 
   /** In-memory Leiden over a symmetric weighted edge list (with self-loops

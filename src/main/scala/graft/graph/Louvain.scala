@@ -30,11 +30,18 @@ import scala.collection.mutable
   */
 object Louvain {
 
+  /** Everything the distributed phase computed — shared by Louvain,
+    * modularity-optimization and Leiden (which additionally refines). */
+  private[graph] case class Phase(
+      comm: DataFrame,       // (node, comm) after local moves
+      sym: DataFrame,        // symmetric (src, dst, weight) of the input graph
+      deg: DataFrame,        // (node, k) weighted degrees
+      contracted: DataFrame, // (csrc, cdst, weight) contraction by comm
+      m2: Double)            // 2m
+
   /** Distributed phase shared by Louvain and Leiden: local-move rounds on
-    * the full graph, then contraction.
-    * @return (node→pre-community mapping, contracted symmetric edges, 2m) */
-  private[graph] def distributedPhase(edges0: DataFrame, distRounds: Int)
-      : (DataFrame, DataFrame, Double) = {
+    * the full graph, then contraction. */
+  private[graph] def distributedPhase(edges0: DataFrame, distRounds: Int): Phase = {
     val spark = edges0.sparkSession
 
     var sym = Projection.symmetrize(edges0)
@@ -102,7 +109,7 @@ object Louvain {
       .agg(sum("weight").as("weight"))
       .localCheckpoint()
 
-    (comm, contracted, m2)
+    Phase(comm, sym, deg, contracted, m2)
   }
 
   /** @param edges0 canonical (src, dst, weight)
@@ -111,7 +118,7 @@ object Louvain {
       collectThreshold: Long = 2000000L): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val (comm, contracted, m2) = distributedPhase(edges0, distRounds)
+    val Phase(comm, _, _, contracted, m2) = distributedPhase(edges0, distRounds)
 
     val nEdges = contracted.count()
     require(nEdges <= collectThreshold,
@@ -131,10 +138,9 @@ object Louvain {
   /** Modularity optimization à la GDS (SURVEY.md G7; reference call at
     * project/metrics/community_detection.py:78-83): parallel local moving
     * WITHOUT coarsening — exactly the distributed phase, labels as-is. */
-  def modularityOptimization(edges0: DataFrame, rounds: Int = 8): DataFrame = {
-    val (comm, _, _) = distributedPhase(edges0, rounds)
-    comm.select(col("node"), col("comm").as("label"))
-  }
+  def modularityOptimization(edges0: DataFrame, rounds: Int = 8): DataFrame =
+    distributedPhase(edges0, rounds).comm
+      .select(col("node"), col("comm").as("label"))
 
   /** Classic sequential Louvain (local moves + coarsening) over an
     * in-memory symmetric weighted edge list. Deterministic: nodes visited
