@@ -295,6 +295,22 @@ object RelationalQueries {
       .orderBy($"bucket_us")
   }
 
+  /** q56 — point-in-time (AS OF) read over the SCD-2 intervals built from
+    * the event stream (M1 + Scd2.asOf): which "community" (event_type) was
+    * each user in mid-month? */
+  val q56Scd2AsOf: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val intervals = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type".as("community"),
+        $"ts".as("valid_from"),
+        lead($"ts", 1).over(w).as("valid_to"))
+    graft.warehouse.Scd2.asOf(intervals, lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select($"user_id", $"community")
+      .orderBy($"user_id")
+  }
+
   /** q55 — KMV sketch distinct counts per group (constant state per group
     * vs exact distinct's full-value shuffle — the 100 TB cardinality
     * estimator). Engine-native hashing → rows-only check; accuracy bound
@@ -343,6 +359,7 @@ object RelationalQueries {
     "q53_monthly_revenue" -> q53MonthlyRevenue,
     "q54_tumbling_window" -> q54TumblingWindow,
     "q55_kmv_distinct" -> q55KmvDistinct,
+    "q56_scd2_asof" -> q56Scd2AsOf,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_region_revenue" -> q02RegionRevenue,
     "q03_top_orders" -> q03TopOrders,
@@ -378,6 +395,14 @@ object RelationalQueries {
         |COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q56_scd2_asof" ->
+      """WITH iv AS (SELECT user_id, event_type AS community, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+        |  FROM events)
+        |SELECT user_id, community FROM iv
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY user_id""".stripMargin,
     "q52_csv_roundtrip" ->
       """SELECT lang, source, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM documents GROUP BY lang, source""".stripMargin,

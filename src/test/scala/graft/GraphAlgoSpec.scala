@@ -143,6 +143,15 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
     out(0L) should not be -1L
   }
 
+  test("Leiden: total single-label partition on the testdata graph") {
+    val g = Projection.supplierGraph(spark, "/root/testdata/sf0.001")
+    val nodes = g.select(col("src").as("node"))
+      .union(g.select(col("dst").as("node"))).distinct().count()
+    val out = graft.graph.Leiden.run(g, distRounds = 2)
+    out.count() shouldBe nodes
+    out.groupBy("node").count().filter(col("count") > 1).count() shouldBe 0
+  }
+
   test("FastRP: deterministic across runs, unit vectors, right dim") {
     val a = FastRP.run(twoCliques, dim = 16).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
