@@ -18,14 +18,21 @@ import org.apache.spark.sql.functions.col
 object KCore {
 
   /** @param edges canonical (src, dst, weight) DataFrame; unweighted cores.
-    * @param capCore histogram cap ≥ max expected coreness (reference max: 20).
+    * @param capCore0 histogram cap ≥ max possible coreness; 0 = auto from
+    *                 the degeneracy bound k ≤ √(2·|E|) (a k-core needs
+    *                 ≥ k(k+1)/2 edges), so the cap can never clamp a true
+    *                 coreness value regardless of graph shape.
     * @return (node, core) DataFrame */
-  def run(edges: DataFrame, maxIter: Int = 64, capCore: Int = 256): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 64, capCore0: Int = 0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
     val cached = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
-    val p = GraphAlgos.sizedPartitions(cached, cached.count())
+    val nEdges = cached.count()
+    val capCore =
+      if (capCore0 > 0) capCore0
+      else math.min(math.ceil(math.sqrt(2.0 * nEdges)).toInt + 1, 65536)
+    val p = GraphAlgos.sizedPartitions(cached, nEdges)
     val edgeRdd = cached.as[(Long, Long)].rdd
       .coalesce(p).map { case (s, d) => Edge(s, d, 1) }
     val g0 = Graph.fromEdges(edgeRdd, defaultValue = 0)
