@@ -18,20 +18,32 @@ import org.apache.spark.sql.functions.col
 object KCore {
 
   /** @param edges canonical (src, dst, weight) DataFrame; unweighted cores.
-    * @param capCore0 histogram cap ≥ max possible coreness; 0 = auto from
-    *                 the degeneracy bound k ≤ √(2·|E|) (a k-core needs
-    *                 ≥ k(k+1)/2 edges), so the cap can never clamp a true
-    *                 coreness value regardless of graph shape.
+    * @param capCore histogram cap; estimates clamp into the top bucket, and
+    *                if the RESULT saturates at the cap (max core == cap —
+    *                possible clamping), the decomposition reruns with a 4×
+    *                cap, bounded by the degeneracy limit k ≤ √(2·|E|). The
+    *                common case pays small (cap+1)-int messages; degenerate
+    *                graphs stay correct at the price of a rerun.
     * @return (node, core) DataFrame */
-  def run(edges: DataFrame, maxIter: Int = 64, capCore0: Int = 0): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 64, capCore: Int = 256): DataFrame = {
+    val out = runWithCap(edges, maxIter, capCore)
+    val maxCore = out.agg(org.apache.spark.sql.functions.max(col("core")))
+      .first().getInt(0)
+    if (maxCore < capCore) out
+    else {
+      val nEdges = edges.count()
+      val bound = math.ceil(math.sqrt(2.0 * nEdges)).toInt + 1
+      if (capCore >= bound) out // cap already exceeds any possible coreness
+      else run(edges, maxIter, math.min(capCore * 4, bound))
+    }
+  }
+
+  private def runWithCap(edges: DataFrame, maxIter: Int, capCore: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
     val cached = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
     val nEdges = cached.count()
-    val capCore =
-      if (capCore0 > 0) capCore0
-      else math.min(math.ceil(math.sqrt(2.0 * nEdges)).toInt + 1, 65536)
     val p = GraphAlgos.sizedPartitions(cached, nEdges)
     val edgeRdd = cached.as[(Long, Long)].rdd
       .coalesce(p).map { case (s, d) => Edge(s, d, 1) }
