@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Distributed k-core decomposition (SURVEY.md G3; reference GDS call at
   * project/metrics/community_detection.py:56-58) by h-index convergence
@@ -36,6 +36,49 @@ object KCore {
       if (capCore >= bound) out // cap already exceeds any possible coreness
       else run(edges, maxIter, math.min(capCore * 4, bound))
     }
+  }
+
+  /** h-index k-core as pure DataFrame iteration (no GraphX): per round,
+    * every node's new estimate is max over distinct neighbor-estimate
+    * values v of min(v, #neighbors with estimate ≥ v), capped by its own
+    * estimate — the same fixpoint, expressed as two shuffles per round
+    * (grouped histogram + running count) with map-side combine. Same
+    * convergence; far steadier wall-clock than Pregel supersteps under
+    * memory pressure. */
+  def runDF(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = Projection.symmetrize(
+      edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
+      .select(col("src"), col("dst")).localCheckpoint()
+    var est = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("int").as("est")).cache()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val hist = sym
+        .join(est.select(col("node").as("dst"), col("est").as("ne")), "dst")
+        .groupBy(col("src").as("node"), col("ne"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("node")).orderBy(col("ne").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val h = hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .select(col("node"),
+          least(col("ne"), col("cum")).cast("int").as("cand"))
+        .groupBy(col("node"))
+        .agg(max(col("cand")).as("h"))
+      val next = est.join(h, Seq("node"), "left")
+        .select(col("node"),
+          least(col("est"), coalesce(col("h"), lit(0))).as("est"))
+        .cache()
+      next.count()
+      changed = next.join(est.select(col("node"), col("est").as("old")), "node")
+        .filter(col("est") =!= col("old")).count()
+      est.unpersist(blocking = false)
+      est = next
+      iter += 1
+    }
+    est.select(col("node"), col("est").as("core"))
   }
 
   private def runWithCap(edges: DataFrame, maxIter: Int, capCore: Int): DataFrame = {

@@ -42,6 +42,15 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
     (1L to 8L).foreach { n => out(n) shouldBe 3 }
   }
 
+  test("DataFrame k-core equals the GraphX h-index result") {
+    Seq(trianglePendant, twoCliques,
+      Projection.supplierGraph(spark, "/root/testdata/sf0.001")).foreach { g =>
+      val a = KCore.run(g).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val b = KCore.runDF(g).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      b shouldBe a
+    }
+  }
+
   test("connected components: two disconnected cliques → 2 min-id labels") {
     val c1 = edges(Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)))
     val out = GraphAlgos.connectedComponents(c1).collect()
