@@ -43,8 +43,11 @@ object KCore {
     * values v of min(v, #neighbors with estimate ≥ v), capped by its own
     * estimate — the same fixpoint, expressed as two shuffles per round
     * (grouped histogram + running count) with map-side combine. Same
-    * convergence; far steadier wall-clock than Pregel supersteps under
-    * memory pressure. */
+    * fixpoint (equality-tested against the Pregel version). Trade-off:
+    * each round costs a fixed number of scheduled jobs, so on DENSE
+    * graphs whose h-index decay needs many rounds the Pregel version is
+    * decisively faster (9 s vs 339 s at sf0.1); prefer this one on
+    * sparse graphs that converge in a handful of rounds. */
   def runDF(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = Projection.symmetrize(
