@@ -114,6 +114,33 @@ class StreamingSpec extends SparkSpec with Matchers {
     rows(0).getAs[Int]("n_events") shouldBe 2 // the two first-batch events
   }
 
+  test("watermarked tumbling-window aggregation over the stream (ST1 event-time)") {
+    val s = spark
+    import s.implicits._
+    val dir = writeTopic(Seq(
+      """{"ts":"2024-01-01T00:10:00.000Z","v":1.0}""",
+      """{"ts":"2024-01-01T00:20:00.000Z","v":2.0}""",
+      """{"ts":"2024-01-01T01:05:00.000Z","v":10.0}""",
+      """{"ts":"2024-01-01T03:00:00.000Z","v":0.5}""")) // advances watermark past hours 0-1
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val agg = Streams.subscribe(spark, dir, schema)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val q = agg.writeStream.format("memory").queryName("winagg_t")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-closed windows: hours 0 and 1
+    val rows = spark.sql("SELECT window.start, n, sv FROM winagg_t ORDER BY 1").collect()
+    rows.length shouldBe 2
+    rows(0).getLong(1) shouldBe 2L
+    rows(0).getDouble(2) shouldBe 3.0
+    rows(1).getLong(1) shouldBe 1L
+    rows(1).getDouble(2) shouldBe 10.0
+  }
+
   test("watermarked streaming dedup bounds the reference's unbounded seen-set (SET3)") {
     val s = spark
     import s.implicits._
