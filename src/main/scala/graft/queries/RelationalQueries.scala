@@ -311,6 +311,40 @@ object RelationalQueries {
       .orderBy($"user_id")
   }
 
+  /** q58 — STRUCTURED STREAMING under the DuckDB oracle: the events table
+    * becomes a file-backed JSON topic, a real streaming query (declared
+    * schema → watermark → tumbling window agg → complete mode → AvailableNow
+    * drain) computes the same hourly buckets as batch q54, and the result
+    * must hash-match the same SQL oracle. Streaming execution, batch
+    * semantics — ST1/ST3 proven, not just exercised. */
+  val q58StreamTumbling: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val topic = s"/tmp/graft_stream/${new java.io.File(dir).getName}/events"
+    Tables.load(spark, dir, "events")
+      .select(to_json(struct($"event_id", $"ts", $"value")).as("value"))
+      .coalesce(4)
+      .write.mode("overwrite").text(topic)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val agg = spark.readStream.schema(schema).json(topic)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").getField("start").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .select(unix_micros($"bucket").as("bucket_us"), $"n", $"sum_value")
+    val qname = "graft_stream_tumbling"
+    spark.catalog.dropTempView(qname)
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname).orderBy($"bucket_us")
+  }
+
   /** q55 — KMV sketch distinct counts per group (constant state per group
     * vs exact distinct's full-value shuffle — the 100 TB cardinality
     * estimator). Engine-native hashing → rows-only check; accuracy bound
@@ -360,6 +394,7 @@ object RelationalQueries {
     "q54_tumbling_window" -> q54TumblingWindow,
     "q55_kmv_distinct" -> q55KmvDistinct,
     "q56_scd2_asof" -> q56Scd2AsOf,
+    "q58_stream_tumbling" -> q58StreamTumbling,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_region_revenue" -> q02RegionRevenue,
     "q03_top_orders" -> q03TopOrders,
@@ -391,6 +426,11 @@ object RelationalQueries {
         |FROM events e ASOF LEFT JOIN o
         |ON e.user_id = o.user_id AND o.ots <= e.ts""".stripMargin,
     "q54_tumbling_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_stream_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
         |COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
