@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions, VectorSum}
@@ -12,9 +12,14 @@ import graft.functions.{VectorFunctions, VectorSum}
   * random state), then k rounds of weighted-neighbor averaging with L2
   * normalization, combined with per-iteration weights (Chen et al., FastRP).
   *
-  * Each round is one shuffle: edges ⋈ vectors on src, scale by weight,
-  * partial-aggregated element-wise sum on dst. State is localCheckpoint'ed
-  * per round (lineage discipline for driver-looped jobs, SURVEY.md §4).
+  * Round cost: ONE edge-sized shuffle (edges ⋈ vectors on src, map-side
+  * partial VectorSum on dst) plus ONE node-sized join. The per-node degree
+  * and the β-weighted accumulator ride in the same state row as the current
+  * vector, so no second node-sized join per round; previous round state is
+  * unpersisted as soon as the next is materialized (bounded storage across a
+  * long multi-query session — the round-1 version leaked one cached
+  * node-sized DF per round and thrashed the storage pool by the time the
+  * driver bench reached q44).
   */
 object FastRP {
 
@@ -26,47 +31,52 @@ object FastRP {
     val sym = Projection.symmetrize(edges)
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
       .localCheckpoint()
-    val deg = sym.groupBy(col("src").as("node")).agg(sum("weight").as("k"))
 
     // sparse ±√3 seeded init: hash(node, j) mod 6 → {0:+√3, 1:−√3, 2..5: 0}
     val s = math.sqrt(3.0)
-    def initVec(node: org.apache.spark.sql.Column) =
+    def initVec(node: Column) =
       transform(sequence(lit(0), lit(dim - 1)), j => {
         val h = pmod(xxhash64(node, j), lit(6))
         when(h === 0, lit(s)).when(h === 1, lit(-s)).otherwise(lit(0.0))
       })
 
+    // state: (node, k, v, acc) — weighted degree, current embedding, and the
+    // β-weighted combination accumulator in one cached node-sized DF.
     // cache() rather than localCheckpoint(): keeps size statistics visible,
-    // so Catalyst broadcast-joins the (node-count-sized) vector table into
-    // the edge join when it actually fits, and shuffles when it doesn't —
-    // the right plan at every scale. Lineage depth is bounded by the
-    // (small, fixed) iteration count.
-    var vecs = deg.select(col("node"), initVec(col("node")).as("v")).cache()
-    var combined = deg.select(col("node"),
-      transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)).as("acc"))
+    // so Catalyst broadcast-joins the vector table into the edge join when
+    // it actually fits, and shuffles when it doesn't — the right plan at
+    // every scale. Lineage depth is bounded by per-round materialization.
+    var state = sym.groupBy(col("src").as("node")).agg(sum("weight").as("k"))
+      .select(col("node"), col("k"), initVec(col("node")).as("v"),
+        transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)).as("acc"))
+      .cache()
+    state.count()
 
     for (beta <- iterationWeights) {
       // v_next(u) = normalize( Σ_nbr (w/deg_u)·v(nbr) )
       val msgs = sym
-        .join(vecs.select(col("node").as("src"), col("v")), "src")
+        .join(state.select(col("node").as("src"), col("v")), "src")
         .select(col("dst").as("node"),
           transform(col("v"), x => x * col("weight")).as("wv"))
         .groupBy("node")
         .agg(VectorSum(col("wv")).as("sv"))
-      val next = msgs.join(deg, "node")
-        .select(col("node"),
-          VectorFunctions.l2normalize(transform(col("sv"), x => x / col("k"))).as("v"))
-      vecs = deg.select(col("node")).join(next, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("v"), initVec(col("node"))).as("v"))
+      val prev = state
+      val vNext = coalesce(
+        VectorFunctions.l2normalize(transform(col("sv"), x => x / col("k"))),
+        initVec(col("node")))
+      state = prev.join(msgs, Seq("node"), "left")
+        .select(col("node"), col("k"), vNext.as("v"),
+          (if (beta != 0.0)
+             zip_with(col("acc"), vNext, (a, x) => a + lit(beta) * x)
+           else col("acc")).as("acc"))
         .cache()
-      if (beta != 0.0) {
-        combined = combined.join(vecs, "node")
-          .select(col("node"),
-            zip_with(col("acc"), col("v"), (a, x) => a + lit(beta) * x).as("acc"))
-      }
+      state.count()
+      prev.unpersist(blocking = false)
     }
-    combined.select(col("node"),
+    val out = state.select(col("node"),
       VectorFunctions.l2normalize(col("acc")).as("embedding"))
+      .localCheckpoint()
+    state.unpersist(blocking = false)
+    out
   }
 }

@@ -49,6 +49,7 @@ object GraphAlgos {
     val sym = Projection.symmetrize(edges).select(col("src"), col("dst")).cache()
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).cache()
+    labels.count() // materialize → accurate size stats → broadcast when small
     for (_ <- 1 to maxSteps) {
       val counts = sym
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
@@ -63,8 +64,12 @@ object GraphAlgos {
       labels.count()
       prev.unpersist(blocking = false)
     }
+    // hand back a lineage-free node-sized result and release loop state:
+    // a long multi-query session must not accumulate one cached DF per call
+    val out = labels.localCheckpoint()
+    labels.unpersist(blocking = false)
     sym.unpersist(blocking = false)
-    labels
+    out
   }
 
   /** Connected components (free from GraphX; label = min vertex id). */

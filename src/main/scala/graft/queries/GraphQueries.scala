@@ -167,7 +167,7 @@ object GraphQueries {
          |  UNION ALL
          |  SELECT l2, 0, CASE WHEN l1 <> l2 THEN wt ELSE 0 END, 0 FROM le),
          |pc AS (SELECT label, sum(internal_w) AS internal_weight,
-         |    sum(cut_w) AS cut_weight, sum(internal_n) AS internal_edge_count
+         |    sum(cut_w) AS cut_weight, sum(internal_n)::BIGINT AS internal_edge_count
          |  FROM contrib GROUP BY label),
          |sz AS (SELECT label, count(*) AS size FROM lab GROUP BY label),
          |vol AS (SELECT lab.label, sum(degs.k) AS volume FROM lab

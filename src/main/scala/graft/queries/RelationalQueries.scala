@@ -511,11 +511,11 @@ object RelationalQueries {
         |  SELECT user_id, session_seq, COUNT(*) AS n_events FROM r GROUP BY user_id, session_seq
         |)
         |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
-        |  SUM(n_events) AS n_total
+        |  SUM(n_events)::BIGINT AS n_total
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q08_json_extract" ->
       """SELECT event_type,
-        |SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
         |COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
         |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k

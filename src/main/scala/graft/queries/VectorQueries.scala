@@ -51,15 +51,23 @@ object VectorQueries {
 
   /** q22 — per-label centroid of L2-normalized vectors (A4 — exactly the
     * reference's user-embedding aggregation: normalize each vector, mean,
-    * metrics_interface.py:70-77) via the VectorMean Aggregator. */
+    * metrics_interface.py:70-77) via the VectorMean Aggregator.
+    *
+    * Output is exploded to (label, pos, value, n) rows: the driver's oracle
+    * harness canonicalizes results by sorting every column and cannot sort
+    * an array column, so the comparable shape is the unpivoted one. The
+    * aggregation itself is unchanged — one partial-aggregated shuffle of
+    * (label → sum-vector) pairs; the posexplode is a per-row generator. */
   val q22Centroids: Q = (spark, dir) => {
     import spark.implicits._
     emb(spark, dir)
       .select($"label", l2normalize($"embedding").as("nv"))
       .groupBy($"label")
       .agg(VectorMean($"nv").as("raw_centroid"), count(lit(1)).as("n"))
-      .select($"label", roundArray($"raw_centroid", 4).as("centroid"), $"n")
-      .orderBy($"label")
+      .select($"label", $"n", posexplode($"raw_centroid"))
+      .select($"label", ($"pos" + 1).cast("long").as("pos"),
+        round($"col", 4).as("value"), $"n")
+      .orderBy($"label", $"pos")
   }
 
   /** q23 — per-label embedding variance: mean squared L2 distance to the
@@ -126,14 +134,15 @@ object VectorQueries {
         |FROM e, q WHERE vec_id <> 0
         |ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin,
     "q22_centroids" ->
-      """WITH n AS (SELECT label,
+      """WITH nv AS (SELECT label,
         |  list_transform(embedding::DOUBLE[], x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
         |  FROM embeddings),
-        |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM n),
-        |m AS (SELECT label, pos, avg(val) AS mv FROM u GROUP BY label, pos)
-        |SELECT label, list(round(mv, 4) ORDER BY pos) AS centroid,
-        |  (SELECT count(*) FROM embeddings e2 WHERE e2.label = m.label) AS n
-        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+        |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM nv),
+        |m AS (SELECT label, pos, avg(val) AS mv FROM u GROUP BY label, pos),
+        |cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+        |SELECT m.label, m.pos::BIGINT AS pos, round(m.mv, 4) AS value, cnt.n
+        |FROM m JOIN cnt ON m.label = cnt.label
+        |ORDER BY m.label, pos""".stripMargin,
     "q23_variance" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
         |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e),
