@@ -22,7 +22,7 @@ object Leiden {
   /** @param edges0 canonical (src, dst, weight)
     * @return (node, label) */
   def run(edges0: DataFrame, distRounds: Int = 2,
-      collectThreshold: Long = 2000000L): DataFrame = {
+      collectThreshold: Long = 2000000L, maxLevels: Int = 4): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
 
@@ -35,20 +35,26 @@ object Leiden {
     val ref = refineDistributed(phase, rounds = 2)
 
     // contract by the REFINED partition (Leiden's rule), then finish in
-    // memory on the super-graph
+    // memory on the super-graph; if the refined super-graph is still over
+    // the collect threshold, run further DISTRIBUTED Louvain-style
+    // coarsening levels first (graceful degradation — never abort)
     val contractedRef = phase.sym
       .join(ref.select(col("node").as("src"), col("ref").as("rsrc")), "src")
       .join(ref.select(col("node").as("dst"), col("ref").as("rdst")), "dst")
       .groupBy(col("rsrc"), col("rdst")).agg(sum("weight").as("weight"))
       .localCheckpoint()
-    val nEdges = contractedRef.count()
-    require(nEdges <= collectThreshold,
-      s"refined super-graph still has $nEdges directed edges; raise distRounds/collectThreshold")
+    val (mapping, contracted, nEdges) = Louvain.coarsenUntilFits(
+      ref.select(col("node"), col("ref").as("comm")), contractedRef,
+      phase.m2, distRounds, collectThreshold, maxLevels)
 
-    val finished = leidenInMemory(contractedRef.as[(Long, Long, Double)].collect(), phase.m2)
-    val labelDf = finished.toSeq.toDF("rl", "label")
-    ref.join(broadcast(labelDf), ref("ref") === labelDf("rl"))
-      .select(col("node"), labelDf("label"))
+    if (nEdges <= collectThreshold) {
+      val finished = leidenInMemory(contracted.as[(Long, Long, Double)].collect(), phase.m2)
+      val labelDf = finished.toSeq.toDF("rl", "label")
+      mapping.join(broadcast(labelDf), mapping("comm") === labelDf("rl"))
+        .select(col("node"), labelDf("label"))
+    } else {
+      mapping.select(col("node"), col("comm").as("label"))
+    }
   }
 
   /** Distributed Leiden refinement: within each coarse community, nodes

@@ -42,14 +42,24 @@ object Louvain {
   /** Distributed phase shared by Louvain and Leiden: local-move rounds on
     * the full graph, then contraction. */
   private[graph] def distributedPhase(edges0: DataFrame, distRounds: Int): Phase = {
-    val spark = edges0.sparkSession
-
-    var sym = Projection.symmetrize(edges0)
+    val sym = Projection.symmetrize(edges0)
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
       .localCheckpoint()
     val m2 = sym.agg(sum("weight")).first().getDouble(0) // 2m
+    distributedPhaseSym(sym, distRounds, m2)
+  }
+
+  /** Distributed local-move rounds over an ALREADY-SYMMETRIC edge set that
+    * may carry self-loops (a contracted super-graph: the (c,c) row holds 2×
+    * the internal weight, so plain degree sums stay correct). Self-loops are
+    * excluded from neighbor-community weights — a node's own internal weight
+    * must not bias its move gain. This is what lets coarsening recurse
+    * distributedly when a super-graph is still too big to collect. */
+  private[graph] def distributedPhaseSym(sym: DataFrame, distRounds: Int,
+      m2: Double): Phase = {
     val deg = sym.groupBy(col("src").as("node")).agg(sum("weight").as("k"))
       .localCheckpoint()
+    val symNoSelf = sym.filter(col("src") =!= col("dst"))
 
     // ---- phase 1: distributed local-move rounds on the full graph ----
     // comm is node-count-sized and cached (not checkpointed) so Catalyst
@@ -61,7 +71,7 @@ object Louvain {
     while (round < distRounds && moved > 0) {
       val commTot = comm.join(deg, "node")
         .groupBy(col("comm")).agg(sum(col("k")).as("tot"))
-      val nbrComm = sym
+      val nbrComm = symNoSelf
         .join(comm.select(col("node").as("dst"), col("comm").as("cnbr")), "dst")
         .groupBy(col("src").as("node"), col("cnbr"))
         .agg(sum("weight").as("w_uc"))
@@ -112,27 +122,63 @@ object Louvain {
     Phase(comm, sym, deg, contracted, m2)
   }
 
+  /** Additional distributed coarsening levels until the super-graph fits
+    * under `collectThreshold` directed edges (or until no level shrinks it
+    * further, or `maxLevels` spent). Composes the node→community mapping
+    * through every level. Returns (composed mapping, final contracted
+    * graph, its directed edge count). Never aborts: a super-graph that
+    * stays over threshold after convergence simply skips the in-memory
+    * finish — graceful quality degradation instead of a crashed job. */
+  private[graph] def coarsenUntilFits(mapping0: DataFrame,
+      contracted0: DataFrame, m2: Double, distRounds: Int,
+      collectThreshold: Long, maxLevels: Int): (DataFrame, DataFrame, Long) = {
+    var mapping = mapping0
+    var contracted = contracted0.toDF("csrc", "cdst", "weight")
+    var nEdges = contracted.count()
+    var level = 0
+    var progress = true
+    while (nEdges > collectThreshold && level < maxLevels && progress) {
+      val next = distributedPhaseSym(
+        contracted.select(col("csrc").as("src"), col("cdst").as("dst"), col("weight")),
+        distRounds, m2)
+      mapping = mapping
+        .join(next.comm.select(col("node").as("c0"), col("comm").as("cnext")),
+          mapping("comm") === col("c0"))
+        .select(mapping("node"), col("cnext").as("comm"))
+        .localCheckpoint()
+      next.comm.unpersist(blocking = false)
+      val newEdges = next.contracted.count()
+      progress = newEdges < nEdges
+      nEdges = newEdges
+      contracted = next.contracted
+      level += 1
+    }
+    (mapping, contracted, nEdges)
+  }
+
   /** @param edges0 canonical (src, dst, weight)
     * @return (node, label) */
   def run(edges0: DataFrame, distRounds: Int = 4,
-      collectThreshold: Long = 2000000L): DataFrame = {
+      collectThreshold: Long = 2000000L, maxLevels: Int = 4): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val Phase(comm, _, _, contracted, m2) = distributedPhase(edges0, distRounds)
+    val Phase(comm, _, _, contracted0, m2) = distributedPhase(edges0, distRounds)
+    val (mapping, contracted, nEdges) =
+      coarsenUntilFits(comm, contracted0, m2, distRounds, collectThreshold, maxLevels)
 
-    val nEdges = contracted.count()
-    require(nEdges <= collectThreshold,
-      s"super-graph still has $nEdges directed edges after $distRounds distributed " +
-        "rounds; raise distRounds or collectThreshold")
-
-    // ---- phase 2: classic sequential Louvain on the collected super-graph ----
-    val superEdges = contracted
-      .as[(Long, Long, Double)].collect()
-    val superLabel = localLouvain(superEdges, m2)
-    val labelDf = superLabel.toSeq.toDF("comm", "final_label")
-
-    comm.join(broadcast(labelDf), "comm")
-      .select(col("node"), col("final_label").as("label"))
+    if (nEdges <= collectThreshold) {
+      // ---- phase 2: classic sequential Louvain on the collected super-graph ----
+      val superEdges = contracted.as[(Long, Long, Double)].collect()
+      val superLabel = localLouvain(superEdges, m2)
+      val labelDf = superLabel.toSeq.toDF("comm", "final_label")
+      mapping.join(broadcast(labelDf), "comm")
+        .select(col("node"), col("final_label").as("label"))
+    } else {
+      // converged but still over threshold: the distributed labels ARE the
+      // answer at this point — further in-memory refinement is impossible
+      // without violating the memory bound, so degrade, don't die
+      mapping.select(col("node"), col("comm").as("label"))
+    }
   }
 
   /** Modularity optimization à la GDS (SURVEY.md G7; reference call at

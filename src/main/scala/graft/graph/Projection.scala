@@ -50,6 +50,14 @@ object Projection {
   /** Supplier co-engagement over lineitem (suppliers sharing an order) —
     * the testdata instantiation of the reference's user/post graph.
     *
+    * Uses the SALTED projection by default: identical output to
+    * [[coEngagement]] (BucketingSpec proves equality), but one viral post
+    * can never form a k² pair block on a single reducer — the skew
+    * protection is on by default rather than an opt-in variant, because at
+    * 100 TB the one unprotected hot key is the one that kills the job. The
+    * extra per-post count aggregation it costs is one cheap partial-agg
+    * pass over the engagement table.
+    *
     * Cached per (session, dir) — the reference's named GDS projection
     * (G8: `gds.graph.project` at community_detection.py:18-47) is exactly
     * a cached materialized graph reused by every algorithm; [[dropGraph]]
@@ -57,8 +65,8 @@ object Projection {
   def supplierGraph(spark: SparkSession, dir: String): DataFrame =
     projections.synchronized {
       projections.getOrElseUpdate((spark, dir), {
-        val g = coEngagement(Tables.load(spark, dir, "lineitem"), "l_suppkey", "l_orderkey")
-          .cache()
+        val g = coEngagementSalted(Tables.load(spark, dir, "lineitem"),
+          "l_suppkey", "l_orderkey").cache()
         g.count() // materialize once
         g
       })

@@ -85,11 +85,31 @@ object VectorQueries {
       .orderBy($"label")
   }
 
-  /** q24 — embedding-cosine near-duplicate pairs (LLM-pipeline dedup):
-    * all-pairs similarity ≥ 0.35 with canonical a<b orientation. Brute force
-    * is the exactness baseline; the LSH-bucketed variant (graft.dedup) is the
-    * 100 TB path. */
+  /** q24 — embedding-cosine near-duplicate pairs (LLM-pipeline dedup),
+    * REGISTERED AS THE SCALE PATH: documents are embedded with the
+    * deterministic hashed-feature expression (X4) and near-dups (cosine ≥
+    * 0.9 — true rewordings/copies) surface via signed-random-projection LSH
+    * banding — candidate generation is an equality join, shuffle ∝ data +
+    * collisions, NEVER all pairs. Engine-native hashing → rows-only driver
+    * check; DedupSpec proves exact equality against the brute-force twin on
+    * the testdata. The exact tier stays available (and oracled) as q39. */
   val q24NearDupPairs: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.TextExpressions.embed_text
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", embed_text($"text", 64).as("v"))
+    graft.dedup.Dedup.cosineNearDups(docs, "doc_id", "v", tau = 0.9)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** q39 — exact brute-force τ-join over the synthetic embeddings table:
+    * all-pairs similarity ≥ 0.35 with canonical a<b orientation. The
+    * exactness baseline for the dedup tier (DuckDB-oracled); at τ this low
+    * the pair set is a constant fraction of n² (the sf0.01 distribution
+    * maxes out at sim 0.51), so no sub-quadratic method exists and the
+    * brute tier IS the right tool — near-dup workloads at τ ≥ 0.9 take the
+    * q24 LSH path instead. */
+  val q39NearDupBrute: Q = (spark, dir) => {
     import spark.implicits._
     val e = emb(spark, dir).select($"vec_id", $"embedding")
     val n = e.select($"vec_id", l2normalize($"embedding").as("nv"))
@@ -113,7 +133,8 @@ object VectorQueries {
     "q22_centroids" -> q22Centroids,
     "q23_variance" -> q23Variance,
     "q24_neardup_pairs" -> q24NearDupPairs,
-    "q25_norms" -> q25Norms)
+    "q25_norms" -> q25Norms,
+    "q39_neardup_brute" -> q39NearDupBrute)
 
   private val cosExpr =
     "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
@@ -151,7 +172,7 @@ object VectorQueries {
         |SELECT e.label, round(avg(list_distance(e.v, c.centroid) ** 2), 4) AS variance,
         |  count(*) AS n
         |FROM e JOIN c ON e.label = c.label GROUP BY e.label ORDER BY e.label""".stripMargin,
-    "q24_neardup_pairs" ->
+    "q39_neardup_brute" ->
       """WITH n AS (SELECT vec_id,
         |  list_transform(embedding::DOUBLE[], x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
         |  FROM embeddings)

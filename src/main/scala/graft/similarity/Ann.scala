@@ -37,16 +37,22 @@ object Ann {
       lit(graft.functions.Hashing.mixed(s"$seed-$d").toDouble / Long.MaxValue.toDouble)
     }: _*)
 
+  /** Signed-random-projection signature: `bits` hyperplane sign bits packed
+    * into a long. Same `prefix` ⇒ same hyperplanes (deterministic across
+    * runs and call sites — [[lshTopK]] and Dedup.cosineNearDups share the
+    * machinery). */
+  def hyperplaneSig(v: Column, dim: Int, prefix: String, bits: Int): Column =
+    (0 until bits).map { b =>
+      when(VectorFunctions.dot(v, plane(s"$prefix-$b", dim)) >= 0.0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** LSH top-k: probe bucket-mates of the query across `tables` hyperplane
     * tables, verify exactly, keep best k. Approximate: recall grows with
     * `tables`, cost with bucket size (2^bits buckets/table). */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       qv: Column, k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
-    def sig(v: Column, t: Int, d: Int): Column =
-      (0 until bits).map { b =>
-        when(VectorFunctions.dot(v, plane(s"ann-$t-$b", d)) >= 0.0,
-          lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    def sig(v: Column, t: Int, d: Int): Column = hyperplaneSig(v, d, s"ann-$t", bits)
     val d = corpus.select(size(col(vecCol))).first().getInt(0)
     val sigs = (0 until tables).map(t => struct(lit(t).as("t"), sig(col(vecCol), t, d).as("s")))
     val bucketed = corpus.select(col(idCol), col(vecCol),

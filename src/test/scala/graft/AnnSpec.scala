@@ -50,9 +50,18 @@ class AnnSpec extends SparkSpec with Matchers {
       centroids, "id", "v", qcol, 10, nprobe = 3)
     fromIndex.collect().map(_.getLong(0)).toSeq shouldBe
       inMemory.collect().map(_.getLong(0)).toSeq
-    // the scan must prune partitions, not filter rows post-read
+    // the scan must prune partitions, not filter rows post-read: the
+    // PartitionFilters list must actually carry the cell predicate (an
+    // empty list would also print "PartitionFilters: [...]")
     val plan = fromIndex.queryExecution.executedPlan.toString
-    plan should include("PartitionFilters")
+    "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan) should not be empty
+  }
+
+  test("q26 runs through the persisted index with a partition-pruned scan") {
+    val q26 = graft.queries.PipelineQueries.q26AnnIvf(spark, "/root/testdata/sf0.001")
+    q26.collect().length shouldBe 10
+    val plan = q26.queryExecution.executedPlan.toString
+    "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan) should not be empty
   }
 
   test("LSH ANN returns verified-exact scores (subset of corpus, desc order)") {

@@ -46,4 +46,21 @@ class BucketingSpec extends SparkSpec with Matchers {
     salted shouldBe plain
     plain.nonEmpty shouldBe true
   }
+
+  test("salting bounds per-reducer fan-out on a planted hot post") {
+    val s = spark
+    import s.implicits._
+    val salts = 8
+    val n = 200
+    // the salt assignment used by coEngagementSalted for hot posts
+    val groups = (1 to n).map(_.toLong).toDF("user")
+      .select(pmod(xxhash64(col("user")), lit(salts)).as("salt"))
+      .groupBy("salt").count().collect()
+    groups.length shouldBe salts // every salt bucket populated
+    val maxGroup = groups.map(_.getLong(1)).max
+    // no (post, salt) block exceeds ~2× the ideal n/salts split, so the
+    // worst sub-join block is ≤ (2n/salts)² pairs instead of n² — the
+    // bound that keeps one viral post from pinning a single reducer
+    maxGroup should be <= (2L * n / salts)
+  }
 }

@@ -26,6 +26,23 @@ class DedupSpec extends SparkSpec with Matchers {
     //                    and the exact-verify stage removes false positives
   }
 
+  test("cosine-LSH near-dups equal brute force on hashed doc embeddings (q24 ground truth)") {
+    import graft.functions.TextExpressions.embed_text
+    // both test scales — sf0.01 is the driver's correctness SF
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val docs = Tables.load(spark, d, "documents")
+        .select(col("doc_id"), embed_text(col("text"), 64).as("v"))
+      val truth = Dedup.cosineNearDupsBrute(docs, "doc_id", "v", tau = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      truth should not be empty // planted rewordings embed nearly identically
+      val lsh = Dedup.cosineNearDups(docs, "doc_id", "v", tau = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      lsh shouldBe truth // banding recalls every ≥0.9 pair here (miss ≈ 2.6e-3
+      //                    per borderline pair, deterministic hyperplanes);
+      //                    the exact-verify stage removes all false positives
+    }
+  }
+
   test("exact dedup groups: one group per normalized text") {
     val s = spark
     import s.implicits._

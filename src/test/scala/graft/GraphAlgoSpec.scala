@@ -94,6 +94,24 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
     out(1L) should not be out(5L)
   }
 
+  test("Louvain/Leiden degrade gracefully when the super-graph exceeds the collect threshold") {
+    // threshold of 1 directed edge can never be met by this graph: the
+    // old code aborted with require(); now extra DISTRIBUTED coarsening
+    // levels run and, once converged, the distributed labels are returned
+    val louvain = Louvain.run(twoCliques, collectThreshold = 1L, maxLevels = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    louvain.keySet shouldBe (1L to 8L).toSet // total partition, no abort
+    Set(louvain(1L), louvain(2L), louvain(3L), louvain(4L)).size shouldBe 1
+    Set(louvain(5L), louvain(6L), louvain(7L), louvain(8L)).size shouldBe 1
+    louvain(1L) should not be louvain(5L)
+    val leiden = graft.graph.Leiden.run(twoCliques, distRounds = 2,
+      collectThreshold = 1L, maxLevels = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    leiden.keySet shouldBe (1L to 8L).toSet
+    Set(leiden(1L), leiden(2L), leiden(3L), leiden(4L)).size shouldBe 1
+    Set(leiden(5L), leiden(6L), leiden(7L), leiden(8L)).size shouldBe 1
+  }
+
   test("Louvain: partition is total and modularity beats singleton baseline") {
     val g = Projection.supplierGraph(spark, "/root/testdata/sf0.001")
     val nodes = g.select(col("src").as("node"))
