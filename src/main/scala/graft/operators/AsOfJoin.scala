@@ -31,28 +31,34 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the payload travels as ONE struct column: `last(ignoreNulls)` then
+    // carries the whole latest right ROW atomically — carrying each column
+    // independently would resurrect older rows' values wherever the latest
+    // right row holds a NULL (and could tear different columns across
+    // different right rows), diverging from as-of semantics
+    val payType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
     val unioned = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select((Seq(col(keyCol), col("__ts"), col("__side")) ++
-        leftCols.filterNot(_ == keyCol).map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+        leftCols.filterNot(_ == keyCol).map(col) :+
+        lit(null).cast(payType).as("__pay")): _*)
       .unionByName(right
         .withColumn("__ts", col(rightTs))
         .withColumn("__side", lit(0))
         .select((Seq(col(keyCol), col("__ts"), col("__side")) ++
           leftCols.filterNot(_ == keyCol)
-            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(col)): _*))
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(payload.map(col): _*).as("__pay")): _*))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((Seq(col(keyCol)) ++ leftCols.filterNot(_ == keyCol).map(col) ++
-        payload.map(col)): _*)
+        payload.map(c => col(s"__pay.$c").as(c))): _*)
   }
 
   /** Same semantics through the custom physical operator

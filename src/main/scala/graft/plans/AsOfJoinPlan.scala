@@ -58,6 +58,17 @@ case class AsOfJoinExec(
     rightTs: Expression,
     payload: Seq[Attribute]) extends BinaryExecNode {
 
+  // the merge reads both ts via getLong(0), which is only valid for
+  // long-backed types — an int-backed ts (IntegerType/DateType) would
+  // silently read garbage and join wrong rows. Fail fast instead.
+  for (ts <- Seq(leftTs, rightTs))
+    require(
+      ts.dataType == org.apache.spark.sql.types.LongType ||
+        ts.dataType == org.apache.spark.sql.types.TimestampType ||
+        ts.dataType == org.apache.spark.sql.types.TimestampNTZType,
+      s"AsOfJoinExec timestamp columns must be long-backed " +
+        s"(LONG/TIMESTAMP/TIMESTAMP_NTZ), got ${ts.dataType.sql}")
+
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
 

@@ -53,10 +53,17 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // only a genuinely missing table reads as empty; any OTHER read
+        // failure (FS hiccup, corrupt footer, concurrent writer) must
+        // rethrow so the micro-batch fails and retries — silently
+        // substituting empty would discard all previously upserted state
+        // on the next overwrite while the checkpoint marks the batch done
+        val tableDir = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
-          try spark.read.parquet(tablePath)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+          if (fs.exists(tableDir)) spark.read.parquet(tablePath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val merged = existing.withColumn("__p", lit(0))
           .unionByName(batch.dropDuplicates(keyCol).withColumn("__p", lit(1)))
           .withColumn("__rn", row_number().over(
@@ -92,42 +99,58 @@ object Streams {
 
   /** ST4 beyond dedup — custom keyed state via flatMapGroupsWithState:
     * event-time sessionization with a gap timeout. One session row is
-    * emitted when a user's gap exceeds `gapMs` (or the state times out),
-    * matching the batch q07 sessionization semantics on the stream side.
-    * State is one (start, end, count) triple per active user — bounded,
-    * watermark-evictable. */
-  def sessionizeStream(events: Dataset[SessionEvent], gapMs: Long = 1800000L)
-      : Dataset[SessionOut] = {
+    * emitted when a user's gap exceeds `gapMs`, OR when the event-time
+    * timeout fires (watermark passed session end + gap) — so the trailing
+    * session of a quiet user IS emitted and its state evicted, never held
+    * forever. State is one (start, end, count) triple per active user —
+    * bounded by construction, evicted by timeout. */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMs: Long = 1800000L,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = it.map(_.ts.getTime).toSeq.sorted
-          var out = List.empty[SessionOut]
-          var st = state.getOption
-          sorted.foreach { t =>
-            st match {
-              case Some(s) if t - s.end <= gapMs =>
-                st = Some(s.copy(end = t, n = s.n + 1))
-              case Some(s) =>
-                out ::= SessionOut(user, s.start * 1000, s.end * 1000, s.n)
-                st = Some(SessionState(t, t, 1))
-              case None =>
-                st = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the session can never grow again
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start * 1000, s.end * 1000, s.n))
+          } else {
+            val sorted = it.map(_.ts.getTime).toSeq.sorted
+            var out = List.empty[SessionOut]
+            var st = state.getOption
+            sorted.foreach { t =>
+              st match {
+                case Some(s) if t - s.end <= gapMs =>
+                  st = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  out ::= SessionOut(user, s.start * 1000, s.end * 1000, s.n)
+                  st = Some(SessionState(t, t, 1))
+                case None =>
+                  st = Some(SessionState(t, t, 1))
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              // timeout ts must stay ahead of the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.reverseIterator
           }
-          st.foreach(state.update)
-          out.reverseIterator
       }
   }
 
   /** SET3/ST4 — streaming dedup with watermarked state (the reference's
     * unbounded `seen_users` set, given a TTL so state can't grow forever —
-    * SURVEY.md §7 step 6). */
+    * SURVEY.md §7 step 6). KEYED dedup: duplicates of a key arriving at
+    * different timestamps are still duplicates (the reference's seen-set
+    * semantics); state for a key is dropped once the watermark passes it. */
   def dedupStream(stream: DataFrame, tsCol: String, keyCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     stream.withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 }

@@ -32,6 +32,33 @@ class AsOfJoinSpec extends SparkSpec with Matchers {
     out(4L) shouldBe None       // key absent on right
   }
 
+  test("as-of carries the whole latest right row atomically when its payload holds NULLs") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "k", ts("2024-01-01 12:00:00")))
+      .toDF("lid", "key", "lts")
+    val right = Seq(
+      ("k", ts("2024-01-01 10:00:00"), Some(100L), Some("old")),
+      ("k", ts("2024-01-01 11:00:00"), None, Some("new"))) // latest row: a IS NULL
+      .toDF("key", "rts", "a", "b")
+    val out = AsOfJoin.asOf(left, right, "key", "lts", "rts", Seq("a", "b")).collect()(0)
+    // row-atomic semantics: the latest right row wins wholesale — its NULL
+    // `a` must NOT be backfilled from the older row
+    Option(out.getAs[Any]("a")) shouldBe None
+    out.getAs[String]("b") shouldBe "new"
+  }
+
+  test("AsOfJoinExec rejects int-backed timestamp columns instead of reading garbage") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 1, 10)).toDF("lid", "key", "lts") // IntegerType ts
+    val right = Seq((1, 5, 100L)).toDF("key", "rts", "payload")
+    val ex = intercept[Exception] {
+      AsOfJoin.asOfPlanned(left, right, "key", "lts", "rts", Seq("payload")).collect()
+    }
+    ex.getMessage should include("long-backed")
+  }
+
   test("custom physical operator (AsOfJoinExec) matches the union+window formulation") {
     val s = spark
     import s.implicits._

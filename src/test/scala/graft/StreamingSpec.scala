@@ -152,7 +152,9 @@ class StreamingSpec extends SparkSpec with Matchers {
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType)))
     val stream = Streams.subscribe(spark, dir, schema)
-    val dedup = stream.withWatermark("ts", "1 hour").dropDuplicates("k")
+    // the helper itself: KEYED dedup — "a" at a LATER timestamp is still a
+    // duplicate of "a" (seen-set semantics), state TTL'd by the watermark
+    val dedup = Streams.dedupStream(stream, "ts", Seq("k"))
     val q = dedup.writeStream.format("memory").queryName("dedup_t")
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
