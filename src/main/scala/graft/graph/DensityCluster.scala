@@ -67,15 +67,17 @@ object DensityCluster {
       .select(col("id"), col("v"), col("b.t"), col("b.sig"))
       .localCheckpoint()
 
-    // 2. ε-edges from bucket-mates (verified exactly), deduped across tables
+    // 2. ε-edges from bucket-mates: similarity verified INSIDE the join
+    // projection so the cross-table dedup shuffles 16-byte id pairs, not
+    // kilobyte vector pairs (a whole cluster can share one bucket)
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("src", "dst")
-      .filter(VectorFunctions.dot(col("va"), col("vb")) >= eps)
+        VectorFunctions.dot(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") >= eps)
       .select(col("src"), col("dst"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint()
 
     // 3. core points: neighbor degree ≥ minPts

@@ -111,6 +111,17 @@ object GraphQueries {
   val q47ModularityOpt: Q = (spark, dir) =>
     Louvain.modularityOptimization(graph(spark, dir), rounds = 4)
 
+  /** q48 — TRUE HDBSCAN over embeddings (G2 proper: mutual-reachability
+    * core distances → distributed Borůvka MST → condensed-tree EOM
+    * extraction; q46's DBSCAN stays as the flat-ε tier). Engine-native →
+    * rows-only check + HdbscanSpec planted-density goldens. */
+  val q48Hdbscan: Q = (spark, dir) => {
+    val pts = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    graft.graph.Hdbscan.run(pts, minPts = 4, minClusterSize = 4, knnK = 12)
+  }
+
   /** q44 — FastRP node embeddings (G1): surface (node, dim, norm) — the
     * vectors themselves are checked by invariants in ScalaTest. */
   val q44FastRP: Q = (spark, dir) => {
@@ -131,7 +142,8 @@ object GraphQueries {
     "q44_fastrp" -> q44FastRP,
     "q45_leiden" -> q45Leiden,
     "q46_density" -> q46Density,
-    "q47_modularity_opt" -> q47ModularityOpt)
+    "q47_modularity_opt" -> q47ModularityOpt,
+    "q48_hdbscan" -> q48Hdbscan)
 
   private val edgeCte =
     """e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.graph.Hdbscan
+
+/** Golden/invariant specs for true HDBSCAN (SURVEY.md G2): planted-density
+  * fixtures with known cluster recovery + noise semantics, plus a
+  * hand-checked Borůvka MST. */
+class HdbscanSpec extends SparkSpec with Matchers {
+
+  /** Two tight 8-dim blobs (30 pts each) + 12 scattered far-apart noise
+    * points: the canonical planted-density fixture. Blob points sit on a
+    * radially-thinning shell pattern (unimodal density peak) so the
+    * mathematically right EOM answer is ONE cluster per blob — a uniform
+    * cube can legitimately split under Excess-of-Mass. */
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    def blob(center: Seq[Double], idBase: Long): Seq[(Long, Seq[Double])] =
+      (0 until 30).map { i =>
+        val dir = Seq.tabulate(8)(d =>
+          ((i * 2654435761L + d * 40503L + 7L) % 2000L) / 1000.0 - 1.0)
+        val norm = math.max(math.sqrt(dir.map(x => x * x).sum), 1e-9)
+        val r = 0.003 * i // density decreasing with radius: unimodal
+        (idBase + i, center.zip(dir).map { case (c, x) => c + x / norm * r })
+      }
+    val blobA = blob(Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), 0L)
+    val blobB = blob(Seq(0.0, 5.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), 100L)
+    val noise = (0 until 12).map { i =>
+      val v = Seq.tabulate(8)(d =>
+        if (d == (i % 8)) 20.0 + 7.0 * i else -10.0 - 3.0 * ((i * 13 + d) % 9))
+      ((1000 + i).toLong, v)
+    }
+    (blobA ++ blobB ++ noise).toDF("id", "v")
+  }
+
+  test("planted-density fixture: exactly 2 clusters recovered, scattered points are noise") {
+    val out = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5, knnK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.size shouldBe 72 // total labeling
+    val aLabels = (0L until 30L).map(out).toSet
+    val bLabels = (100L until 130L).map(out).toSet
+    aLabels.size shouldBe 1 // blob A intact
+    bLabels.size shouldBe 1 // blob B intact
+    aLabels.head should not be -1L
+    bLabels.head should not be -1L
+    aLabels.head should not be bLabels.head
+    (0 until 12).foreach { i => out(1000L + i) shouldBe -1L } // all noise
+  }
+
+  test("Borůvka MST matches the hand-computed MST on a weighted graph") {
+    val s = spark
+    import s.implicits._
+    // graph: 1-2 (1.0), 2-3 (2.0), 1-3 (3.0), 3-4 (1.5), 4-5 (4.0), 2-5 (5.0)
+    // MST: {1-2, 2-3, 3-4, 4-5} with total weight 8.5
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 3.0),
+      (3L, 4L, 1.5), (4L, 5L, 4.0), (2L, 5L, 5.0)).toDF("a", "b", "w")
+    val mst = Hdbscan.boruvkaMst(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    mst shouldBe Set((1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 4L, 1.5), (4L, 5L, 4.0))
+    // the fully-distributed merge path (pointer doubling) must agree
+    val mstDist = Hdbscan.boruvkaMst(edges, mergeCollect = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    mstDist shouldBe mst
+  }
+
+  test("Borůvka on a disconnected graph yields one spanning tree per component") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 3L, 2.0), // component {1,2,3}
+      (10L, 11L, 0.5)).toDF("a", "b", "w") // component {10,11}
+    val mst = Hdbscan.boruvkaMst(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    mst shouldBe Set((1L, 2L, 1.0), (2L, 3L, 2.0), (10L, 11L, 0.5))
+  }
+
+  test("LSH-candidate tier recovers the same planted clusters as the exact tier") {
+    val out = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5, knnK = 10,
+        bits = 4, tables = 8, bruteThreshold = 0L) // force the LSH path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 30L).map(out).toSet.size shouldBe 1
+    (100L until 130L).map(out).toSet.size shouldBe 1
+    out(0L) should not be -1L
+    out(100L) should not be -1L
+    out(0L) should not be out(100L)
+  }
+
+  test("over collect threshold: flat-cut degradation still separates the blobs, never aborts") {
+    val out = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5, knnK = 10,
+        collectThreshold = 0L) // force the degradation tier
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.size shouldBe 72
+    (0L until 30L).map(out).toSet.size shouldBe 1
+    (100L until 130L).map(out).toSet.size shouldBe 1
+    out(0L) should not be out(100L)
+  }
+
+  test("single tight blob with allow_single_cluster=False semantics → all noise") {
+    val s = spark
+    import s.implicits._
+    // unimodal radial blob: no split can yield two ≥mcs sides
+    val pts = (0 until 20).map { i =>
+      val dir = Seq.tabulate(4)(d =>
+        ((i * 2654435761L + d * 40503L + 3L) % 2000L) / 1000.0 - 1.0)
+      val norm = math.max(math.sqrt(dir.map(x => x * x).sum), 1e-9)
+      (i.toLong, dir.map(x => 1.0 + x / norm * 0.002 * i))
+    }.toDF("id", "v")
+    val out = Hdbscan.run(pts, minPts = 3, minClusterSize = 5, knnK = 8)
+      .collect().map(r => r.getLong(1)).toSet
+    out shouldBe Set(-1L) // root cluster never splits → no selected clusters
+  }
+}
