@@ -99,9 +99,96 @@ case class SqDist(left: Expression, right: Expression) extends VectorBinaryKerne
   override def prettyName: String = "vec_sqdist"
 }
 
+/** All `tables` signed-random-projection signatures of a vector in ONE
+  * primitive pass: sig[t] = Σ_b (v·plane(t,b) ≥ 0) << b, planes seeded
+  * deterministically from (prefix, t, b, d) and precomputed once per
+  * executor. Replaces the literal-array composition (tables × bits
+  * separate `dot(v, array(lit…))` expressions — 12k+ Catalyst nodes at
+  * 24 tables × 8 bits × 64 dims, which fell out of codegen and dominated
+  * the LSH queries' wall time). */
+case class HyperplaneSigs(child: Expression, dim: Int, prefix: String,
+    bits: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"expected float/double array, got $t")
+  }
+
+  @transient lazy val planes: Array[Array[Double]] =
+    Array.tabulate(tables * bits) { tb =>
+      val t = tb / bits; val b = tb % bits
+      Array.tabulate(dim) { d =>
+        Hashing.mixed(s"$prefix-$t-$b-$d").toDouble / Long.MaxValue.toDouble
+      }
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val n = math.min(v.numElements(), dim)
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val pl = planes(t * bits + b)
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          s += (if (isF) v.getFloat(d).toDouble else v.getDouble(d)) * pl(d)
+          d += 1
+        }
+        if (s >= 0.0) sig |= (1L << b)
+        b += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val isF = elemIsFloat
+    nullSafeCodeGen(ctx, ev, v => {
+      val sigs = ctx.freshName("sigs"); val n = ctx.freshName("n")
+      val t = ctx.freshName("t"); val b = ctx.freshName("b")
+      val pl = ctx.freshName("pl"); val s = ctx.freshName("s")
+      val d = ctx.freshName("d"); val sig = ctx.freshName("sig")
+      val get = if (isF) s"(double)$v.getFloat($d)" else s"$v.getDouble($d)"
+      s"""
+         |long[] $sigs = new long[$tables];
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    double[] $pl = $planesRef[$t * $bits + $b];
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) $s += $get * $pl[$d];
+         |    if ($s >= 0.0) $sig |= (1L << $b);
+         |  }
+         |  $sigs[$t] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_sigs"
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def vec_dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def vec_sqdist(a: Column, b: Column): Column = column(SqDist(expression(a), expression(b)))
+  def hyperplane_sigs(v: Column, dim: Int, prefix: String, bits: Int, tables: Int): Column =
+    column(HyperplaneSigs(expression(v), dim, prefix, bits, tables))
 }

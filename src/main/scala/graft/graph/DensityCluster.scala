@@ -50,21 +50,12 @@ object DensityCluster {
     // 1. random-hyperplane signatures: bit b of table t = sign(vc · h_{t,b}),
     // hyperplanes seeded deterministically from (t, b, dim index)
     val dim = points.select(size(col("v"))).first().getInt(0)
-    def hyperplane(t: Int, b: Int): Seq[Double] =
-      Seq.tabulate(dim) { d =>
-        val h = graft.functions.Hashing.mixed(s"dbscan-$t-$b-$d")
-        (h.toDouble / Long.MaxValue.toDouble) // deterministic in [-1, 1]
-      }
-    val sigCols = (0 until tables).map { t =>
-      val bitsExpr = (0 until bits).map { b =>
-        val plane = array(hyperplane(t, b).map(lit): _*)
-        when(VectorFunctions.dot(col("vc"), plane) >= 0.0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bitsExpr.as("sig"))
-    }
+    val allSigs = graft.functions.VectorExpressions
+      .hyperplane_sigs(col("vc"), dim, "dbscan", bits, tables)
     val bucketed = centered
-      .select(col("id"), col("v"), explode(array(sigCols: _*)).as("b"))
-      .select(col("id"), col("v"), col("b.t"), col("b.sig"))
+      .select(col("id"), col("v"), posexplode(allSigs).as(Seq("t", "sig")))
+      .repartition(col("t"), col("sig")) // don't inherit the scan's (often
+      //        single-file) partitioning into the bucket self-join
       .localCheckpoint()
 
     // 2. ε-edges from bucket-mates: similarity verified INSIDE the join

@@ -53,13 +53,14 @@ object FastRP {
     state.count()
 
     for (beta <- iterationWeights) {
-      // v_next(u) = normalize( Σ_nbr (w/deg_u)·v(nbr) )
+      // v_next(u) = normalize( Σ_nbr (w/deg_u)·v(nbr) ) — the scale is
+      // fused into the aggregation (VectorWeightedSum) so no per-edge
+      // scaled array is ever materialized or shuffled
       val msgs = sym
         .join(state.select(col("node").as("src"), col("v")), "src")
-        .select(col("dst").as("node"),
-          transform(col("v"), x => x * col("weight")).as("wv"))
+        .select(col("dst").as("node"), col("v"), col("weight"))
         .groupBy("node")
-        .agg(VectorSum(col("wv")).as("sv"))
+        .agg(graft.functions.VectorWeightedSum(col("v"), col("weight")).as("sv"))
       val prev = state
       val vNext = coalesce(
         VectorFunctions.l2normalize(transform(col("sv"), x => x / col("k"))),

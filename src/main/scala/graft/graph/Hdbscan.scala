@@ -137,12 +137,12 @@ object Hdbscan {
     val dim = points.select(size(col("v"))).first().getInt(0)
     val centered = points.withColumn("vc",
       zip_with(col("v"), meanCol, (x, m) => x - m))
-    val sigs = (0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        graft.similarity.Ann.hyperplaneSig(col("vc"), dim, s"hdbscan-$t", bits).as("s")))
+    val allSigs = graft.functions.VectorExpressions
+      .hyperplane_sigs(col("vc"), dim, "hdbscan", bits, tables)
     val bucketed = centered
-      .select(col("id"), col("v"), explode(array(sigs: _*)).as("b"))
-      .select(col("id"), col("v"), col("b.t"), col("b.s"))
+      .select(col("id"), col("v"), posexplode(allSigs).as(Seq("t", "s")))
+      .repartition(col("t"), col("s")) // don't inherit the scan's (often
+      //        single-file) partitioning into the bucket self-join
       .localCheckpoint()
     val w = Window.partitionBy(col("a")).orderBy(col("d").asc, col("b").asc)
     // distance computed INSIDE the bucket join projection: the dedup then

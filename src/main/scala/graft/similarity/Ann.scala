@@ -52,16 +52,15 @@ object Ann {
     * `tables`, cost with bucket size (2^bits buckets/table). */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       qv: Column, k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
-    def sig(v: Column, t: Int, d: Int): Column = hyperplaneSig(v, d, s"ann-$t", bits)
     val d = corpus.select(size(col(vecCol))).first().getInt(0)
-    val sigs = (0 until tables).map(t => struct(lit(t).as("t"), sig(col(vecCol), t, d).as("s")))
+    def sigs(v: Column): Column = graft.functions.VectorExpressions
+      .hyperplane_sigs(v, d, "ann", bits, tables)
     val bucketed = corpus.select(col(idCol), col(vecCol),
-      explode(array(sigs: _*)).as("b"))
-    val qsigs = (0 until tables).map(t => struct(lit(t).as("t"), sig(qv, t, d).as("s")))
+      posexplode(sigs(col(vecCol))).as(Seq("t", "s")))
     val qdf = corpus.sparkSession.range(1)
-      .select(explode(array(qsigs: _*)).as("qb"), qv.as("qv"))
+      .select(posexplode(sigs(qv)).as(Seq("qt", "qs")), qv.as("qv"))
     bucketed.join(broadcast(qdf),
-        col("b.t") === col("qb.t") && col("b.s") === col("qb.s"))
+        col("t") === col("qt") && col("s") === col("qs"))
       .dropDuplicates(idCol)
       .select(col(idCol),
         VectorFunctions.cosineUnguarded(col(vecCol), col("qv")).as("score"))
