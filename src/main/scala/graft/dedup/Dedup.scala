@@ -33,6 +33,19 @@ object Dedup {
       (col(idCol).as("doc_id") +: keep.map(col)) :+
         wordShingles(col(textCol), n).as("shingles"): _*)
 
+  /** Distinct word-shingle HASH sets — same sets as [[shingled]] but as
+    * 64-bit content hashes from the one-pass [[graft.functions
+    * .WordShingleHashes]] scan (the HOF string composition re-ran the
+    * tokenizing regex per shingle index — the dominant cost of the whole
+    * dedup tier). Jaccard over these hash sets equals Jaccard over the
+    * string sets (collisions negligible), and MinHash signatures computed
+    * from them are BIT-IDENTICAL (same per-element FNV-1a). */
+  def shingledHashes(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      keep: Seq[String] = Nil): DataFrame =
+    docs.select(
+      (col(idCol).as("doc_id") +: keep.map(col)) :+
+        word_shingle_hashes(col(textCol), n).as("shingles"): _*)
+
   /** MinHash-LSH candidate pairs: shingle → k-minhash signature → band
     * buckets → equality self-join per bucket. Pairs agreeing on ≥1 of
     * `bands` bands surface as candidates (recall tuned by bands×rows). */
@@ -43,6 +56,8 @@ object Dedup {
         lshBands(minhashSignature(col("shingles"), k), bands, rows).as("bh"))
       .select(col("doc_id"), explode(col("bh")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.h").as("h"))
+      .repartition(col("band"), col("h")) // spread buckets — don't inherit
+      //                                     a single-file scan's partitioning
       .localCheckpoint() // signatures are expensive; never recompute for the self-join
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
@@ -63,10 +78,13 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
-  /** Full MinHash near-dup pipeline: candidates → exact-verify → threshold. */
+  /** Full MinHash near-dup pipeline: candidates → exact-verify → threshold.
+    * Runs on shingle HASH sets end-to-end (one-pass shingling, long-array
+    * intersections in the verify); signatures and surviving pairs are
+    * identical to the string-shingle formulation. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = shingled(docs, idCol, textCol).cache()
+    val sh = shingledHashes(docs, idCol, textCol).cache()
     jaccardOfPairs(minhashCandidates(sh, k, bands), sh)
       .filter(col("jaccard") >= threshold)
   }

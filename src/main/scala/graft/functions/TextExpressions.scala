@@ -171,12 +171,22 @@ case class RollingHash(child: Expression)
   * odd multipliers — the standard one-strong-hash + k-cheap-mixes scheme).
   * O(|set|·k) multiply-adds per row vs k full string rehashes for the
   * HOF formulation — the difference between 117 s and ~2 s on the sf0.1
-  * dedup benchmark. */
+  * dedup benchmark.
+  *
+  * Accepts array<string> (elements FNV-hashed here) OR array<long>
+  * (elements ARE the content hashes, e.g. from [[WordShingleHashes]]) —
+  * identical signatures either way, since WordShingleHashes emits the same
+  * FNV-1a of the shingle bytes. */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+
+  private lazy val elemIsLong: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   private lazy val as: Array[Long] = Array.tabulate(k)(i =>
     Hashing.fnv1a64(s"minhash-a-$i") | 1L) // odd multiplier
@@ -189,7 +199,8 @@ case class MinHashSig(child: Expression, k: Int)
     val n = arr.numElements()
     var e = 0
     while (e < n) {
-      val h = Hashing.fnv1a64(arr.getUTF8String(e).getBytes)
+      val h = if (elemIsLong) arr.getLong(e)
+        else Hashing.fnv1a64(arr.getUTF8String(e).getBytes)
       var i = 0
       while (i < k) {
         val v = as(i) * h + bs(i)
@@ -204,6 +215,96 @@ case class MinHashSig(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
+}
+
+/** All DISTINCT n-word shingle hashes of a document in ONE pass: lowercase
+  * once, scan token boundaries once, stream FNV-1a over each shingle's
+  * bytes (tokens joined by a single space — byte-identical to the
+  * `concat_ws(" ", slice(tokens, i, n))` composition), sort + dedup.
+  *
+  * Replaces `array_distinct(transform(sequence(...), i => concat_ws(...
+  * slice(split(...), i, n))))`, whose `split` subtree sits INSIDE the
+  * higher-order-function lambda and is re-evaluated for every shingle
+  * index — O(words² · len) regex work per document (measured: the
+  * shingling stage, not the LSH join, was ~80% of q33/q36 wall time).
+  *
+  * Tokenization parity with `split(lower(trim(text)), "\\s+")`: trim
+  * strips ASCII spaces only; a leading/trailing non-space whitespace run
+  * yields one empty token (Java split with limit -1); empty text → one
+  * empty token. Downstream consumers take Jaccard SET sizes, so emitting
+  * hashes instead of strings changes nothing (64-bit collisions
+  * negligible at any realistic shingle cardinality). */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+    var st = 0
+    var en = bytes.length
+    while (st < en && bytes(st) == ' ') st += 1
+    while (en > st && bytes(en - 1) == ' ') en -= 1
+
+    // token spans (start inclusive, end exclusive), split-with-limit=-1 parity
+    var spanStart = new Array[Int](16); var spanEnd = new Array[Int](16)
+    var w = 0
+    def addSpan(s: Int, e: Int): Unit = {
+      if (w == spanStart.length) {
+        spanStart = java.util.Arrays.copyOf(spanStart, w * 2)
+        spanEnd = java.util.Arrays.copyOf(spanEnd, w * 2)
+      }
+      spanStart(w) = s; spanEnd(w) = e; w += 1
+    }
+    if (st == en) addSpan(st, st) // empty text → single empty token
+    else {
+      var i = st
+      if (isWs(bytes(i))) addSpan(i, i) // leading separator → leading ""
+      while (i < en) {
+        while (i < en && isWs(bytes(i))) i += 1
+        if (i < en) {
+          val s0 = i
+          while (i < en && !isWs(bytes(i))) i += 1
+          addSpan(s0, i)
+        } else addSpan(i, i) // trailing separator → trailing ""
+      }
+    }
+
+    val count = math.max(w - (n - 1), 1)
+    val hashes = new Array[Long](count)
+    var s = 0
+    while (s < count) {
+      val last = math.min(s + n, w)
+      var h = Hashing.FnvOffset
+      var j = s
+      while (j < last) {
+        if (j > s) { h ^= ' '.toLong; h *= Hashing.FnvPrime }
+        var b = spanStart(j)
+        val e = spanEnd(j)
+        while (b < e) { h ^= (bytes(b) & 0xffL); h *= Hashing.FnvPrime; b += 1 }
+        j += 1
+      }
+      hashes(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var out = 1
+    var i = 1
+    while (i < count) {
+      if (hashes(i) != hashes(i - 1)) { hashes(out) = hashes(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingle_hashes"
 }
 
 /** Hamming distance between two 64-bit fingerprints (companion to SimHash64). */
@@ -225,6 +326,8 @@ object TextExpressions {
 
   def embed_text(c: Column, dim: Int): Column = column(EmbedText(expression(c), dim))
   def minhash_sig(c: Column, k: Int): Column = column(MinHashSig(expression(c), k))
+  def word_shingle_hashes(c: Column, n: Int): Column =
+    column(WordShingleHashes(expression(c), n))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
   def hamming64(a: Column, b: Column): Column =

@@ -46,30 +46,26 @@ object GraphAlgos {
     * Map[label,count] messages — dense graphs propagate an order of
     * magnitude cheaper, and the same plan scales out. */
   def labelPropagationDF(edges: DataFrame, maxSteps: Int = 5): DataFrame = {
-    val sym = Projection.symmetrize(edges).select(col("src"), col("dst")).cache()
+    val sym = Projection.symmetrize(edges).select(col("src"), col("dst"))
+      .localCheckpoint() // edge set reused every superstep
     var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).cache()
-    labels.count() // materialize → accurate size stats → broadcast when small
-    for (_ <- 1 to maxSteps) {
+      .select(col("node"), col("node").as("label"))
+    for (step <- 1 to maxSteps) {
       val counts = sym
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src"), col("nl"))
         .agg(count(lit(1)).as("cnt"))
-      val best = counts
+      labels = counts
         .groupBy(col("src").as("node"))
         .agg(max(struct(col("cnt"), (lit(0L) - col("nl")).as("negl"))).as("b"))
         .select(col("node"), (lit(0L) - col("b.negl")).as("label"))
-      val prev = labels
-      labels = best.cache()
-      labels.count()
-      prev.unpersist(blocking = false)
+      // supersteps chain LAZILY into one DAG (AQE re-plans each shuffle
+      // stage from runtime stats); materialize every 3rd step only to
+      // bound lineage/codegen depth — per-step eager actions were 5
+      // scheduler round-trips of pure fixed overhead on a node-sized DF
+      if (step % 3 == 0 && step < maxSteps) labels = labels.localCheckpoint()
     }
-    // hand back a lineage-free node-sized result and release loop state:
-    // a long multi-query session must not accumulate one cached DF per call
-    val out = labels.localCheckpoint()
-    labels.unpersist(blocking = false)
-    sym.unpersist(blocking = false)
-    out
+    labels.localCheckpoint() // lineage-free node-sized result
   }
 
   /** Connected components (free from GraphX; label = min vertex id). */

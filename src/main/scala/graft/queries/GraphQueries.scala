@@ -122,6 +122,20 @@ object GraphQueries {
     graft.graph.Hdbscan.run(pts, minPts = 4, minClusterSize = 4, knnK = 12)
   }
 
+  /** q49 — the reference's EP2 pipeline COMPOSED end-to-end (fidelity to
+    * community_detection.py: fastrp_embedding → run_hdbscan): weighted
+    * co-engagement graph → 128-dim FastRP node embeddings → HDBSCAN in
+    * embedding space, surfaced as (id, label). The reference runs this
+    * exact chain through Neo4j GDS at 128 dims; engine-native hashing →
+    * rows-only driver check + GraphAlgoSpec composed-pipeline invariants
+    * (totality, determinism, clique separation on a planted fixture). */
+  val q49Ep2Pipeline: Q = (spark, dir) => {
+    val emb = FastRP.run(graph(spark, dir), dim = 128)
+    graft.graph.Hdbscan.run(
+      emb.select(col("node").as("id"), col("embedding").as("v")),
+      minPts = 4, minClusterSize = 4, knnK = 12)
+  }
+
   /** q44 — FastRP node embeddings (G1): surface (node, dim, norm) — the
     * vectors themselves are checked by invariants in ScalaTest. */
   val q44FastRP: Q = (spark, dir) => {
@@ -143,6 +157,7 @@ object GraphQueries {
     "q45_leiden" -> q45Leiden,
     "q46_density" -> q46Density,
     "q47_modularity_opt" -> q47ModularityOpt,
+    "q49_ep2_pipeline" -> q49Ep2Pipeline,
     "q48_hdbscan" -> q48Hdbscan)
 
   private val edgeCte =

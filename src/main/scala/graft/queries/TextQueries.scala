@@ -56,13 +56,16 @@ object TextQueries {
     * source, via inverted shingle index (equality join) — never all-pairs. */
   val q33NgramJaccard: Q = (spark, dir) => {
     import spark.implicits._
-    val sh = Dedup.shingled(docs(spark, dir), "doc_id", "text", 3, keep = Seq("source"))
-    // join on 8-byte shingle hashes, not 20-byte strings: same counts
-    // (64-bit collisions are negligible at this cardinality), ~60% less
-    // shuffle volume on the inverted-index self-join
+    // one-pass hashed shingling (WordShingleHashes); 8-byte join keys give
+    // the same counts as strings (64-bit collisions negligible) at ~60%
+    // less shuffle volume on the inverted-index self-join
+    val sh = Dedup.shingledHashes(docs(spark, dir), "doc_id", "text", 3,
+      keep = Seq("source"))
     val ex = sh.select($"doc_id", $"source", size($"shingles").as("n"),
-      explode($"shingles").as("s0"))
-      .select($"doc_id", $"source", $"n", xxhash64($"s0").as("s"))
+      explode($"shingles").as("s"))
+      .repartition($"s") // spread the inverted index over the cluster —
+      //   a checkpoint inheriting a single-file scan's partitioning would
+      //   run the whole self-join in one task
       .localCheckpoint() // shingling is the expensive part; never do it twice
     ex.as("a").join(ex.as("b"),
         $"a.s" === $"b.s" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")

@@ -190,4 +190,27 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
       math.sqrt(v.map(x => x * x).sum) shouldBe 1.0 +- 1e-9
     }
   }
+
+  test("q49 EP2 composed pipeline: FastRP embeddings -> HDBSCAN separates planted cliques") {
+    // two 8-cliques + weak bridge — the reference's fastrp_embedding →
+    // run_hdbscan chain (community_detection.py) must recover them
+    import spark.implicits._
+    val cA = for (i <- 0 until 8; j <- i + 1 until 8) yield (i.toLong, j.toLong, 1.0)
+    val cB = for (i <- 10 until 18; j <- i + 1 until 18) yield (i.toLong, j.toLong, 1.0)
+    val edges = (cA ++ cB :+ ((0L, 10L, 0.1))).toDF("src", "dst", "weight")
+    def pipeline() = graft.graph.Hdbscan.run(
+      FastRP.run(edges, dim = 32)
+        .select(col("node").as("id"), col("embedding").as("v")),
+      minPts = 3, minClusterSize = 3, knnK = 8)
+    val out = pipeline().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.size shouldBe 16 // total labeling
+    val labelsA = (0L until 8L).map(out).toSet
+    val labelsB = (10L until 18L).map(out).toSet
+    labelsA.size shouldBe 1 // each clique uniform...
+    labelsB.size shouldBe 1
+    labelsA should not equal labelsB // ...and separated
+    labelsA.head should not be -1L // neither is noise
+    labelsB.head should not be -1L
+    pipeline().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe out
+  }
 }

@@ -23,6 +23,50 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
     out(0).getSeq[Float](0) should not be out(2).getSeq[Float](0)
   }
 
+  test("word_shingle_hashes: set-equal to FNV of the HOF string-shingle composition") {
+    val s = spark
+    import s.implicits._
+    // edge cases: empty, whitespace-only, leading/trailing non-space ws,
+    // short docs (< n words), repeated shingles, multi-byte UTF-8, case
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "", "   ", "\tleading tab", "trailing newline\n", "a\t\nb",
+      "one", "one two", "one two three",
+      "dup dup dup dup dup dup",
+      "Ünïcödé ÉSZAKI szöveg próba Ünïcödé ÉSZAKI szöveg",
+      "MIXED Case TEXT mixed case text MIXED Case TEXT")
+    val df = texts.toDF("text")
+    val viaStrings = df.select(
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .collect()
+      .map(_.getSeq[String](0).map(graft.functions.Hashing.fnv1a64).toSet)
+    val viaOnePass = df.select(word_shingle_hashes(col("text"), 3).as("hs"))
+      .collect()
+      .map(_.getSeq[Long](0).toSet)
+    viaOnePass should contain theSameElementsInOrderAs viaStrings
+    // n=1 (unigram) path too
+    val uni = df.select(word_shingle_hashes(col("text"), 1)).collect()
+      .map(_.getSeq[Long](0).toSet)
+    val uniStr = df.select(
+        graft.functions.TextFunctions.wordShingles(col("text"), 1).as("sh"))
+      .collect().map(_.getSeq[String](0).map(graft.functions.Hashing.fnv1a64).toSet)
+    uni should contain theSameElementsInOrderAs uniStr
+  }
+
+  test("minhash_sig: identical signatures from string shingles and hashed shingles") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog and runs away fast")
+      .toDF("text")
+    val fromStrings = df.select(
+      minhash_sig(graft.functions.TextFunctions.wordShingles(col("text"), 3), 64))
+      .first().getSeq[Long](0)
+    val fromHashes = df.select(
+      minhash_sig(word_shingle_hashes(col("text"), 3), 64))
+      .first().getSeq[Long](0)
+    fromHashes shouldBe fromStrings
+  }
+
   test("simhash64: near-identical texts are close in Hamming space, unrelated far") {
     val s = spark
     import s.implicits._
