@@ -92,20 +92,26 @@ object Louvain {
         .groupBy(col("node"), col("comm"))
         .agg(max(struct(col("gain"), (lit(0L) - col("cnbr")).as("negc"))).as("b"))
         .select(col("node"), col("comm"), (lit(0L) - col("b.negc")).as("target"))
-      val moves = best
-        .filter(col("target") =!= col("comm"))
-        .filter(pmod(xxhash64(col("node")) + lit(round), lit(2)) === 0)
-        .select(col("node").as("mn"), col("target"))
-        .localCheckpoint() // single evaluation; reused by count + join
-      moved = moves.count()
+      // `own` gives every node a row, so `best` IS the full next state —
+      // fold the hash-parity damping in directly instead of building a
+      // moves table and left-joining it back. ONE eager action per round
+      // (the localCheckpoint), which also TRUNCATES the logical plan:
+      // `best` references comm four times, so chaining rounds without
+      // truncation grows the plan ~5× per round and Catalyst planning
+      // time, not execution, dominates (measured: 6 s → 102 s at
+      // sf0.1 when this checkpoint was briefly a cache() instead).
+      val nextState = best
+        .withColumn("mv", col("target") =!= col("comm") &&
+          pmod(xxhash64(col("node")) + lit(round), lit(2)) === 0)
+        .select(col("node"),
+          when(col("mv"), col("target")).otherwise(col("comm")).as("comm"),
+          col("mv"))
+        .localCheckpoint()
+      moved = nextState.filter(col("mv")).count() // partition-count sum on
+      //                                             the materialized RDD
+      val prev = comm
       if (moved > 0) {
-        val prev = comm
-        comm = comm.as("c")
-          .join(moves, col("c.node") === col("mn"), "left")
-          .select(col("c.node").as("node"),
-            coalesce(col("target"), col("c.comm")).as("comm"))
-          .cache()
-        comm.count() // materialize before dropping the parent from cache
+        comm = nextState.select(col("node"), col("comm"))
         prev.unpersist(blocking = false)
       }
       round += 1

@@ -89,7 +89,13 @@ object TextQueries {
     Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text", maxDist = 3)
 
   /** q36 — MinHash-LSH near-dups verified by exact Jaccard ≥ 0.5.
-    * Same ground truth as q33, found at shuffle cost O(buckets). */
+    * Same ground truth as q33, found at shuffle cost O(buckets).
+    * DuckDB-oracled against the EXACT global Jaccard pair set: the
+    * 16×4 banding recalls every ≥0.5 pair on the (deterministic) test
+    * corpus — verified Spark-side exact-vs-LSH at sf0.01 — and the
+    * exact-verify stage removes every false positive, so LSH output ≡
+    * the SQL-expressible truth here (same determinism contract as the
+    * q24/q33 oracles). */
   val q36MinhashLsh: Q = (spark, dir) =>
     Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text", threshold = 0.5)
 
@@ -156,6 +162,19 @@ object TextQueries {
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  count(*) AS c, max(a.n) AS na, max(b.n) AS nb
         |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, c::DOUBLE / (na + nb - c) AS jaccard
+        |FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.5""".stripMargin,
+    "q36_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM t),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS c, max(a.n) AS na, max(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, c::DOUBLE / (na + nb - c) AS jaccard
         |FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.5""".stripMargin,
