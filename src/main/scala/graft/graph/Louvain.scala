@@ -118,12 +118,16 @@ object Louvain {
     }
 
     // ---- contract to the super-graph ----
+    // LAZY checkpoint: Louvain's coarsening counts (and thereby
+    // materializes) it immediately, but Leiden contracts by the REFINED
+    // partition and modularity-optimization returns the labels as-is —
+    // for those callers an eager contraction is a wasted full-edge shuffle
     val contracted = sym
       .join(comm.select(col("node").as("src"), col("comm").as("csrc")), "src")
       .join(comm.select(col("node").as("dst"), col("comm").as("cdst")), "dst")
       .groupBy(col("csrc"), col("cdst"))
       .agg(sum("weight").as("weight"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     Phase(comm, sym, deg, contracted, m2)
   }
@@ -162,13 +166,37 @@ object Louvain {
     (mapping, contracted, nEdges)
   }
 
+  /** Symmetric deduped edge set + its directed edge count + 2m — the
+    * shared tier gate: a graph under `collectThreshold` directed edges
+    * (≤ ~50 MB of (long,long,double) rows) fits comfortably on one
+    * executor, so the exact sequential algorithm runs directly and the
+    * distributed machinery — whose per-round cost is fixed scheduler
+    * latency at that size — is reserved for graphs that actually need it.
+    * Identical tiering to the super-graph finish and to Hdbscan's
+    * collect-threshold; the distributed path stays spec-covered via the
+    * low-threshold graceful-degradation test. */
+  private[graph] def symWithStats(edges0: DataFrame): (DataFrame, Long, Double) = {
+    val sym = Projection.symmetrize(edges0)
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+      .localCheckpoint()
+    val nEdges = sym.count()
+    val m2 = sym.agg(sum("weight")).first().getDouble(0)
+    (sym, nEdges, m2)
+  }
+
   /** @param edges0 canonical (src, dst, weight)
     * @return (node, label) */
   def run(edges0: DataFrame, distRounds: Int = 4,
       collectThreshold: Long = 2000000L, maxLevels: Int = 4): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val Phase(comm, _, _, contracted0, m2) = distributedPhase(edges0, distRounds)
+    val (sym, nSymEdges, m2in) = symWithStats(edges0)
+    if (nSymEdges <= collectThreshold) {
+      // small-graph tier: exact sequential Louvain on the collected graph
+      val label = localLouvain(sym.as[(Long, Long, Double)].collect(), m2in)
+      return label.toSeq.toDF("node", "label")
+    }
+    val Phase(comm, _, _, contracted0, m2) = distributedPhaseSym(sym, distRounds, m2in)
     val (mapping, contracted, nEdges) =
       coarsenUntilFits(comm, contracted0, m2, distRounds, collectThreshold, maxLevels)
 
@@ -188,93 +216,29 @@ object Louvain {
   }
 
   /** Modularity optimization à la GDS (SURVEY.md G7; reference call at
-    * project/metrics/community_detection.py:78-83): parallel local moving
-    * WITHOUT coarsening — exactly the distributed phase, labels as-is. */
-  def modularityOptimization(edges0: DataFrame, rounds: Int = 8): DataFrame =
-    distributedPhase(edges0, rounds).comm
-      .select(col("node"), col("comm").as("label"))
-
-  /** Classic sequential Louvain (local moves + coarsening) over an
-    * in-memory symmetric weighted edge list. Deterministic: nodes visited
-    * in ascending id, ties to smallest community. Self-loops (csrc==cdst)
-    * carry intra-community weight from contraction. */
-  private[graph] def localLouvain(symEdges: Array[(Long, Long, Double)],
-      m2: Double): Map[Long, Long] = {
-    // current-level structures
-    var adj: Map[Long, Array[(Long, Double)]] =
-      symEdges.filter(e => e._1 != e._2).groupBy(_._1)
-        .map { case (u, es) => u -> es.map(e => (e._2, e._3)) }
-    var self: Map[Long, Double] =
-      symEdges.filter(e => e._1 == e._2).groupBy(_._1)
-        .map { case (u, es) => u -> es.map(_._3).sum / 2.0 } // sym carries 2x
-    var nodes: Array[Long] =
-      symEdges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
-    // original node -> label through all levels
-    val toLabel = mutable.Map[Long, Long](nodes.map(n => n -> n): _*)
-
-    var improvedLevel = true
-    var guard = 0
-    while (improvedLevel && guard < 20) {
-      guard += 1
-      val k = mutable.Map[Long, Double]()
-      nodes.foreach { u =>
-        k(u) = adj.getOrElse(u, Array.empty).map(_._2).sum + 2.0 * self.getOrElse(u, 0.0)
-      }
-      val commOf = mutable.Map[Long, Long](nodes.map(n => n -> n): _*)
-      val tot = mutable.Map[Long, Double](nodes.map(n => n -> k(n)): _*)
-
-      var improvedPass = true
-      var anyMove = false
-      var passes = 0
-      while (improvedPass && passes < 50) {
-        improvedPass = false
-        passes += 1
-        nodes.foreach { u =>
-          val cu = commOf(u)
-          val ku = k(u)
-          // weights to neighbor communities
-          val wTo = mutable.Map[Long, Double]().withDefaultValue(0.0)
-          adj.getOrElse(u, Array.empty).foreach { case (v, w) => wTo(commOf(v)) += w }
-          tot(cu) -= ku
-          var bestC = cu
-          var bestGain = wTo(cu) - ku * tot(cu) / m2
-          wTo.keys.foreach { c =>
-            if (c != cu) {
-              val g = wTo(c) - ku * tot(c) / m2
-              if (g > bestGain + 1e-12 || (math.abs(g - bestGain) <= 1e-12 && c < bestC)) {
-                bestGain = g; bestC = c
-              }
-            }
-          }
-          tot(bestC) += ku
-          if (bestC != cu) { commOf(u) = bestC; improvedPass = true; anyMove = true }
-        }
-      }
-
-      if (!anyMove) improvedLevel = false
-      else {
-        // re-map labels and coarsen
-        toLabel.keys.toArray.foreach { orig =>
-          toLabel(orig) = commOf(toLabel(orig))
-        }
-        val newSelf = mutable.Map[Long, Double]().withDefaultValue(0.0)
-        val newAdj = mutable.Map[(Long, Long), Double]().withDefaultValue(0.0)
-        nodes.foreach { u =>
-          val cu = commOf(u)
-          newSelf(cu) += self.getOrElse(u, 0.0)
-          adj.getOrElse(u, Array.empty).foreach { case (v, w) =>
-            val cv = commOf(v)
-            if (cu == cv) newSelf(cu) += w / 2.0 // sym: each intra edge seen twice
-            else newAdj((cu, cv)) += w
-          }
-        }
-        nodes = commOf.values.toArray.distinct.sorted
-        adj = newAdj.toSeq.groupBy(_._1._1)
-          .map { case (u, es) => u -> es.map { case ((_, v), w) => (v, w) }.toArray }
-        self = newSelf.toMap
-        if (nodes.length <= 1) improvedLevel = false
-      }
+    * project/metrics/community_detection.py:78-83): local moving WITHOUT
+    * coarsening. Small-graph tier runs the exact sequential move passes;
+    * above threshold it is exactly the distributed phase, labels as-is. */
+  def modularityOptimization(edges0: DataFrame, rounds: Int = 8,
+      collectThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val (sym, nSymEdges, m2) = symWithStats(edges0)
+    if (nSymEdges <= collectThreshold) {
+      SeqCommunity.localMoveOnly(sym.as[(Long, Long, Double)].collect(), m2)
+        .toSeq.toDF("node", "label")
+    } else {
+      distributedPhaseSym(sym, rounds, m2).comm
+        .select(col("node"), col("comm").as("label"))
     }
-    toLabel.toMap
   }
+
+  /** Classic sequential Louvain over an in-memory symmetric weighted edge
+    * list — delegates to the CSR core in [[SeqCommunity]]. Deterministic:
+    * nodes visited in ascending id, ties to the smallest representative.
+    * Self-loops (csrc==cdst) carry intra-community weight from
+    * contraction. */
+  private[graph] def localLouvain(symEdges: Array[(Long, Long, Double)],
+      m2: Double): Map[Long, Long] =
+    SeqCommunity.louvain(symEdges, m2)
 }
