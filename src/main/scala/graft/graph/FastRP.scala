@@ -27,10 +27,23 @@ object FastRP {
     * @param iterationWeights β_k per propagation round (round 1..k)
     * @return (node, embedding array<double> unit-norm) */
   def run(edges: DataFrame, dim: Int = 64,
-      iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0)): DataFrame = {
+      iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0),
+      collectThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val sym = Projection.symmetrize(edges)
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
       .localCheckpoint()
+
+    // Small-graph tier (same gate as Louvain/Leiden/Hdbscan): under the
+    // collect threshold the propagation rounds run sequentially over CSR
+    // arrays with the identical seeded-hash init and round math — the
+    // distributed rounds' edge joins are fixed scheduler cost at that size
+    val nSymEdges = sym.count()
+    if (nSymEdges <= collectThreshold) {
+      return runInMemory(sym.as[(Long, Long, Double)].collect(),
+        dim, iterationWeights).toSeq.toDF("node", "embedding")
+    }
 
     // sparse ±√3 seeded init: hash(node, j) mod 6 → {0:+√3, 1:−√3, 2..5: 0}
     val s = math.sqrt(3.0)
@@ -79,5 +92,70 @@ object FastRP {
       .localCheckpoint()
     state.unpersist(blocking = false)
     out
+  }
+
+  /** Sequential FastRP over CSR arrays — the same synchronous round
+    * semantics as the distributed path: same Spark xxhash64(node, j)
+    * seeded ±√3 init, v ← normalize(Σ w·v(nbr) / k), acc += β·v, final
+    * normalize (zero vectors stay zero, matching the zero-guarded
+    * l2normalize). */
+  private def runInMemory(symEdges: Array[(Long, Long, Double)], dim: Int,
+      iterationWeights: Seq[Double]): Seq[(Long, Array[Double])] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val csr = SeqCommunity.build(symEdges)
+    val n = csr.n
+    val ids = csr.ids
+    val k = csr.degrees
+    val s = math.sqrt(3.0)
+    def init(node: Long): Array[Double] = {
+      val out = new Array[Double](dim)
+      val h1 = XxHash64Function.hash(node, LongType, 42L)
+      var j = 0
+      while (j < dim) {
+        val h = XxHash64Function.hash(j, IntegerType, h1)
+        val m = ((h % 6) + 6) % 6
+        out(j) = if (m == 0) s else if (m == 1) -s else 0.0
+        j += 1
+      }
+      out
+    }
+    var v: Array[Array[Double]] = Array.tabulate(n)(i => init(ids(i)))
+    val acc = Array.ofDim[Double](n, dim)
+    iterationWeights.foreach { beta =>
+      val nv = Array.ofDim[Double](n, dim)
+      var u = 0
+      while (u < n) {
+        val row = nv(u)
+        var j = csr.off(u)
+        while (j < csr.off(u + 1)) {
+          val nb = v(csr.nbr(j))
+          val w0 = csr.w(j)
+          var d = 0
+          while (d < dim) { row(d) += w0 * nb(d); d += 1 }
+          j += 1
+        }
+        var norm = 0.0
+        var d = 0
+        while (d < dim) { row(d) /= k(u); norm += row(d) * row(d); d += 1 }
+        norm = math.sqrt(norm)
+        if (norm > 0.0) { d = 0; while (d < dim) { row(d) /= norm; d += 1 } }
+        if (beta != 0.0) {
+          val a = acc(u)
+          d = 0
+          while (d < dim) { a(d) += beta * row(d); d += 1 }
+        }
+        u += 1
+      }
+      v = nv
+    }
+    (0 until n).map { u =>
+      val a = acc(u)
+      var norm = 0.0
+      var d = 0
+      while (d < dim) { norm += a(d) * a(d); d += 1 }
+      norm = math.sqrt(norm)
+      ids(u) -> (if (norm > 0.0) a.map(_ / norm) else a)
+    }
   }
 }

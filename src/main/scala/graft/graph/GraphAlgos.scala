@@ -45,9 +45,20 @@ object GraphAlgos {
     * pairs with map-side combine instead of Pregel's per-vertex
     * Map[label,count] messages — dense graphs propagate an order of
     * magnitude cheaper, and the same plan scales out. */
-  def labelPropagationDF(edges: DataFrame, maxSteps: Int = 5): DataFrame = {
+  def labelPropagationDF(edges: DataFrame, maxSteps: Int = 5,
+      collectThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val sym = Projection.symmetrize(edges).select(col("src"), col("dst"))
       .localCheckpoint() // edge set reused every superstep
+    // Small-graph tier (same gate as the Louvain family): the synchronous
+    // update is deterministic integer arithmetic, so the sequential run
+    // returns bit-identical labels to the DataFrame supersteps
+    if (sym.count() <= collectThreshold) {
+      val csr = SeqCommunity.build(sym.select(col("src"), col("dst"),
+        lit(1.0).as("weight")).as[(Long, Long, Double)].collect())
+      return lpaInMemory(csr, maxSteps).toSeq.toDF("node", "label")
+    }
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (step <- 1 to maxSteps) {
@@ -68,10 +79,75 @@ object GraphAlgos {
     labels.localCheckpoint() // lineage-free node-sized result
   }
 
-  /** Connected components (free from GraphX; label = min vertex id). */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  /** Synchronous LPA over CSR arrays — the small-graph twin of the
+    * DataFrame supersteps (same most-frequent-neighbor update, same
+    * smallest-label tie-break, same fixed step count → identical labels). */
+  private def lpaInMemory(csr: SeqCommunity.Csr, maxSteps: Int): Seq[(Long, Long)] = {
+    val n = csr.n
+    var lab = Array.tabulate(n)(identity)
+    val cnt = new Array[Int](n)
+    val touched = new Array[Int](n)
+    var step = 0
+    while (step < maxSteps) {
+      val next = new Array[Int](n)
+      var u = 0
+      while (u < n) {
+        var nt = 0
+        var j = csr.off(u)
+        while (j < csr.off(u + 1)) {
+          val l = lab(csr.nbr(j))
+          if (cnt(l) == 0) { touched(nt) = l; nt += 1 }
+          cnt(l) += 1
+          j += 1
+        }
+        var bestC = Int.MaxValue
+        var bestN = 0
+        var t = 0
+        while (t < nt) {
+          val l = touched(t)
+          if (cnt(l) > bestN || (cnt(l) == bestN && l < bestC)) {
+            bestN = cnt(l); bestC = l
+          }
+          t += 1
+        }
+        next(u) = if (bestN > 0) bestC else lab(u) // isolated node keeps its label
+        t = 0
+        while (t < nt) { cnt(touched(t)) = 0; t += 1 }
+        u += 1
+      }
+      lab = next
+      step += 1
+    }
+    (0 until n).map(i => csr.ids(i) -> csr.ids(lab(i)))
+  }
+
+  /** Connected components (label = min vertex id). Small-graph tier:
+    * min-root union-find on the collected edge list — identical labels to
+    * the GraphX formulation; above the threshold, GraphX's pointer-jumping
+    * Pregel. */
+  def connectedComponents(edges: DataFrame,
+      collectThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val pairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    if (pairs.count() <= collectThreshold) {
+      val es = pairs.as[(Long, Long)].collect()
+      val root = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (root.getOrElse(r, r) != r) r = root(r)
+        var c = x
+        while (root.getOrElse(c, c) != r) { val nx = root(c); root(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return es.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n0 => (n0, find(n0))).toSeq.toDF("node", "label")
+    }
     CCLib.run(toGraph(edges)).vertices.toDF("node", "label")
   }
 }

@@ -51,14 +51,22 @@ object Hdbscan {
     // this makes the small-n tier EXACT HDBSCAN (the MST and hierarchy are
     // the true ones; a kNN-only candidate set loses the inter-cluster
     // bridge edges, which inverts where sparse points fall out of the
-    // hierarchy). Above it, kNN-truncated LSH candidates — the standard
-    // approximate tier whose deviations are confined to exactly those
-    // bridge orderings.
-    val und = (if (n <= bruteThreshold) bruteCandidates(points)
-               else knnLsh(points, knnK, bits, tables)
-                 .select(least(col("a"), col("b")).as("a"),
-                   greatest(col("a"), col("b")).as("b"), col("d"))
-                 .groupBy("a", "b").agg(min(col("d")).as("d")))
+    // hierarchy). The whole exact tier runs IN MEMORY (n ≤ 2000 → ≤ 2M
+    // pairs): pairwise distances, core distances, mutual reachability and
+    // Kruskal are one collect of n vectors plus ~n²·dim flops — the
+    // DataFrame formulation of the same O(n²) work was pure scheduler and
+    // shuffle overhead at this size. Above the threshold, kNN-truncated
+    // LSH candidates — the standard approximate tier whose deviations are
+    // confined to inter-cluster bridge orderings.
+    if (n <= bruteThreshold) {
+      val pts = points.select(col("id"), col("v"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      return exactInMemory(pts, minPts, minClusterSize).toSeq.toDF("id", "label")
+    }
+    val und = knnLsh(points, knnK, bits, tables)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("d"))
+      .groupBy("a", "b").agg(min(col("d")).as("d"))
       .localCheckpoint()
 
     // core distance = d of the minPts-th nearest incident candidate; a
@@ -78,11 +86,38 @@ object Hdbscan {
       .select(col("a"), col("b"),
         greatest(col("d"), coalesce(col("ca"), inf), coalesce(col("cb"), inf)).as("w"))
 
+    // MST tiering (same collect-threshold discipline as Louvain/Leiden):
+    // when the CANDIDATE edge set itself fits in memory, sequential Kruskal
+    // under the same lexicographic (w, a, b) total order produces the
+    // identical unique MST in one collect — the distributed Borůvka rounds
+    // (several eager jobs each, O(log n) of them) are reserved for edge
+    // sets that genuinely exceed one executor.
+    val nCand = und.count()
+    val labels =
+      if (nCand <= collectThreshold) {
+        val edges = kruskalMst(mre.select(col("a"), col("b"), col("w"))
+          .as[(Long, Long, Double)].collect())
+        val ids = points.select(col("id")).as[Long].collect()
+        extractLabels(edges, ids, minClusterSize).toSeq.toDF("id", "label")
+      } else {
+        runDistributedMst(points, mre, minClusterSize, collectThreshold)
+      }
+
+    points.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), lit(-1L)).as("label"))
+  }
+
+  /** Distributed Borůvka MST + hierarchy extraction — the at-scale path of
+    * [[run]] once the candidate edge set no longer fits in memory. */
+  private def runDistributedMst(points: DataFrame, mre: DataFrame,
+      minClusterSize: Int, collectThreshold: Long): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
     val mst = boruvkaMst(mre).localCheckpoint()
     val mstSize = mst.count()
 
-    val labels =
-      if (mstSize <= collectThreshold) {
+    if (mstSize <= collectThreshold) {
         val edges = mst.select(col("a"), col("b"), col("w"))
           .as[(Long, Long, Double)].collect()
         val ids = points.select(col("id")).as[Long].collect()
@@ -111,20 +146,107 @@ object Hdbscan {
           .select(col("node").as("id"),
             when(col("sz") >= minClusterSize, col("label")).otherwise(lit(-1L)).as("label"))
       }
-
-    points.select(col("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("label"), lit(-1L)).as("label"))
   }
 
-  /** Complete candidate graph (a, b, d) with a < b: O(n²) pairs — the
-    * exact under-threshold tier. */
-  private[graft] def bruteCandidates(points: DataFrame): DataFrame = {
-    val a = points.select(col("id").as("a"), col("v").as("va"))
-    val b = points.select(col("id").as("b"), col("v").as("vb"))
-    a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"),
-        sqrt(VectorFunctions.l2distSq(col("va"), col("vb"))).as("d"))
+  /** Sequential Kruskal under the lexicographic (w, a, b) edge order —
+    * the same strict total order [[boruvkaMst]] breaks ties with, so both
+    * produce the identical unique MST. */
+  private[graft] def kruskalMst(
+      edges: Array[(Long, Long, Double)]): Array[(Long, Long, Double)] = {
+    val root = new mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (root.getOrElse(r, r) != r) r = root(r)
+      var c = x
+      while (root.getOrElse(c, c) != r) { val nx = root(c); root(c) = r; c = nx }
+      r
+    }
+    val out = mutable.ArrayBuffer[(Long, Long, Double)]()
+    edges.sortBy(e => (e._3, e._1, e._2)).foreach { e =>
+      val ra = find(e._1); val rb = find(e._2)
+      if (ra != rb) {
+        root(math.max(ra, rb)) = math.min(ra, rb)
+        out += e
+      }
+    }
+    out.toArray
+  }
+
+  /** Exact in-memory HDBSCAN for the small-n tier: complete pairwise
+    * distances, core distance = minPts-th smallest neighbor distance,
+    * mutual reachability folded in place, Kruskal MST under the (w, a, b)
+    * total order, condensed-tree labels — identical semantics (and, via
+    * the shared strict edge order, the identical MST) to the distributed
+    * formulation. `pts` must be sorted by id. */
+  private[graft] def exactInMemory(pts: Array[(Long, Array[Double])],
+      minPts: Int, minClusterSize: Int): Map[Long, Long] = {
+    val n = pts.length
+    if (n == 0) return Map.empty
+    val ids = pts.map(_._1)
+    val vs = pts.map(_._2)
+    val m = n * (n - 1) / 2
+    val w = new Array[Double](m) // pair distances, then mreach in place
+    val ai = new Array[Int](m)
+    val bi = new Array[Int](m)
+    val perNode = Array.ofDim[Double](n, n - 1)
+    val cnt = new Array[Int](n)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      val vi = vs(i)
+      var j = i + 1
+      while (j < n) {
+        val vj = vs(j)
+        var s = 0.0
+        var d0 = 0
+        while (d0 < vi.length) { val t = vi(d0) - vj(d0); s += t * t; d0 += 1 }
+        val d = math.sqrt(s)
+        w(p) = d; ai(p) = i; bi(p) = j
+        perNode(i)(cnt(i)) = d; cnt(i) += 1
+        perNode(j)(cnt(j)) = d; cnt(j) += 1
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    val core = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      if (n - 1 >= minPts) {
+        java.util.Arrays.sort(perNode(i))
+        core(i) = perNode(i)(minPts - 1)
+      } else core(i) = 1e30 // isolated region → condenses out as noise
+      i += 1
+    }
+    p = 0
+    while (p < m) {
+      val c = math.max(core(ai(p)), core(bi(p)))
+      if (c > w(p)) w(p) = c
+      p += 1
+    }
+    // stable sort by w keeps the (a, b)-ascending enumeration order for
+    // ties — exactly the lexicographic (w, a, b) order Borůvka uses
+    val order = Array.range(0, m).sortBy(w)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val mstEdges = mutable.ArrayBuffer[(Long, Long, Double)]()
+    var o = 0
+    while (o < m && mstEdges.length < n - 1) {
+      val e = order(o)
+      val ra = find(ai(e)); val rb = find(bi(e))
+      if (ra != rb) {
+        parent(math.max(ra, rb)) = math.min(ra, rb)
+        mstEdges += ((ids(ai(e)), ids(bi(e)), w(e)))
+      }
+      o += 1
+    }
+    extractLabels(mstEdges.toArray, ids, minClusterSize)
   }
 
   /** Approximate kNN edges from centered-hyperplane LSH bucket mates

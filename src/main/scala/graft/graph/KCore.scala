@@ -25,7 +25,25 @@ object KCore {
     *                common case pays small (cap+1)-int messages; degenerate
     *                graphs stay correct at the price of a rerun.
     * @return (node, core) DataFrame */
-  def run(edges: DataFrame, maxIter: Int = 64, capCore: Int = 256): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 64, capCore: Int = 256,
+      collectThreshold: Long = 2000000L): DataFrame = {
+    // Small-graph tier (same gate as the Louvain family): exact
+    // Batagelj–Zaveršnik peeling on the collected graph. Coreness is
+    // unique, so this returns bit-identical cores to the h-index fixpoint
+    // — peeling is inherently sequential, which is exactly why it is the
+    // right algorithm below the threshold and the wrong one above it.
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = Projection.symmetrize(
+      edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+      .localCheckpoint()
+    if (sym.count() <= collectThreshold) {
+      val csr = SeqCommunity.build(sym.as[(Long, Long, Double)].collect())
+      val core = peel(csr)
+      return (0 until csr.n).map(i => (csr.ids(i), core(i)))
+        .toDF("node", "core")
+    }
     val out = runWithCap(edges, maxIter, capCore)
     val maxCore = out.agg(org.apache.spark.sql.functions.max(col("core")))
       .first().getInt(0)
@@ -82,6 +100,44 @@ object KCore {
       iter += 1
     }
     est.select(col("node"), col("est").as("core"))
+  }
+
+  /** Batagelj–Zaveršnik bucket peeling over CSR arrays: O(E), exact. */
+  private[graph] def peel(csr: SeqCommunity.Csr): Array[Int] = {
+    val n = csr.n
+    if (n == 0) return Array.empty
+    val core = Array.tabulate(n)(u => csr.off(u + 1) - csr.off(u))
+    val maxDeg = core.max
+    val bin = new Array[Int](maxDeg + 2)
+    core.foreach(d => bin(d) += 1)
+    var start = 0
+    var d = 0
+    while (d <= maxDeg) { val c = bin(d); bin(d) = start; start += c; d += 1 }
+    val vert = new Array[Int](n)
+    val pos = new Array[Int](n)
+    var v = 0
+    while (v < n) { pos(v) = bin(core(v)); vert(pos(v)) = v; bin(core(v)) += 1; v += 1 }
+    d = maxDeg
+    while (d >= 1) { bin(d) = bin(d - 1); d -= 1 }
+    bin(0) = 0
+    var i = 0
+    while (i < n) {
+      val u = vert(i)
+      var j = csr.off(u)
+      while (j < csr.off(u + 1)) {
+        val w0 = csr.nbr(j)
+        if (core(w0) > core(u)) { // lower w0's bucket by one, swap to front
+          val dw = core(w0); val pw = pos(w0)
+          val pt = bin(dw); val t = vert(pt)
+          if (t != w0) { vert(pt) = w0; vert(pw) = t; pos(w0) = pt; pos(t) = pw }
+          bin(dw) += 1
+          core(w0) -= 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    core
   }
 
   private def runWithCap(edges: DataFrame, maxIter: Int, capCore: Int): DataFrame = {
