@@ -82,12 +82,17 @@ object PipelineQueries {
       .orderBy(col("kind"))
   }
 
-  /** q51 — video frame sampling: 1 payload row → N typed frame rows. */
+  /** q51 — video frame sampling: 1 payload row → N typed frame rows. The
+    * output surface decodes the sliced bytes back to text (the payloads
+    * are UTF-8 stand-ins) so the byte-exact slicing is DuckDB-oracled; the
+    * operator itself (binary substring + 1→N explode) runs on BinaryType. */
   val q51FrameSample: Q = (spark, dir) => {
     val media = Multimodal.fromDocuments(Tables.load(spark, dir, "documents"))
       .filter(col("kind") === "video")
     Multimodal.sampleFrames(media, frames = 4)
-      .select(col("media_id"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("n_frame_bytes"),
+        decode(col("frame_bytes"), "UTF-8").as("frame_text"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -96,5 +101,36 @@ object PipelineQueries {
     "q50_multimodal_features" -> q50MultimodalFeatures,
     "q51_frame_sample" -> q51FrameSample)
 
-  val oracles: Map[String, String] = Map.empty
+  /** q50/q51 are deterministic byte arithmetic over ASCII stand-in
+    * payloads (octet_length == length across the testdata), so the byte
+    * histogram and frame slicing are expressible as DuckDB string math —
+    * the stub-decode plumbing gets a full hash oracle, not a rows-only
+    * check. floor() is explicit where Spark's double→int cast truncates
+    * (DuckDB's rounds). */
+  val oracles: Map[String, String] = Map(
+    "q50_multimodal_features" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  text, length(text) AS n_bytes FROM documents),
+        |u AS (SELECT doc_id, kind, n_bytes,
+        |  unnest(list_transform(range(1, n_bytes + 1),
+        |    i -> ord(substring(text, i::INT, 1)) // 16)) AS bin FROM m),
+        |h AS (SELECT doc_id, kind, n_bytes, bin, count(*) AS c
+        |  FROM u GROUP BY ALL),
+        |nrm AS (SELECT doc_id, kind, n_bytes,
+        |  sqrt(sum((c::DOUBLE / greatest(n_bytes, 1)) ^ 2)) AS fnorm
+        |  FROM h GROUP BY doc_id, kind, n_bytes)
+        |SELECT kind, count(*) AS n, round(avg(n_bytes), 2) AS avg_bytes,
+        |  round(avg(fnorm), 4) AS avg_feat_norm
+        |FROM nrm GROUP BY kind ORDER BY kind""".stripMargin,
+    "q51_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, unnest(range(0, 4)) AS frame_idx, text, n FROM v),
+        |s AS (SELECT media_id, frame_idx,
+        |  substring(text, cast(floor(frame_idx * n / 4) AS INT) + 1,
+        |    cast(floor(n / 4) AS INT)) AS frame_text FROM f)
+        |SELECT media_id, frame_idx, length(frame_text)::BIGINT AS n_frame_bytes,
+        |  frame_text FROM s""".stripMargin)
 }
