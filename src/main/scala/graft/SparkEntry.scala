@@ -29,12 +29,14 @@ object SparkEntry {
       VectorQueries.defs ++
       TextQueries.defs ++
       GraphQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++
+      IngestQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       VectorQueries.oracles ++
       TextQueries.oracles ++
       GraphQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      IngestQueries.oracles
 }

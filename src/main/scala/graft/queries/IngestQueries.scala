@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schemas.Tables
+import graft.streaming.Streams
+
+/** q59 — the reference's EP1 ingest pillar composed END-TO-END as one
+  * registered query (project/main.py:24-49: producer → Kafka topics →
+  * consumer fan-out into graph + vector stores):
+  *
+  *   file topic (tagged union) ─ routeUserStream ─┬─ cleanProfiles → users
+  *                                                └─ edge keying   → edges
+  *   file topic (posts)        ─ embedPosts (filter/id/embed) ─────→ vectors
+  *
+  * all through [[Streams.upsertSink]] (idempotent keyed MERGE, AvailableNow
+  * ≙ drain). The query then REPLAYS both topics from scratch on a fresh
+  * checkpoint and asserts the converged state is unchanged — ST2's
+  * idempotence contract enforced inside the query path, every run. The
+  * final-state summary (entity, n, k) is DuckDB-oracled: every clean /
+  * filter / dedup rule is replicated in SQL over the same source tables.
+  */
+object IngestQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val unionSchema = StructType(Seq(
+    StructField("did", StringType),
+    StructField("handle", StringType),
+    StructField("display_name", StringType),
+    StructField("description", StringType),
+    StructField("type", StringType),
+    StructField("user_did", StringType),
+    StructField("uri", StringType)))
+
+  private val postSchema = StructType(Seq(
+    StructField("uri", StringType),
+    StructField("cid", StringType),
+    StructField("text", StringType)))
+
+  private def rm(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** One full drain of both topics into the three state tables. The users
+    * topic feeds ONE stream whose micro-batch fans out into both the users
+    * and edges merges (ST5 multi-table fan-out from a single consumer,
+    * exactly the reference consumer's per-message dual MERGE). */
+  private def drain(spark: SparkSession, usersTopic: String, postsTopic: String,
+      base: String, checkpointBase: String): Unit = {
+    Streams.subscribe(spark, usersTopic, unionSchema).writeStream
+      .option("checkpointLocation", s"$checkpointBase/users")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (profiles, likes) = Streams.routeUserStream(batch)
+        Streams.mergeUpsert(Streams.cleanProfiles(profiles), s"$base/users", "did")
+        Streams.mergeUpsert(
+          likes.select(concat_ws("|", col("user_did"), col("uri")).as("edge_id"),
+            col("user_did"), col("uri")),
+          s"$base/edges", "edge_id")
+      }
+      .start().awaitTermination()
+    val vectors = Streams.embedPosts(
+      Streams.subscribe(spark, postsTopic, postSchema))
+    Streams.upsertSink(vectors, s"$base/vectors", "id",
+      s"$checkpointBase/vectors").start().awaitTermination()
+  }
+
+  /** (entity, n, k) state summary: users(k = cleaned-to-"unknown" handles),
+    * edges(k = distinct engaging users), vectors(k = distinct uris). */
+  private def summary(spark: SparkSession, base: String): Array[(String, Long, Long)] = {
+    val users = spark.read.parquet(s"$base/users")
+    val edges = spark.read.parquet(s"$base/edges")
+    val vectors = spark.read.parquet(s"$base/vectors")
+    Array(
+      ("users", users.count(),
+        users.filter(col("handle") === "unknown").count()),
+      ("edges", edges.count(),
+        edges.select(col("user_did")).distinct().count()),
+      ("vectors", vectors.count(),
+        vectors.select(col("uri")).distinct().count()))
+  }
+
+  val q59Ep1Ingest: Q = (spark, dir) => {
+    import spark.implicits._
+    val sf = new java.io.File(dir).getName
+    val usersTopic = s"/tmp/graft_stream/$sf/ep1_users"
+    val postsTopic = s"/tmp/graft_stream/$sf/ep1_posts"
+    val base = s"/tmp/graft_ep1/$sf/state"
+    val ckpt = s"/tmp/graft_ep1/$sf/ckpt"
+
+    // ---- produce the topics (deterministic stand-in for the crawler):
+    // profile records and LIKED events share ONE topic, discriminated by
+    // `type` (consumer_user.py:79-82); some handles/display names are
+    // deterministically blanked to exercise the clean coalesce, some posts
+    // blanked to exercise the required-field filter ----
+    val profiles = Tables.load(spark, dir, "customer").select(
+      concat(lit("did_"), $"c_custkey").as("did"),
+      when(pmod($"c_custkey", lit(7)) === 0, lit("  ")).otherwise($"c_name").as("handle"),
+      when(pmod($"c_custkey", lit(5)) === 0, lit(null).cast("string"))
+        .otherwise($"c_mktsegment").as("display_name"),
+      concat(lit("segment "), $"c_mktsegment").as("description"),
+      lit(null).cast("string").as("type"),
+      lit(null).cast("string").as("user_did"),
+      lit(null).cast("string").as("uri"))
+    val likes = Tables.load(spark, dir, "orders").select(
+      lit(null).cast("string").as("did"),
+      lit(null).cast("string").as("handle"),
+      lit(null).cast("string").as("display_name"),
+      lit(null).cast("string").as("description"),
+      lit("LIKED").as("type"),
+      concat(lit("did_"), $"o_custkey").as("user_did"),
+      concat(lit("post_"), pmod($"o_orderkey", lit(997))).as("uri"))
+    profiles.unionByName(likes)
+      .select(to_json(struct(unionSchema.fieldNames.map(col): _*)).as("value"))
+      .coalesce(4).write.mode("overwrite").text(usersTopic)
+    Tables.load(spark, dir, "documents").select(
+      concat(lit("at://doc/"), $"doc_id").as("uri"),
+      concat(lit("cid"), $"doc_id").as("cid"),
+      when(pmod($"doc_id", lit(13)) === 0, lit(" ")).otherwise($"text").as("text"))
+      .select(to_json(struct($"uri", $"cid", $"text")).as("value"))
+      .coalesce(4).write.mode("overwrite").text(postsTopic)
+
+    // ---- drain, snapshot, REPLAY from scratch, assert convergence ----
+    Seq(base, s"$ckpt/a", s"$ckpt/b").foreach(rm(spark, _))
+    drain(spark, usersTopic, postsTopic, base, s"$ckpt/a")
+    val first = summary(spark, base)
+    drain(spark, usersTopic, postsTopic, base, s"$ckpt/b")
+    val second = summary(spark, base)
+    require(first.sameElements(second),
+      s"EP1 replay diverged: ${first.toSeq} vs ${second.toSeq}")
+
+    second.toSeq.toDF("entity", "n", "k").orderBy($"entity")
+  }
+
+  val defs: Map[String, Q] = Map("q59_ep1_ingest" -> q59Ep1Ingest)
+
+  val oracles: Map[String, String] = Map(
+    "q59_ep1_ingest" ->
+      """WITH u AS (SELECT 'did_' || c_custkey AS did,
+        |  CASE WHEN c_custkey % 7 = 0 THEN '  ' ELSE c_name END AS handle0
+        |  FROM customer),
+        |uc AS (SELECT did,
+        |  CASE WHEN trim(handle0) = '' THEN 'unknown' ELSE trim(handle0) END AS handle
+        |  FROM u),
+        |e AS (SELECT DISTINCT 'did_' || o_custkey AS user_did,
+        |  'post_' || (o_orderkey % 997) AS uri FROM orders),
+        |v AS (SELECT DISTINCT 'at://doc/' || doc_id AS uri FROM documents
+        |  WHERE doc_id % 13 <> 0 AND trim(text) <> '')
+        |SELECT * FROM (
+        |  SELECT 'users' AS entity, count(*) AS n,
+        |    count(*) FILTER (WHERE handle = 'unknown') AS k FROM uc
+        |  UNION ALL
+        |  SELECT 'edges', count(*), count(DISTINCT user_did) FROM e
+        |  UNION ALL
+        |  SELECT 'vectors', count(*), count(DISTINCT uri) FROM v
+        |) ORDER BY entity""".stripMargin)
+}

@@ -43,6 +43,38 @@ object Streams {
       coalesce(nullif(trim(col("handle")), lit("")), lit("unknown")).as("handle"),
       coalesce(nullif(trim(col("display_name")), lit("")), lit("unknown")).as("display_name"))
 
+  /** The MERGE step of [[upsertSink]], batch-callable (and composable: one
+    * foreachBatch can merge several derived tables from a single topic —
+    * the EP1 fan-out): union existing state with the batch, keep the
+    * latest record per key, swap the new state in with a directory rename
+    * (one write per merge; the earlier write-tmp → read-tmp → rewrite
+    * cycle doubled every micro-batch's IO). */
+  def mergeUpsert(batch: DataFrame, tablePath: String, keyCol: String): Unit = {
+    val spark = batch.sparkSession
+    // only a genuinely missing table reads as empty; any OTHER read
+    // failure (FS hiccup, corrupt footer, concurrent writer) must
+    // rethrow so the micro-batch fails and retries — silently
+    // substituting empty would discard all previously upserted state
+    // on the next overwrite while the checkpoint marks the batch done
+    val tableDir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(tableDir)) spark.read.parquet(tablePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val merged = existing.withColumn("__p", lit(0))
+      .unionByName(batch.dropDuplicates(keyCol).withColumn("__p", lit(1)))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col("__p").desc)))
+      .filter(col("__rn") === 1).drop("__rn", "__p")
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + "__tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(tableDir, true)
+    fs.rename(tmp, tableDir)
+    ()
+  }
+
   /** S5/ST2 — idempotent keyed upsert sink: each micro-batch merges into a
     * parquet "table" keeping the latest record per key (MERGE semantics via
     * union + keep-last dedup; replays converge to the same state). */
@@ -52,29 +84,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // only a genuinely missing table reads as empty; any OTHER read
-        // failure (FS hiccup, corrupt footer, concurrent writer) must
-        // rethrow so the micro-batch fails and retries — silently
-        // substituting empty would discard all previously upserted state
-        // on the next overwrite while the checkpoint marks the batch done
-        val tableDir = new org.apache.hadoop.fs.Path(tablePath)
-        val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(tableDir)) spark.read.parquet(tablePath)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-        val merged = existing.withColumn("__p", lit(0))
-          .unionByName(batch.dropDuplicates(keyCol).withColumn("__p", lit(1)))
-          .withColumn("__rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col(keyCol)).orderBy(col("__p").desc)))
-          .filter(col("__rn") === 1).drop("__rn", "__p")
-        val tmp = tablePath + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val out = spark.read.parquet(tmp)
-        out.write.mode("overwrite").parquet(tablePath)
-        ()
+        mergeUpsert(batch, tablePath, keyCol)
       }
 
   /** S6/F2/X4/X5 — the vector-ingest transform of the reference's Qdrant
