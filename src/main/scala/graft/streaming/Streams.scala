@@ -20,10 +20,49 @@ import graft.schemas.Entities
   */
 object Streams {
 
-  /** ST1/S2 — subscribe to a JSON "topic" directory with a declared schema
-    * (no inference in production paths, SURVEY.md §1.4). */
-  def subscribe(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).json(dir)
+  /** ST1/S2 — subscribe to a topic with a declared schema (no inference in
+    * production paths, SURVEY.md §1.4). File-backed JSON directory by
+    * default; pass `broker` (bootstrap-servers) to consume the same topic
+    * from Kafka through the spark-sql-kafka connector — the record value
+    * is the same JSON payload, decoded with the same declared schema, and
+    * `startingOffsets` carries S3's offset-reset semantics
+    * (earliest ≙ the reference's auto_offset_reset, consumer_user.py:25-32).
+    * The broker branch is CONFIG-ONLY in this build: the zero-egress
+    * container ships neither a broker nor the Kafka connector jar, so the
+    * path is shipped but unexercised here — a user with a cluster flips
+    * one argument. */
+  def subscribe(spark: SparkSession, topic: String, schema: StructType,
+      broker: Option[String] = None,
+      startingOffsets: String = "earliest"): DataFrame =
+    broker match {
+      case Some(servers) =>
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", servers)
+          .option("subscribe", topic)
+          .option("startingOffsets", startingOffsets)
+          .load()
+          .select(from_json(col("value").cast("string"), schema).as("r"))
+          .select(col("r.*"))
+      case None => spark.readStream.schema(schema).json(topic)
+    }
+
+  /** S1 — produce a stream to a topic as JSON records: file-backed text
+    * directory by default; with `broker`, the identical payload goes to a
+    * Kafka topic (`value` = the JSON). Same config-only caveat as
+    * [[subscribe]]'s broker branch. */
+  def publishSink(stream: DataFrame, topic: String, checkpoint: String,
+      broker: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val payload = stream
+      .select(to_json(struct(stream.columns.map(col): _*)).as("value"))
+    val w = broker match {
+      case Some(servers) => payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+      case None => payload.writeStream.format("text").option("path", topic)
+    }
+    w.option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
 
   /** F5 — tagged-union routing: one topic carries profile records and LIKED
     * events discriminated by `type` (consumer_user.py:79-82). */

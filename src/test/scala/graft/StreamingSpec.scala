@@ -48,6 +48,21 @@ class StreamingSpec extends SparkSpec with Matchers {
     spark.sql("SELECT * FROM likes_t").count() shouldBe 2
   }
 
+  test("publishSink file path: produced JSON round-trips through subscribe (S1)") {
+    val src = writeTopic(userTopic)
+    val out = Files.createTempDirectory("topic_out").toFile.getAbsolutePath + "/t"
+    val ckpt = Files.createTempDirectory("ckpt_pub").toFile.getAbsolutePath
+    val stream = Streams.subscribe(spark, src, Entities.userStreamSchema)
+    Streams.publishSink(stream, out, ckpt).start().awaitTermination()
+    val rt = Streams.subscribe(spark, out, Entities.userStreamSchema)
+    val q = rt.writeStream.format("memory").queryName("pub_rt").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT did, handle, user_did, uri, type FROM pub_rt").collect()
+    rows.length shouldBe userTopic.length
+    rows.count(_.getString(4) == "LIKED") shouldBe 2
+    rows.map(_.getString(0)).count(_ != null) shouldBe 3
+  }
+
   test("idempotent keyed upsert: replaying the topic leaves state unchanged (ST2)") {
     val dir = writeTopic(userTopic)
     val table = Files.createTempDirectory("vertex").toFile.getAbsolutePath + "/users"
