@@ -271,11 +271,24 @@ object Hdbscan {
     // shuffles 24-byte (a, b, d) rows, not kilobyte vector pairs — with
     // clustered data one bucket can hold a whole cluster, and carrying
     // vectors through that dedup was a multi-GB shuffle
+    val wBucket = Window.partitionBy(col("t"), col("s"), col("a"))
+      .orderBy(col("d").asc, col("b").asc)
     bucketed.as("x").join(bucketed.as("y"),
         col("x.t") === col("y.t") && col("x.s") === col("y.s") &&
           col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
+      .select(col("x.t").as("t"), col("x.s").as("s"),
+        col("x.id").as("a"), col("y.id").as("b"),
         sqrt(VectorFunctions.l2distSq(col("x.v"), col("y.v"))).as("d"))
+      // LOSSLESS per-(node, bucket) top-k BEFORE the global dedup: a
+      // neighbor ranked > k inside any one bucket already has ≥ k closer
+      // distinct neighbors there, so it cannot make the global top-k.
+      // The rows are already hash-distributed by (t, s), which satisfies
+      // the (t, s, a) clustering — this truncation is a partition-local
+      // sort, no shuffle — and the dedup then moves ≤ tables·k rows per
+      // node instead of every bucket-collision pair
+      .withColumn("rb", row_number().over(wBucket))
+      .filter(col("rb") <= k)
+      .drop("rb", "t", "s")
       .dropDuplicates("a", "b")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -63,23 +63,22 @@ object Projection {
     * a cached materialized graph reused by every algorithm; [[dropGraph]]
     * is the drop-if-exists twin (`:19-20`). */
   def supplierGraph(spark: SparkSession, dir: String): DataFrame =
-    projections.synchronized {
-      projections.getOrElseUpdate((spark, dir), {
-        val g = coEngagementSalted(Tables.load(spark, dir, "lineitem"),
-          "l_suppkey", "l_orderkey").cache()
-        g.count() // materialize once
-        g
-      })
-    }
+    projections.getOrElseUpdate((spark, dir), {
+      val g = coEngagementSalted(Tables.load(spark, dir, "lineitem"),
+        "l_suppkey", "l_orderkey").cache()
+      g.count() // materialize once
+      g
+    })
 
+  /** LRU-bounded (round-2 audit: the unbounded map held cached DataFrames
+    * for the life of the session). */
   private val projections =
-    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+    new graft.util.BoundedSessionCache[(SparkSession, String), DataFrame](
+      maxEntries = 8, _.unpersist(blocking = false))
 
   /** Invalidate a cached projection (the reference's drop-and-rebuild). */
   def dropGraph(spark: SparkSession, dir: String): Unit =
-    projections.synchronized {
-      projections.remove((spark, dir)).foreach(_.unpersist(blocking = false))
-    }
+    projections.remove((spark, dir))
 
   /** Co-engagement with SALTED hot-post handling: posts whose engagement
     * count exceeds `hotThreshold` get their self-join decomposed into

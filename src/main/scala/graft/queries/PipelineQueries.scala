@@ -23,22 +23,23 @@ object PipelineQueries {
   /** One persisted IVF index per (session, sf-dir), built lazily and
     * reused — the index build is the amortized cost, queries only pay the
     * pruned scan (the reference's Qdrant collection is exactly this shape:
-    * built once by the consumer, queried many times). */
+    * built once by the consumer, queried many times). LRU-bounded: an
+    * evicted entry unpersists its centroids (the parquet index on disk is
+    * simply overwritten by any rebuild). */
   private val ivfIndexes =
-    scala.collection.mutable.Map[(SparkSession, String), (String, DataFrame)]()
+    new graft.util.BoundedSessionCache[(SparkSession, String), (String, DataFrame)](
+      maxEntries = 8, { case (_, c) => c.unpersist(blocking = false) })
 
   private def ivfIndex(spark: SparkSession, dir: String): (String, DataFrame) =
-    ivfIndexes.synchronized {
-      ivfIndexes.getOrElseUpdate((spark, dir), {
-        val pts = unitEmb(spark, dir)
-        val centroids = Ann.kmeansCentroids(pts, "id", "v", nlist = 16, iters = 2)
-          .cache()
-        centroids.count()
-        val path = "/tmp/graft-ivf-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-        Ann.writeIvfIndex(pts, "id", "v", centroids, path)
-        (path, centroids)
-      })
-    }
+    ivfIndexes.getOrElseUpdate((spark, dir), {
+      val pts = unitEmb(spark, dir)
+      val centroids = Ann.kmeansCentroids(pts, "id", "v", nlist = 16, iters = 2)
+        .cache()
+      centroids.count()
+      val path = "/tmp/graft-ivf-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Ann.writeIvfIndex(pts, "id", "v", centroids, path)
+      (path, centroids)
+    })
 
   /** q26 — IVF ANN top-10 for vec 0 THROUGH THE PERSISTED INDEX: the
     * corpus is written `partitionBy(cell)` once, and the query scan reads

@@ -63,4 +63,29 @@ class BucketingSpec extends SparkSpec with Matchers {
     // bound that keeps one viral post from pinning a single reducer
     maxGroup should be <= (2L * n / salts)
   }
+
+  test("dropGraph unpersists the cached projection and a rebuild works (G8 lifecycle)") {
+    val dir = "/root/testdata/sf0.001"
+    val g = graft.graph.Projection.supplierGraph(spark, dir)
+    g.storageLevel.useMemory shouldBe true
+    graft.graph.Projection.dropGraph(spark, dir)
+    g.storageLevel.useMemory shouldBe false // released, not leaked
+    graft.graph.Projection.supplierGraph(spark, dir).count() should be > 0L
+    graft.graph.Projection.dropGraph(spark, dir)
+  }
+
+  test("BoundedSessionCache evicts least-recently-used and releases it") {
+    val released = scala.collection.mutable.ArrayBuffer[Int]()
+    val c = new graft.util.BoundedSessionCache[String, Int](2, released += _)
+    c.getOrElseUpdate("a", 1); c.getOrElseUpdate("b", 2)
+    c.getOrElseUpdate("a", -1) shouldBe 1 // hit refreshes recency, no build
+    c.getOrElseUpdate("c", 3) // bound exceeded -> evict LRU = b
+    released.toSeq shouldBe Seq(2)
+    c.size shouldBe 2
+    c.getOrElseUpdate("b", 4) shouldBe 4 // b was evicted, rebuilds
+    released.toSeq shouldBe Seq(2, 1) // and now a (LRU) went
+    c.remove("c")
+    released.toSeq shouldBe Seq(2, 1, 3)
+    c.size shouldBe 1
+  }
 }
