@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+/** Decodes one media payload into a fixed-width feature vector — the seam
+  * between the Spark plumbing (schema, batching, partition shape, which
+  * never changes) and the modality codec (which does). A real
+  * JPEG/audio/video pipeline drops its decoder in here; nothing else in
+  * [[Multimodal]] moves.
+  */
+trait Codec extends Serializable {
+
+  /** Decode + featurize, or None when the payload isn't decodable by this
+    * codec (caller falls back to the byte-level stub). */
+  def features(payload: Array[Byte], featureDim: Int): Option[Array[Double]]
+}
+
+/** Byte-value histogram (L1-normalized) — the deterministic stand-in used
+  * when no modality codec applies. Decodes nothing; shaped exactly like a
+  * real feature extraction (bytes in, fixed-width doubles out). */
+object ByteHistogramCodec extends Codec {
+  def features(payload: Array[Byte], featureDim: Int): Option[Array[Double]] = {
+    val hist = new Array[Double](featureDim)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) * featureDim / 256) += 1.0
+      i += 1
+    }
+    val total = math.max(1.0, payload.length.toDouble)
+    var j = 0
+    while (j < featureDim) { hist(j) /= total; j += 1 }
+    Some(hist)
+  }
+}
+
+/** REAL image decode — pure-JVM `javax.imageio` (PNG/BMP/GIF/JPEG ship
+  * with the JDK, no native libs): features = `featureDim`-bin luminance
+  * histogram over the decoded pixels, L1-normalized. Returns None for
+  * payloads ImageIO cannot decode, so undecodable rows degrade to the
+  * byte-histogram stub instead of failing the batch — the per-row error
+  * containment a 100 TB media scrape needs. */
+object ImageIoCodec extends Codec {
+  def features(payload: Array[Byte], featureDim: Int): Option[Array[Double]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val hist = new Array[Double](featureDim)
+        val w = img.getWidth
+        val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+              + 114 * (rgb & 0xff)) / 1000
+            hist(lum * featureDim / 256) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        val total = math.max(1.0, (w.toLong * h).toDouble)
+        var j = 0
+        while (j < featureDim) { hist(j) /= total; j += 1 }
+        Some(hist)
+      }
+    } catch { case _: Exception => None }
+}

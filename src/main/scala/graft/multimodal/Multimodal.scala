@@ -48,12 +48,14 @@ object Multimodal {
         (col("n_chars") * 10).as("duration_ms"),
         lit("stub").as("codec")).as("meta"))
 
-  /** STUB "decode + feature extract": a 16-bin byte-value histogram,
-    * L1-normalized — deterministic, shaped exactly like a real embedding
-    * extraction (batch in, fixed-width float features out). Swap the body
-    * for a real decoder when the codec libs exist; the Spark plumbing
-    * (partition batching, typed encoders, schema) does not change. */
-  def extractFeatures(media: DataFrame, featureDim: Int = 16): DataFrame = {
+  /** Decode + feature extract through the [[Codec]] seam: per-kind codecs
+    * (e.g. `Map("image" -> ImageIoCodec)` — a REAL pure-JVM PNG/BMP/JPEG
+    * decode) with the deterministic byte-histogram stub as the fallback
+    * for unmapped kinds and undecodable payloads. The Spark plumbing —
+    * partition batching, typed encoders, schema — is identical whichever
+    * codec runs; swapping a stub for a real decoder touches nothing here. */
+  def extractFeatures(media: DataFrame, featureDim: Int = 16,
+      codecs: Map[String, Codec] = Map.empty): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val ds: Dataset[MediaRecord] = media.select(
@@ -64,15 +66,12 @@ object Multimodal {
       // per-partition (≙ per-batch) processing: amortize any per-batch model
       // setup here, exactly where a mapInPandas body would do it
       it.map { r =>
-        val hist = new Array[Double](featureDim)
         val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
-        var i = 0
-        while (i < bytes.length) {
-          hist((bytes(i) & 0xff) * featureDim / 256) += 1.0
-          i += 1
-        }
-        val total = math.max(1.0, bytes.length.toDouble)
-        MediaFeatures(r.media_id, r.kind, bytes.length, hist.map(_ / total))
+        val feats = codecs.get(r.kind)
+          .flatMap(_.features(bytes, featureDim))
+          .orElse(ByteHistogramCodec.features(bytes, featureDim))
+          .get
+        MediaFeatures(r.media_id, r.kind, bytes.length, feats)
       }
     }.toDF()
   }

@@ -96,11 +96,46 @@ object PipelineQueries {
         decode(col("frame_bytes"), "UTF-8").as("frame_text"))
   }
 
+  /** q60 — REAL image decode under the oracle: deterministic 16×16 gray
+    * PNGs (pixel v = (id·31 + k²) mod 256) are ENCODED with javax.imageio,
+    * then DECODED back through [[graft.multimodal.ImageIoCodec]] and
+    * binned into a luminance histogram. Gray pixels make luminance = v
+    * exactly (integer (299+587+114)/1000), so DuckDB reproduces the
+    * histogram from the pixel formula alone — the PNG encode→decode round
+    * trip and the codec's pixel walk are hash-verified end-to-end. */
+  val q60ImageFeatures: Q = (spark, dir) => {
+    import spark.implicits._
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { d =>
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var k = 0
+        while (k < 256) {
+          val v = ((d * 31 + k.toLong * k) % 256).toInt
+          img.setRGB(k % 16, k / 16, (v << 16) | (v << 8) | v)
+          k += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (d, "image", bos.toByteArray)
+      }
+    }.toDF("media_id", "kind", "payload")
+      .withColumn("meta", expr(
+        "named_struct('width', 16, 'height', 16, 'duration_ms', 0L, 'codec', 'png')"))
+    Multimodal.extractFeatures(media, featureDim = 16,
+        codecs = Map("image" -> graft.multimodal.ImageIoCodec))
+      .select(col("media_id"), posexplode(col("features")).as(Seq("bin", "share")))
+      .select(col("media_id"), col("bin").cast("long").as("bin"),
+        round(col("share"), 6).as("share"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q26_ann_ivf" -> q26AnnIvf,
     "q27_ann_lsh" -> q27AnnLsh,
     "q50_multimodal_features" -> q50MultimodalFeatures,
-    "q51_frame_sample" -> q51FrameSample)
+    "q51_frame_sample" -> q51FrameSample,
+    "q60_image_features" -> q60ImageFeatures)
 
   /** q50/q51 are deterministic byte arithmetic over ASCII stand-in
     * payloads (octet_length == length across the testdata), so the byte
@@ -133,5 +168,16 @@ object PipelineQueries {
         |  substring(text, cast(floor(frame_idx * n / 4) AS INT) + 1,
         |    cast(floor(n / 4) AS INT)) AS frame_text FROM f)
         |SELECT media_id, frame_idx, length(frame_text)::BIGINT AS n_frame_bytes,
-        |  frame_text FROM s""".stripMargin)
+        |  frame_text FROM s""".stripMargin,
+    "q60_image_features" ->
+      """WITH px AS (SELECT doc_id AS media_id, unnest(range(0, 256)) AS k
+        |  FROM documents),
+        |v AS (SELECT media_id, ((media_id * 31 + k * k) % 256) // 16 AS bin
+        |  FROM px),
+        |h AS (SELECT media_id, bin, count(*) AS c FROM v GROUP BY 1, 2),
+        |g AS (SELECT doc_id AS media_id, unnest(range(0, 16)) AS bin
+        |  FROM documents)
+        |SELECT g.media_id, g.bin,
+        |  round(coalesce(h.c, 0)::DOUBLE / 256, 6) AS share
+        |FROM g LEFT JOIN h ON g.media_id = h.media_id AND g.bin = h.bin""".stripMargin)
 }

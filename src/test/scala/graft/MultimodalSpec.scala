@@ -42,4 +42,45 @@ class MultimodalSpec extends SparkSpec with Matchers {
     resized.select(max(org.apache.spark.sql.functions.length(col("payload"))))
       .collect()(0).getInt(0) should be <= 10
   }
+
+  test("real image codec: ImageIO decodes a generated PNG and features reflect pixels") {
+    import graft.multimodal.{ImageIoCodec, Multimodal}
+    // 8x8 PNG: top half black, bottom half white
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (y < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val s2 = spark
+    import s2.implicits._
+    val mediaDf = Seq((1L, "image", png), (2L, "audio", png))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", expr(
+        "named_struct('width', 8, 'height', 8, 'duration_ms', 0L, 'codec', 'png')"))
+    val out = Multimodal.extractFeatures(mediaDf, featureDim = 16,
+      codecs = Map("image" -> ImageIoCodec))
+      .collect().map(r => r.getAs[String]("kind") ->
+        r.getAs[Seq[Double]]("features")).toMap
+
+    // image row went through the REAL decode: half the pixels land in the
+    // darkest luminance bin, half in the brightest
+    out("image")(0) shouldBe 0.5 +- 1e-9
+    out("image")(15) shouldBe 0.5 +- 1e-9
+    out("image").sum shouldBe 1.0 +- 1e-9
+    // audio kind has no codec mapped -> byte-histogram stub over the SAME
+    // bytes gives a different (encoded-byte) distribution
+    out("audio") should not equal out("image")
+
+    // undecodable payload degrades to the stub, not a failure
+    val bad = Seq((3L, "image", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", expr(
+        "named_struct('width', 0, 'height', 0, 'duration_ms', 0L, 'codec', 'none')"))
+    val badOut = Multimodal.extractFeatures(bad, featureDim = 16,
+      codecs = Map("image" -> ImageIoCodec)).collect()(0)
+    badOut.getAs[Seq[Double]]("features").sum shouldBe 1.0 +- 1e-9
+  }
 }
