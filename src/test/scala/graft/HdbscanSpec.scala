@@ -113,4 +113,65 @@ class HdbscanSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getLong(1)).toSet
     out shouldBe Set(-1L) // root cluster never splits → no selected clusters
   }
+
+  test("LSH tier vs exact tier: bounded label disagreement on a planted 5k-point fixture") {
+    // VERDICT r2 item 10: quantify (in a spec, not prose) how much the
+    // approximate kNN candidate tier can disagree with exact HDBSCAN.
+    // 4 tight clusters (1237-1238 pts each) + 50 scattered noise points,
+    // all placement deterministic hash arithmetic.
+    val s = spark
+    import s.implicits._
+    val n = 5000
+    val dim = 8
+    def mix(x: Long): Double = { // splitmix64 finalizer -> (-1, 1)
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
+    }
+    val pts = (0L until n.toLong).map { i =>
+      if (i >= n - 50) { // scattered far-out noise
+        (i, Seq.tabulate(dim)(d =>
+          (if (d == (i % dim).toInt) 25.0 + 2.0 * (i % 17) else 0.0) +
+            2.0 * mix(i * 8 + d)))
+      } else {
+        // radially-thinning shells (unimodal density peak per cluster, as
+        // in the blob fixture above — a uniform cube can legitimately
+        // split under Excess-of-Mass)
+        val c = (i % 4).toInt
+        val j = (i / 4).toInt // rank within the cluster
+        val dir = Seq.tabulate(dim)(d => mix(i * 8 + d))
+        val norm = math.max(math.sqrt(dir.map(x => x * x).sum), 1e-9)
+        (i, Seq.tabulate(dim)(d =>
+          (if (d == c) 2.0 else 0.0) + dir(d) / norm * 0.0001 * j))
+      }
+    }.toDF("id", "v")
+
+    val exact = Hdbscan.run(pts, minPts = 5, minClusterSize = 25, knnK = 16,
+      bruteThreshold = 10000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Hdbscan.run(pts, minPts = 5, minClusterSize = 25, knnK = 16,
+      bruteThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    exact.size shouldBe n
+    approx.size shouldBe n
+    // exact tier must nail the planted structure outright
+    exact.filterNot(_._2 == -1L).values.toSet.size shouldBe 4
+    (0L until (n - 50).toLong).count(i => exact(i) == -1L) shouldBe 0
+
+    // partition disagreement: map each exact cluster (incl. noise) to its
+    // best-overlap approx label; points outside the matched overlap
+    // disagree. Label VALUES may legally differ between tiers (labels are
+    // min member ids), so compare partition structure, not raw values.
+    val byExact = (0L until n.toLong).groupBy(exact)
+    val matched = byExact.values.map { members =>
+      members.groupBy(approx).values.map(_.size).max
+    }.sum
+    val disagree = n - matched
+    info(s"LSH-tier partition disagreement: $disagree of $n points")
+    withClue(s"disagreeing points: $disagree of $n") {
+      disagree.toDouble / n should be <= 0.02 // ≤ 2% on planted structure
+    }
+  }
 }
