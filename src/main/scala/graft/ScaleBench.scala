@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph._
+import graft.schemas.Tables
+
+/** Scale-evidence harness for the iterative graph suite (round-3 item 9):
+  * times the DISTRIBUTED paths at 1× and 10× engagement volume so the
+  * sub-linear-scaling claim in the bench notes is measured, not asserted.
+  *
+  * The 10× fixture replicates the sf0.1 lineitem engagement ten times
+  * with per-order supplier-block mixing (10 000 suppliers, ~10× distinct
+  * co-engagement edges). `collectThreshold` is set BELOW both graphs'
+  * edge counts, so both runs take the distributed rounds (the tier the
+  * claim is about) while super-graph finishes stay collected, exactly as
+  * they would at real scale.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+
+    def engagement(replicas: Int): DataFrame =
+      (0 until replicas).map { i =>
+        li.select(
+          (col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
+          (col("l_suppkey") +
+            pmod(xxhash64(col("l_orderkey")) + lit(i), lit(10)) * 1000)
+            .as("l_suppkey"))
+      }.reduce(_ union _)
+
+    def t(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    val threshold = 500000L // below both graphs → distributed path at both
+    Seq(1, 10).foreach { k =>
+      val g = Projection.coEngagementSalted(engagement(k),
+        "l_suppkey", "l_orderkey").localCheckpoint()
+      val nEdges = g.count()
+      val nNodes = g.select(col("src")).union(g.select(col("dst")))
+        .distinct().count()
+      // the suite the sub-linearity claim covers (VERDICT r3 item 9:
+      // q41/q42/q44/q45) + GraphX CC. k-core is excluded: the Pregel
+      // h-index carries (capCore+1)-int histogram messages, which on a
+      // DENSE 10× graph (degree ~900) is a measured multi-GB-per-round
+      // message storm — the documented dense-graph trade-off in
+      // KCore.scala, not a fixed cost that amortizes.
+      val rows = Seq(
+        "louvain" -> (() => Louvain.run(g, distRounds = 4,
+          collectThreshold = threshold).count()),
+        "leiden" -> (() => Leiden.run(g, distRounds = 2,
+          collectThreshold = threshold).count()),
+        "label_prop" -> (() => GraphAlgos.labelPropagationDF(g, maxSteps = 5,
+          collectThreshold = threshold).count()),
+        "fastrp32" -> (() => FastRP.run(g, dim = 32,
+          collectThreshold = threshold).count()),
+        "connected_components" -> (() => GraphAlgos.connectedComponents(g,
+          collectThreshold = threshold).count()))
+      rows.foreach { case (name, f) =>
+        val (sec, n) = t(f())
+        // stderr: unbuffered through sbt, progress visible mid-run
+        System.err.println(
+          f"SCALE k=${k}%2d edges=$nEdges%9d nodes=$nNodes%6d $name%-22s $sec%7.1f s  (rows=$n)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -282,10 +282,11 @@ object Hdbscan {
       // LOSSLESS per-(node, bucket) top-k BEFORE the global dedup: a
       // neighbor ranked > k inside any one bucket already has ≥ k closer
       // distinct neighbors there, so it cannot make the global top-k.
-      // The rows are already hash-distributed by (t, s), which satisfies
-      // the (t, s, a) clustering — this truncation is a partition-local
-      // sort, no shuffle — and the dedup then moves ≤ tables·k rows per
-      // node instead of every bucket-collision pair
+      // Plan shape (verified via executedPlan): the rank-limit pushdown
+      // plants a PARTIAL WindowGroupLimit before this window's exchange,
+      // so every exchange from here on — (t,s,a), the (a,b) dedup, the
+      // final (a) window — carries ≤ tables·k rows per node instead of
+      // the dedup shuffling every bucket-collision pair
       .withColumn("rb", row_number().over(wBucket))
       .filter(col("rb") <= k)
       .drop("rb", "t", "s")
