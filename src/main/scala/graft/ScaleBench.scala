@@ -67,7 +67,8 @@ object ScaleBench {
         "fastrp32" -> (() => FastRP.run(g, dim = 32,
           collectThreshold = threshold).count()),
         "connected_components" -> (() => GraphAlgos.connectedComponents(g,
-          collectThreshold = threshold).count()))
+          collectThreshold = threshold).count()),
+        "kcore_df" -> (() => KCore.runDF(g).count()))
       rows.foreach { case (name, f) =>
         val (sec, n) = t(f())
         // stderr: unbuffered through sbt, progress visible mid-run

@@ -18,14 +18,8 @@ import org.apache.spark.sql.functions._
 object KCore {
 
   /** @param edges canonical (src, dst, weight) DataFrame; unweighted cores.
-    * @param capCore histogram cap; estimates clamp into the top bucket, and
-    *                if the RESULT saturates at the cap (max core == cap —
-    *                possible clamping), the decomposition reruns with a 4×
-    *                cap, bounded by the degeneracy limit k ≤ √(2·|E|). The
-    *                common case pays small (cap+1)-int messages; degenerate
-    *                graphs stay correct at the price of a rerun.
     * @return (node, core) DataFrame */
-  def run(edges: DataFrame, maxIter: Int = 64, capCore: Int = 256,
+  def run(edges: DataFrame, maxIter: Int = 64,
       collectThreshold: Long = 2000000L): DataFrame = {
     // Small-graph tier (same gate as the Louvain family): exact
     // Batagelj–Zaveršnik peeling on the collected graph. Coreness is
@@ -44,35 +38,34 @@ object KCore {
       return (0 until csr.n).map(i => (csr.ids(i), core(i)))
         .toDF("node", "core")
     }
-    val out = runWithCap(edges, maxIter, capCore)
-    val maxCore = out.agg(org.apache.spark.sql.functions.max(col("core")))
-      .first().getInt(0)
-    if (maxCore < capCore) out
-    else {
-      val nEdges = edges.count()
-      val bound = math.ceil(math.sqrt(2.0 * nEdges)).toInt + 1
-      if (capCore >= bound) out // cap already exceeds any possible coreness
-      else run(edges, maxIter, math.min(capCore * 4, bound))
-    }
+    // At-scale path: the DataFrame h-index iteration. Its per-round
+    // shuffles move 16-byte (node, estimate) rows with map-side combine;
+    // the Pregel histogram alternative ([[runPregel]]) allocates a
+    // (capCore+1)-int array per edge side per round, which on a DENSE
+    // graph is a measured multi-GB-per-round storm (ScaleBench: 16 s here
+    // vs 35+ min for Pregel on a 4.5M-edge dense fixture; same fixpoint,
+    // equality-tested).
+    runDF(edges, maxIter)
   }
 
   /** h-index k-core as pure DataFrame iteration (no GraphX): per round,
     * every node's new estimate is max over distinct neighbor-estimate
     * values v of min(v, #neighbors with estimate ≥ v), capped by its own
     * estimate — the same fixpoint, expressed as two shuffles per round
-    * (grouped histogram + running count) with map-side combine. Same
-    * fixpoint (equality-tested against the Pregel version). Trade-off:
-    * each round costs a fixed number of scheduled jobs, so on DENSE
-    * graphs whose h-index decay needs many rounds the Pregel version is
-    * decisively faster (9 s vs 339 s at sf0.1); prefer this one on
-    * sparse graphs that converge in a handful of rounds. */
+    * (grouped histogram + running count) with map-side combine, 16-byte
+    * rows throughout. THE at-scale path since round 3: with one
+    * plan-truncating action per round its cost is data-bound (the round-2
+    * "339 s at sf0.1" reading measured the old cache()-per-round plan
+    * growth plus small-graph fixed costs, both gone — the small tier now
+    * owns small graphs and ScaleBench measures this at 16 s on a dense
+    * 4.5M-edge fixture where the Pregel histogram messages ran 35+ min). */
   def runDF(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = Projection.symmetrize(
       edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
       .select(col("src"), col("dst")).localCheckpoint()
     var est = sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("int").as("est")).cache()
+      .agg(count(lit(1)).cast("int").as("est")).localCheckpoint()
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -88,15 +81,18 @@ object KCore {
           least(col("ne"), col("cum")).cast("int").as("cand"))
         .groupBy(col("node"))
         .agg(max(col("cand")).as("h"))
+      // ONE eager action per round (the Louvain local-move discipline):
+      // the new estimate and the did-it-change flag come out of the same
+      // localCheckpoint — which also TRUNCATES the plan; the earlier
+      // cache()-per-round version grew the logical plan every round and
+      // Catalyst analysis, not execution, came to dominate long runs
       val next = est.join(h, Seq("node"), "left")
         .select(col("node"),
-          least(col("est"), coalesce(col("h"), lit(0))).as("est"))
-        .cache()
-      next.count()
-      changed = next.join(est.select(col("node"), col("est").as("old")), "node")
-        .filter(col("est") =!= col("old")).count()
-      est.unpersist(blocking = false)
-      est = next
+          least(col("est"), coalesce(col("h"), lit(0))).as("est"),
+          (least(col("est"), coalesce(col("h"), lit(0))) =!= col("est")).as("mv"))
+        .localCheckpoint()
+      changed = next.filter(col("mv")).count()
+      est = next.select(col("node"), col("est"))
       iter += 1
     }
     est.select(col("node"), col("est").as("core"))
@@ -140,7 +136,14 @@ object KCore {
     core
   }
 
-  private def runWithCap(edges: DataFrame, maxIter: Int, capCore: Int): DataFrame = {
+  /** Pregel h-index with capped histogram messages — kept as the
+    * message-combining formulation for SPARSE graphs (small per-vertex
+    * degree ⇒ small combined histograms). If the result saturates at
+    * `capCore` the caller should rerun with a larger cap (degeneracy
+    * bound k ≤ √(2·|E|)); [[run]] prefers [[runDF]] at scale because the
+    * (capCore+1)-int per-edge message allocation is hostile on dense
+    * graphs (measured — see run()'s scaladoc). */
+  private[graft] def runPregel(edges: DataFrame, maxIter: Int, capCore: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 

@@ -47,6 +47,9 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
       Projection.supplierGraph(spark, "/root/testdata/sf0.001")).foreach { g =>
       val a = KCore.run(g).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       val b = KCore.runDF(g).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val c = KCore.runPregel(g, maxIter = 64, capCore = 256)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      a shouldBe c // peeling ≡ Pregel h-index fixpoint
       b shouldBe a
     }
   }
