@@ -180,7 +180,9 @@ object Louvain {
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
       .localCheckpoint()
     val nEdges = sym.count()
-    val m2 = sym.agg(sum("weight")).first().getDouble(0)
+    // sum over an EMPTY edge set is NULL — an empty graph is a legal
+    // input (m2 only divides gains, and with no nodes none are computed)
+    val m2 = sym.agg(coalesce(sum("weight"), lit(0.0))).first().getDouble(0)
     (sym, nEdges, m2)
   }
 
