@@ -134,4 +134,10 @@ class PipelineE2ESpec extends SparkSpec with Matchers {
       }
     }
   }
+
+  test("driver flagship entry(): projection -> Louvain -> structure metrics, rows > 0") {
+    val out = graft.SparkEntry.entry(spark)
+    out.count() should be > 0L
+    out.columns should contain allOf ("label", "conductance", "density")
+  }
 }
