@@ -32,8 +32,21 @@ object DensityCluster {
     * @param minPts core threshold (neighbors counted excluding self)
     * @return (id, label) — label = min core id of the cluster, or -1 noise */
   def dbscan(points: DataFrame, eps: Double, minPts: Int,
-      bits: Int = 12, tables: Int = 4): DataFrame = {
+      bits: Int = 12, tables: Int = 4,
+      bruteThreshold: Long = 2000L): DataFrame = {
     val spark = points.sparkSession
+
+    // Small-n tier (same gate as Hdbscan's exact tier): EXACT DBSCAN on
+    // the collected points — all-pairs ε-graph instead of LSH candidates,
+    // so below the threshold the result is approximation-free while the
+    // LSH machinery serves the scale it was built for
+    val nPts = points.count()
+    if (nPts <= bruteThreshold) {
+      import spark.implicits._
+      val pts = points.select(col("id"), col("v"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      return dbscanInMemory(pts, eps, minPts).toSeq.toDF("id", "label")
+    }
 
     // 0. center the data: sign-bit LSH on uncentered embeddings collapses
     // into two complementary mega-buckets whenever the corpus shares a
@@ -103,5 +116,72 @@ object DensityCluster {
       .join(nbrOfCore, Seq("node"), "left")
       .select(col("node").as("id"),
         coalesce(col("core_label"), col("border_label"), lit(-1L)).as("label"))
+  }
+
+  /** Exact sequential DBSCAN in cosine space (the small-n tier): all-pairs
+    * ε-graph, cores = degree ≥ minPts, clusters = min-id connected
+    * components over core-core edges (isolated cores are their own
+    * cluster), borders take the smallest neighboring core's label, rest
+    * is −1 — the same label semantics as the distributed path with the
+    * LSH candidate approximation removed. `pts` must be sorted by id. */
+  private[graph] def dbscanInMemory(pts: Array[(Long, Array[Double])],
+      eps: Double, minPts: Int): Map[Long, Long] = {
+    val n = pts.length
+    if (n == 0) return Map.empty
+    val ids = pts.map(_._1)
+    val vs = pts.map(_._2)
+    // ε-adjacency (index pairs i<j with cosine ≥ eps)
+    val adj = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Int]())
+    var i = 0
+    while (i < n) {
+      val vi = vs(i)
+      var j = i + 1
+      while (j < n) {
+        val vj = vs(j)
+        var s = 0.0
+        var d = 0
+        while (d < vi.length) { s += vi(d) * vj(d); d += 1 }
+        if (s >= eps) { adj(i) += j; adj(j) += i }
+        j += 1
+      }
+      i += 1
+    }
+    val isCore = Array.tabulate(n)(u => adj(u).length >= minPts)
+    // min-id CC over core-core edges via union-find with min roots
+    val root = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (root(r) != r) r = root(r)
+      var c = x
+      while (root(c) != r) { val nx = root(c); root(c) = r; c = nx }
+      r
+    }
+    i = 0
+    while (i < n) {
+      if (isCore(i)) adj(i).foreach { j =>
+        if (isCore(j)) {
+          val ra = find(i); val rb = find(j)
+          if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      i += 1
+    }
+    val out = Map.newBuilder[Long, Long]
+    i = 0
+    while (i < n) {
+      if (isCore(i)) out += ids(i) -> ids(find(i))
+      else {
+        var best = -1L
+        adj(i).foreach { j =>
+          if (isCore(j)) {
+            val l = ids(find(j))
+            if (best == -1L || l < best) best = l
+          }
+        }
+        out += ids(i) -> best // -1 when no core neighbor: noise
+      }
+      i += 1
+    }
+    out.result()
   }
 }

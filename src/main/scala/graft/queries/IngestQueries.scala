@@ -72,18 +72,18 @@ object IngestQueries {
   }
 
   /** (entity, n, k) state summary: users(k = cleaned-to-"unknown" handles),
-    * edges(k = distinct engaging users), vectors(k = distinct uris). */
+    * edges(k = distinct engaging users), vectors(k = distinct uris).
+    * One aggregate job per table. */
   private def summary(spark: SparkSession, base: String): Array[(String, Long, Long)] = {
-    val users = spark.read.parquet(s"$base/users")
-    val edges = spark.read.parquet(s"$base/edges")
-    val vectors = spark.read.parquet(s"$base/vectors")
-    Array(
-      ("users", users.count(),
-        users.filter(col("handle") === "unknown").count()),
-      ("edges", edges.count(),
-        edges.select(col("user_did")).distinct().count()),
-      ("vectors", vectors.count(),
-        vectors.select(col("uri")).distinct().count()))
+    def agg2(table: String, k: org.apache.spark.sql.Column): (Long, Long) = {
+      val r = spark.read.parquet(s"$base/$table")
+        .agg(count(lit(1)), k).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val u = agg2("users", count(when(col("handle") === "unknown", 1)))
+    val e = agg2("edges", countDistinct(col("user_did")))
+    val v = agg2("vectors", countDistinct(col("uri")))
+    Array(("users", u._1, u._2), ("edges", e._1, e._2), ("vectors", v._1, v._2))
   }
 
   val q59Ep1Ingest: Q = (spark, dir) => {
