@@ -147,34 +147,22 @@ object DensityCluster {
       i += 1
     }
     val isCore = Array.tabulate(n)(u => adj(u).length >= minPts)
-    // min-id CC over core-core edges via union-find with min roots
-    val root = Array.tabulate(n)(identity)
-    def find(x: Int): Int = {
-      var r = x
-      while (root(r) != r) r = root(r)
-      var c = x
-      while (root(c) != r) { val nx = root(c); root(c) = r; c = nx }
-      r
-    }
+    // min-id CC over core-core edges
+    val uf = new graft.util.UnionFind.Ints(n)
     i = 0
     while (i < n) {
-      if (isCore(i)) adj(i).foreach { j =>
-        if (isCore(j)) {
-          val ra = find(i); val rb = find(j)
-          if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
-        }
-      }
+      if (isCore(i)) adj(i).foreach { j => if (isCore(j)) uf.union(i, j) }
       i += 1
     }
     val out = Map.newBuilder[Long, Long]
     i = 0
     while (i < n) {
-      if (isCore(i)) out += ids(i) -> ids(find(i))
+      if (isCore(i)) out += ids(i) -> ids(uf.find(i))
       else {
         var best = -1L
         adj(i).foreach { j =>
           if (isCore(j)) {
-            val l = ids(find(j))
+            val l = ids(uf.find(j))
             if (best == -1L || l < best) best = l
           }
         }

@@ -135,6 +135,15 @@ object FastRP {
           while (d < dim) { row(d) += w0 * nb(d); d += 1 }
           j += 1
         }
+        // self-loops (CSR keeps them in selfW): the distributed edge join
+        // includes the symmetrized self row's 2w·v(u) term — match it so
+        // embeddings agree across the tier boundary
+        val sw = csr.selfW(u)
+        if (sw != 0.0) {
+          val vu = v(u)
+          var d = 0
+          while (d < dim) { row(d) += 2.0 * sw * vu(d); d += 1 }
+        }
         var norm = 0.0
         var d = 0
         while (d < dim) { row(d) /= k(u); norm += row(d) * row(d); d += 1 }

@@ -133,20 +133,10 @@ object GraphAlgos {
       .localCheckpoint()
     if (pairs.count() <= collectThreshold) {
       val es = pairs.as[(Long, Long)].collect()
-      val root = new scala.collection.mutable.LongMap[Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (root.getOrElse(r, r) != r) r = root(r)
-        var c = x
-        while (root.getOrElse(c, c) != r) { val nx = root(c); root(c) = r; c = nx }
-        r
-      }
-      es.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
-      }
+      val uf = new graft.util.UnionFind.Longs
+      es.foreach { case (a, b) => uf.union(a, b) }
       return es.flatMap(e => Seq(e._1, e._2)).distinct
-        .map(n0 => (n0, find(n0))).toSeq.toDF("node", "label")
+        .map(n0 => (n0, uf.find(n0))).toSeq.toDF("node", "label")
     }
     CCLib.run(toGraph(edges)).vertices.toDF("node", "label")
   }

@@ -153,21 +153,10 @@ object Hdbscan {
     * produce the identical unique MST. */
   private[graft] def kruskalMst(
       edges: Array[(Long, Long, Double)]): Array[(Long, Long, Double)] = {
-    val root = new mutable.LongMap[Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (root.getOrElse(r, r) != r) r = root(r)
-      var c = x
-      while (root.getOrElse(c, c) != r) { val nx = root(c); root(c) = r; c = nx }
-      r
-    }
+    val uf = new graft.util.UnionFind.Longs
     val out = mutable.ArrayBuffer[(Long, Long, Double)]()
     edges.sortBy(e => (e._3, e._1, e._2)).foreach { e =>
-      val ra = find(e._1); val rb = find(e._2)
-      if (ra != rb) {
-        root(math.max(ra, rb)) = math.min(ra, rb)
-        out += e
-      }
+      if (uf.union(e._1, e._2)) out += e
     }
     out.toArray
   }
@@ -227,23 +216,13 @@ object Hdbscan {
     // stable sort by w keeps the (a, b)-ascending enumeration order for
     // ties — exactly the lexicographic (w, a, b) order Borůvka uses
     val order = Array.range(0, m).sortBy(w)
-    val parent = Array.tabulate(n)(identity)
-    def find(x: Int): Int = {
-      var r = x
-      while (parent(r) != r) r = parent(r)
-      var c = x
-      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-      r
-    }
+    val uf = new graft.util.UnionFind.Ints(n)
     val mstEdges = mutable.ArrayBuffer[(Long, Long, Double)]()
     var o = 0
     while (o < m && mstEdges.length < n - 1) {
       val e = order(o)
-      val ra = find(ai(e)); val rb = find(bi(e))
-      if (ra != rb) {
-        parent(math.max(ra, rb)) = math.min(ra, rb)
+      if (uf.union(ai(e), bi(e)))
         mstEdges += ((ids(ai(e)), ids(bi(e)), w(e)))
-      }
       o += 1
     }
     extractLabels(mstEdges.toArray, ids, minClusterSize)
@@ -338,20 +317,10 @@ object Hdbscan {
           if (nComps <= mergeCollect) {
             import spark.implicits._
             val pairs = minE.select(col("c"), col("tc")).as[(Long, Long)].collect()
-            val root = mutable.Map[Long, Long]()
-            def find(x: Long): Long = {
-              var r = x
-              while (root.getOrElse(r, r) != r) r = root(r)
-              var cst = x
-              while (root.getOrElse(cst, cst) != r) { val nx = root(cst); root(cst) = r; cst = nx }
-              r
-            }
-            pairs.foreach { case (c, tc) =>
-              val rc = find(c); val rt = find(tc)
-              if (rc != rt) { val (lo, hi) = if (rc < rt) (rc, rt) else (rt, rc); root(hi) = lo }
-            }
+            val uf = new graft.util.UnionFind.Longs
+            pairs.foreach { case (c, tc) => uf.union(c, tc) }
             val entries = pairs.flatMap { case (c, tc) => Seq(c, tc) }.distinct
-              .map(c => (c, find(c)))
+              .map(c => (c, uf.find(c)))
             broadcast(entries.toSeq.toDF("comp", "nc"))
           } else {
             // root mutual-min 2-cycles at the smaller comp id, then

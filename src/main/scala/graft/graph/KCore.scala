@@ -45,7 +45,7 @@ object KCore {
     // graph is a measured multi-GB-per-round storm (ScaleBench: 16 s here
     // vs 35+ min for Pregel on a 4.5M-edge dense fixture; same fixpoint,
     // equality-tested).
-    runDF(edges, maxIter)
+    runDFSym(sym.select(col("src"), col("dst")), maxIter)
   }
 
   /** h-index k-core as pure DataFrame iteration (no GraphX): per round,
@@ -59,11 +59,17 @@ object KCore {
     * growth plus small-graph fixed costs, both gone — the small tier now
     * owns small graphs and ScaleBench measures this at 16 s on a dense
     * 4.5M-edge fixture where the Pregel histogram messages ran 35+ min). */
-  def runDF(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def runDF(edges: DataFrame, maxIter: Int = 64): DataFrame =
+    runDFSym(Projection.symmetrize(
+        edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
+      .select(col("src"), col("dst")).distinct() // parallel edges count once
+      .localCheckpoint(), maxIter)
+
+  /** [[runDF]] over an ALREADY symmetric, deduped, materialized (src, dst)
+    * edge set — run() hands its tier-gate sym straight in, so the
+    * at-scale path does not symmetrize the full edge set twice. */
+  private def runDFSym(sym: DataFrame, maxIter: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sym = Projection.symmetrize(
-      edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
-      .select(col("src"), col("dst")).localCheckpoint()
     var est = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("int").as("est")).localCheckpoint()
     var iter = 0
@@ -147,7 +153,8 @@ object KCore {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val cached = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
+    val cached = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().cache() // parallel edges count once, as in peel/runDF
     val nEdges = cached.count()
     val p = GraphAlgos.sizedPartitions(cached, nEdges)
     val edgeRdd = cached.as[(Long, Long)].rdd

@@ -154,12 +154,17 @@ private[graph] object SeqCommunity {
       m2: Double): Array[Int] = {
     val n = csr.n
     val refOf = Array.tabulate(n)(identity)
+    val refSz = Array.fill(n)(1)
     val refTot = k.clone()
     val wTo = new Array[Double](n)
     val touched = new Array[Int](n)
     var u = 0
     while (u < n) {
-      if (refOf(u) == u) { // still singleton
+      // TRUE singletons only (group of exactly one node) — the same
+      // `sz === 1` guard the distributed refinement enforces; the earlier
+      // `refOf(u) == u` test let a group that had already absorbed members
+      // merge onward, producing refOf chains the contraction mishandled
+      if (refOf(u) == u && refSz(u) == 1) {
         val cu = commOf(u)
         val ku = k(u)
         var nt = 0
@@ -189,7 +194,7 @@ private[graph] object SeqCommunity {
           t += 1
         }
         refTot(bestC) += ku
-        if (bestC != u) refOf(u) = bestC
+        if (bestC != u) { refOf(u) = bestC; refSz(bestC) += 1 }
         t = 0
         while (t < nt) { wTo(touched(t)) = 0.0; t += 1 }
       }
@@ -270,8 +275,14 @@ private[graph] object SeqCommunity {
       if (!anyMove) improvedLevel = false
       else {
         val (next, comp) = coarsen(csr, commOf)
+        // comp is indexed by OLD NODE and already folds commOf in
+        // (comp(u) = gMap(commOf(u))): composing through the partition a
+        // second time attached nodes to the group of their community's
+        // LABEL NODE, which is wrong whenever that label node itself
+        // moved elsewhere (caught by a 3000-graph fuzz against the
+        // pre-CSR implementation)
         var i = 0
-        while (i < mapping.length) { mapping(i) = comp(commOf(mapping(i))); i += 1 }
+        while (i < mapping.length) { mapping(i) = comp(mapping(i)); i += 1 }
         csr = next
         if (csr.n <= 1) improvedLevel = false
       }
@@ -312,10 +323,12 @@ private[graph] object SeqCommunity {
         }
         val newLabels = new Array[Long](next.n)
         i = 0
-        while (i < csr.n) { newLabels(comp(refOf(i))) = commRep(commOf(i)); i += 1 }
+        // comp(u) = gMap(refOf(u)) — already per OLD NODE (same
+        // double-application hazard as the louvain mapping above)
+        while (i < csr.n) { newLabels(comp(i)) = commRep(commOf(i)); i += 1 }
         labelOfCur = newLabels
         i = 0
-        while (i < mapping.length) { mapping(i) = comp(refOf(mapping(i))); i += 1 }
+        while (i < mapping.length) { mapping(i) = comp(mapping(i)); i += 1 }
         // refinement merged nothing → the graph stopped contracting, and
         // every further level would recompute the identical state (local
         // move is deterministic from singletons): fixed point, stop —

@@ -96,7 +96,14 @@ object Streams {
     // substituting empty would discard all previously upserted state
     // on the next overwrite while the checkpoint marks the batch done
     val tableDir = new org.apache.hadoop.fs.Path(tablePath)
+    val oldDir = new org.apache.hadoop.fs.Path(tablePath + "__old")
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between the two swap renames below leaves the state staged
+    // at __old with the live dir missing — restore it BEFORE the
+    // missing-table test, or the replayed batch would read 'no table' and
+    // silently discard all previously upserted state
+    if (!fs.exists(tableDir) && fs.exists(oldDir) && !fs.rename(oldDir, tableDir))
+      throw new java.io.IOException(s"cannot restore staged state $oldDir")
     val existing =
       if (fs.exists(tableDir)) spark.read.parquet(tablePath)
       else spark.createDataFrame(
@@ -109,8 +116,17 @@ object Streams {
       .filter(col("__rn") === 1).drop("__rn", "__p")
     val tmp = new org.apache.hadoop.fs.Path(tablePath + "__tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(tableDir, true)
-    fs.rename(tmp, tableDir)
+    // swap via rename with a staged backup: at every crash point either
+    // the live dir or __old holds the pre-merge state, and a failed
+    // rename throws so the micro-batch retries instead of committing
+    fs.delete(oldDir, true)
+    if (fs.exists(tableDir) && !fs.rename(tableDir, oldDir))
+      throw new java.io.IOException(s"cannot stage $tableDir for swap")
+    if (!fs.rename(tmp, tableDir)) {
+      fs.rename(oldDir, tableDir) // best-effort restore
+      throw new java.io.IOException(s"state swap failed for $tableDir")
+    }
+    fs.delete(oldDir, true)
     ()
   }
 

@@ -115,6 +115,23 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
     Set(leiden(5L), leiden(6L), leiden(7L), leiden(8L)).size shouldBe 1
   }
 
+  test("Louvain sequential tier: label-node movement does not merge distinct communities") {
+    // regression (round-3 review, fuzz-confirmed): coarsen's comp map is
+    // indexed by node and already folds the partition in — composing the
+    // partition a second time merged {0,2,5} and {1,3} into one community
+    // on exactly this graph whenever a community's label node had moved
+    val s = spark
+    import s.implicits._
+    val g = Seq((0L, 2L, 10.0), (1L, 3L, 0.1), (1L, 5L, 1.0),
+      (2L, 5L, 10.0), (3L, 5L, 0.5)).toDF("src", "dst", "weight")
+    val out = Louvain.run(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe Set(0L, 1L, 2L, 3L, 5L)
+    Set(out(0L), out(2L), out(5L)).size shouldBe 1 // heavy triangle together
+    out(1L) shouldBe out(3L)
+    out(0L) should not be out(1L) // and NOT merged with the light pair
+  }
+
   test("Louvain: partition is total and modularity beats singleton baseline") {
     val g = Projection.supplierGraph(spark, "/root/testdata/sf0.001")
     val nodes = g.select(col("src").as("node"))

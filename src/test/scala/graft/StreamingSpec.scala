@@ -48,6 +48,25 @@ class StreamingSpec extends SparkSpec with Matchers {
     spark.sql("SELECT * FROM likes_t").count() shouldBe 2
   }
 
+  test("mergeUpsert recovers state staged at __old by a crashed swap (ST2 durability)") {
+    val s2 = spark
+    import s2.implicits._
+    val table = Files.createTempDirectory("swapcrash").toFile.getAbsolutePath + "/t"
+    Streams.mergeUpsert(Seq(("k1", "v1")).toDF("k", "v"), table, "k")
+    // simulate a crash between the two swap renames: live dir gone,
+    // pre-merge state staged at __old
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(table)
+    val fs = live.getFileSystem(conf)
+    fs.rename(live, new org.apache.hadoop.fs.Path(table + "__old")) shouldBe true
+    // next merge must NOT read 'missing table' as empty — it restores the
+    // staged state first, so k1 survives and k2 lands
+    Streams.mergeUpsert(Seq(("k2", "v2")).toDF("k", "v"), table, "k")
+    val out = spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    out shouldBe Map("k1" -> "v1", "k2" -> "v2")
+  }
+
   test("publishSink file path: produced JSON round-trips through subscribe (S1)") {
     val src = writeTopic(userTopic)
     val out = Files.createTempDirectory("topic_out").toFile.getAbsolutePath + "/t"
