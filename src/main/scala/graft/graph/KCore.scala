@@ -45,7 +45,10 @@ object KCore {
     // graph is a measured multi-GB-per-round storm (ScaleBench: 16 s here
     // vs 35+ min for Pregel on a 4.5M-edge dense fixture; same fixpoint,
     // equality-tested).
-    runDFSym(sym.select(col("src"), col("dst")), maxIter)
+    // self-loops do not contribute to coreness (peel's CSR routes them
+    // out of the adjacency) — drop them here so all tiers agree
+    runDFSym(sym.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")), maxIter)
   }
 
   /** h-index k-core as pure DataFrame iteration (no GraphX): per round,
@@ -63,6 +66,7 @@ object KCore {
     runDFSym(Projection.symmetrize(
         edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
       .select(col("src"), col("dst")).distinct() // parallel edges count once
+      .filter(col("src") =!= col("dst")) // self-loops don't contribute
       .localCheckpoint(), maxIter)
 
   /** [[runDF]] over an ALREADY symmetric, deduped, materialized (src, dst)
@@ -153,8 +157,14 @@ object KCore {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val cached = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().cache() // parallel edges count once, as in peel/runDF
+    // canonical orientation + distinct + no self-loops: parallel edges
+    // (either orientation) count once and loops not at all — the same
+    // simple-graph semantics as peel/runDF
+    val cached = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("src"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
     val nEdges = cached.count()
     val p = GraphAlgos.sizedPartitions(cached, nEdges)
     val edgeRdd = cached.as[(Long, Long)].rdd

@@ -118,15 +118,19 @@ object Streams {
     merged.write.mode("overwrite").parquet(tmp.toString)
     // swap via rename with a staged backup: at every crash point either
     // the live dir or __old holds the pre-merge state, and a failed
-    // rename throws so the micro-batch retries instead of committing
-    fs.delete(oldDir, true)
+    // rename OR delete throws so the micro-batch retries instead of
+    // committing — renaming onto a surviving __old would nest the staged
+    // state one level down, where the restore path could not find it
+    if (fs.exists(oldDir) && !fs.delete(oldDir, true))
+      throw new java.io.IOException(s"cannot clear stale $oldDir")
     if (fs.exists(tableDir) && !fs.rename(tableDir, oldDir))
       throw new java.io.IOException(s"cannot stage $tableDir for swap")
     if (!fs.rename(tmp, tableDir)) {
       fs.rename(oldDir, tableDir) // best-effort restore
       throw new java.io.IOException(s"state swap failed for $tableDir")
     }
-    fs.delete(oldDir, true)
+    if (fs.exists(oldDir) && !fs.delete(oldDir, true))
+      throw new java.io.IOException(s"cannot clear staged $oldDir after swap")
     ()
   }
 

@@ -127,7 +127,7 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
     val out = Louvain.run(g).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     out.keySet shouldBe Set(0L, 1L, 2L, 3L, 5L)
-    Set(out(0L), out(2L), out(5L)).size shouldBe 1 // heavy triangle together
+    Set(out(0L), out(2L), out(5L)).size shouldBe 1 // heavy 2-edge path 0-2-5 together
     out(1L) shouldBe out(3L)
     out(0L) should not be out(1L) // and NOT merged with the light pair
   }
