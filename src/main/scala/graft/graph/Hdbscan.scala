@@ -155,7 +155,13 @@ object Hdbscan {
       edges: Array[(Long, Long, Double)]): Array[(Long, Long, Double)] = {
     val uf = new graft.util.UnionFind.Longs
     val out = mutable.ArrayBuffer[(Long, Long, Double)]()
-    edges.sortBy(e => (e._3, e._1, e._2)).foreach { e =>
+    val order = graft.util.IndirectSort.sorted(edges.length) { (x, y) =>
+      val ex = edges(x); val ey = edges(y)
+      ex._3 < ey._3 || (ex._3 == ey._3 &&
+        (ex._1 < ey._1 || (ex._1 == ey._1 && ex._2 < ey._2)))
+    }
+    order.foreach { i =>
+      val e = edges(i)
       if (uf.union(e._1, e._2)) out += e
     }
     out.toArray
@@ -215,7 +221,7 @@ object Hdbscan {
     }
     // stable sort by w keeps the (a, b)-ascending enumeration order for
     // ties — exactly the lexicographic (w, a, b) order Borůvka uses
-    val order = Array.range(0, m).sortBy(w)
+    val order = graft.util.IndirectSort.sorted(m)((x, y) => w(x) < w(y))
     val uf = new graft.util.UnionFind.Ints(n)
     val mstEdges = mutable.ArrayBuffer[(Long, Long, Double)]()
     var o = 0

@@ -98,4 +98,13 @@ class PropertiesSpec extends SparkSpec with Matchers {
       }
     }
   }
+
+  test("IndirectSort: stable, matches boxed sortBy on random doubles with ties") {
+    samples(Gen.listOfN(300, Gen.chooseNum(0, 20).map(_ * 0.5)), 25).foreach { xs =>
+      val w = xs.toArray
+      val expected = Array.range(0, w.length).toSeq.sortBy(w) // TimSort, stable
+      val actual = graft.util.IndirectSort.sorted(w.length)((a, b) => w(a) < w(b)).toSeq
+      actual shouldBe expected
+    }
+  }
 }
