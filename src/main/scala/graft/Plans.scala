@@ -1,6 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Dev tool: dump formatted physical plans of flagship queries for plan review. */
+/** DIAGNOSTIC TOOL, not product surface: dumps formatted physical plans of
+  * flagship queries for plan review (the `.explain("formatted")` audit the
+  * build discipline requires per operator). Not part of the library API and
+  * not benchmarked; kept because plan audits recur every round. */
 object Plans {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -3,7 +3,10 @@ package graft.graph
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Temporary phase-level profiler for the iterative graph suite. */
+/** DIAGNOSTIC TOOL, not product surface: phase-level wall-clock profiler
+  * for the iterative graph suite (built for the round-3 Leiden/Louvain
+  * tier work). Not part of the library API and not benchmarked; kept for
+  * future per-phase regressions hunts. */
 object ProfileMain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -121,16 +121,20 @@ object Dedup {
     * exactly when near-dups exist).
     *
     * @param vecs (id, vector) — vectors need not be pre-normalized
+    * @param dim embedding width; callers know it (it's their embed config) —
+    *            the default −1 falls back to a one-row probe, which costs a
+    *            driver action (an extra scan-capable job per call at scale)
     * @return (id_a, id_b, sim) with id_a < id_b and sim = cosine rounded 4dp
     */
   def cosineNearDups(vecs: DataFrame, idCol: String, vCol: String,
-      tau: Double = 0.9, bits: Int = 12, tables: Int = 48): DataFrame = {
+      tau: Double = 0.9, bits: Int = 12, tables: Int = 48,
+      dim: Int = -1): DataFrame = {
     import graft.functions.VectorFunctions
-    val dim = vecs.select(size(col(vCol))).first().getInt(0)
+    val d = if (dim > 0) dim else vecs.select(size(col(vCol))).first().getInt(0)
     val n = vecs
       .select(col(idCol).as("id"), VectorFunctions.l2normalize(col(vCol)).as("nv"))
     val allSigs = graft.functions.VectorExpressions
-      .hyperplane_sigs(col("nv"), dim, "neardup", bits, tables)
+      .hyperplane_sigs(col("nv"), d, "neardup", bits, tables)
     val banded = n.select(col("id"), col("nv"), posexplode(allSigs).as(Seq("t", "s")))
       .repartition(col("t"), col("s"))
       .localCheckpoint() // sigs computed once, spread over buckets

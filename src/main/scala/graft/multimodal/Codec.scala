@@ -33,6 +33,59 @@ object ByteHistogramCodec extends Codec {
   }
 }
 
+/** REAL audio decode — pure-JVM `javax.sound.sampled` (WAV/AIFF/AU PCM
+  * ship with the JDK, no native libs): features = `featureDim`-bin
+  * histogram of the decoded PCM sample values (8/16-bit, any channel
+  * count/endianness — every channel's sample counts), L1-normalized over
+  * the full sample range. Returns None for payloads the JDK cannot
+  * decode, so undecodable rows degrade to the byte-histogram stub instead
+  * of failing the batch — the same per-row error containment as
+  * [[ImageIoCodec]]. */
+object WavCodec extends Codec {
+  def features(payload: Array[Byte], featureDim: Int): Option[Array[Double]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          (bits != 8 && bits != 16)) None
+      else {
+        val raw = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = ais.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = ais.read(buf) }
+          bos.toByteArray
+        }
+        val hist = new Array[Double](featureDim)
+        var count = 0L
+        if (bits == 8) {
+          var i = 0
+          while (i < raw.length) {
+            // signed 8-bit sample → [0, 256) → bin
+            hist(((raw(i) + 128) * featureDim) / 256) += 1.0
+            count += 1; i += 1
+          }
+        } else {
+          val be = fmt.isBigEndian
+          var i = 0
+          while (i + 1 < raw.length) {
+            val s = // signed 16-bit sample, either endianness
+              if (be) (raw(i) << 8) | (raw(i + 1) & 0xff)
+              else (raw(i + 1) << 8) | (raw(i) & 0xff)
+            hist(((s + 32768) * featureDim) / 65536) += 1.0
+            count += 1; i += 2
+          }
+        }
+        val total = math.max(1.0, count.toDouble)
+        var j = 0
+        while (j < featureDim) { hist(j) /= total; j += 1 }
+        Some(hist)
+      }
+    } catch { case _: Exception => None }
+}
+
 /** REAL image decode — pure-JVM `javax.imageio` (PNG/BMP/GIF/JPEG ship
   * with the JDK, no native libs): features = `featureDim`-bin luminance
   * histogram over the decoded pixels, L1-normalized. Returns None for

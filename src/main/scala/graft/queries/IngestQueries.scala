@@ -40,6 +40,17 @@ object IngestQueries {
     StructField("cid", StringType),
     StructField("text", StringType)))
 
+  /** Dev phase timer: set SPARK_GRAFT_PHASE_LOG=1 to print per-phase wall
+    * times of the q59 composition (used to localize regressions; no-op and
+    * allocation-free in normal runs). */
+  private def phase[A](label: String)(f: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_PHASE_LOG")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PHASE $label%-26s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    } else f
+
   private def rm(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -53,22 +64,30 @@ object IngestQueries {
     * exactly the reference consumer's per-message dual MERGE). */
   private def drain(spark: SparkSession, usersTopic: String, postsTopic: String,
       base: String, checkpointBase: String): Unit = {
-    Streams.subscribe(spark, usersTopic, unionSchema).writeStream
-      .option("checkpointLocation", s"$checkpointBase/users")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (profiles, likes) = Streams.routeUserStream(batch)
-        Streams.mergeUpsert(Streams.cleanProfiles(profiles), s"$base/users", "did")
-        Streams.mergeUpsert(
-          likes.select(concat_ws("|", col("user_did"), col("uri")).as("edge_id"),
-            col("user_did"), col("uri")),
-          s"$base/edges", "edge_id")
-      }
-      .start().awaitTermination()
-    val vectors = Streams.embedPosts(
-      Streams.subscribe(spark, postsTopic, postSchema))
-    Streams.upsertSink(vectors, s"$base/vectors", "id",
-      s"$checkpointBase/vectors").start().awaitTermination()
+    phase("users+edges stream") {
+      Streams.subscribe(spark, usersTopic, unionSchema).writeStream
+        .option("checkpointLocation", s"$checkpointBase/users")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val (profiles, likes) = Streams.routeUserStream(batch)
+          phase("  merge users") {
+            Streams.mergeUpsert(Streams.cleanProfiles(profiles), s"$base/users", "did")
+          }
+          phase("  merge edges") {
+            Streams.mergeUpsert(
+              likes.select(concat_ws("|", col("user_did"), col("uri")).as("edge_id"),
+                col("user_did"), col("uri")),
+              s"$base/edges", "edge_id")
+          }
+        }
+        .start().awaitTermination()
+    }
+    phase("vectors stream") {
+      val vectors = Streams.embedPosts(
+        Streams.subscribe(spark, postsTopic, postSchema))
+      Streams.upsertSink(vectors, s"$base/vectors", "id",
+        s"$checkpointBase/vectors").start().awaitTermination()
+    }
   }
 
   /** (entity, n, k) state summary: users(k = cleaned-to-"unknown" handles),
@@ -80,9 +99,9 @@ object IngestQueries {
         .agg(count(lit(1)), k).first()
       (r.getLong(0), r.getLong(1))
     }
-    val u = agg2("users", count(when(col("handle") === "unknown", 1)))
-    val e = agg2("edges", countDistinct(col("user_did")))
-    val v = agg2("vectors", countDistinct(col("uri")))
+    val u = phase("summary users") { agg2("users", count(when(col("handle") === "unknown", 1))) }
+    val e = phase("summary edges") { agg2("edges", countDistinct(col("user_did"))) }
+    val v = phase("summary vectors") { agg2("vectors", countDistinct(col("uri"))) }
     Array(("users", u._1, u._2), ("edges", e._1, e._2), ("vectors", v._1, v._2))
   }
 

@@ -67,7 +67,7 @@ object PipelineQueries {
     val qv = pts.filter(col("id") === 0).select(col("v")).first().getSeq[Double](0)
     val qcol = array(qv.map(lit): _*)
     Ann.lshTopK(pts.filter(col("id") =!= 0), "id", "v", qcol, k = 10,
-      bits = 6, tables = 8)
+      bits = 6, tables = 8, dim = qv.length)
       .select(col("id"), round(col("score"), 4).as("score"))
   }
 
@@ -130,12 +130,53 @@ object PipelineQueries {
         round(col("share"), 6).as("share"))
   }
 
+  /** q61 — REAL audio decode under the oracle (the WAV twin of q60):
+    * deterministic 16-bit mono PCM clips (sample s_k = ((id·31 + k²) mod
+    * 65536) − 32768, 256 samples) are ENCODED to WAV with
+    * javax.sound.sampled, then DECODED back through
+    * [[graft.multimodal.WavCodec]] and binned into a sample-value
+    * histogram. WAV stores 16-bit PCM losslessly, so DuckDB reproduces
+    * the histogram from the sample formula alone — the WAV encode→decode
+    * round trip and the codec's sample walk are hash-verified
+    * end-to-end. */
+  val q61AudioFeatures: Q = (spark, dir) => {
+    import spark.implicits._
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { d =>
+        val pcm = new Array[Byte](512)
+        var k = 0
+        while (k < 256) {
+          val s = (((d * 31 + k.toLong * k) % 65536) - 32768).toInt
+          pcm(2 * k) = (s & 0xff).toByte        // little-endian 16-bit
+          pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, 256)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (d, "audio", bos.toByteArray)
+      }
+    }.toDF("media_id", "kind", "payload")
+      .withColumn("meta", expr(
+        "named_struct('width', 0, 'height', 0, 'duration_ms', 32L, 'codec', 'wav')"))
+    Multimodal.extractFeatures(media, featureDim = 16,
+        codecs = Map("audio" -> graft.multimodal.WavCodec))
+      .select(col("media_id"), posexplode(col("features")).as(Seq("bin", "share")))
+      .select(col("media_id"), col("bin").cast("long").as("bin"),
+        round(col("share"), 6).as("share"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q26_ann_ivf" -> q26AnnIvf,
     "q27_ann_lsh" -> q27AnnLsh,
     "q50_multimodal_features" -> q50MultimodalFeatures,
     "q51_frame_sample" -> q51FrameSample,
-    "q60_image_features" -> q60ImageFeatures)
+    "q60_image_features" -> q60ImageFeatures,
+    "q61_audio_features" -> q61AudioFeatures)
 
   /** q50/q51 are deterministic byte arithmetic over ASCII stand-in
     * payloads (octet_length == length across the testdata), so the byte
@@ -174,6 +215,17 @@ object PipelineQueries {
         |  FROM documents),
         |v AS (SELECT media_id, ((media_id * 31 + k * k) % 256) // 16 AS bin
         |  FROM px),
+        |h AS (SELECT media_id, bin, count(*) AS c FROM v GROUP BY 1, 2),
+        |g AS (SELECT doc_id AS media_id, unnest(range(0, 16)) AS bin
+        |  FROM documents)
+        |SELECT g.media_id, g.bin,
+        |  round(coalesce(h.c, 0)::DOUBLE / 256, 6) AS share
+        |FROM g LEFT JOIN h ON g.media_id = h.media_id AND g.bin = h.bin""".stripMargin,
+    "q61_audio_features" ->
+      """WITH sm AS (SELECT doc_id AS media_id, unnest(range(0, 256)) AS k
+        |  FROM documents),
+        |v AS (SELECT media_id, ((media_id * 31 + k * k) % 65536) // 4096 AS bin
+        |  FROM sm),
         |h AS (SELECT media_id, bin, count(*) AS c FROM v GROUP BY 1, 2),
         |g AS (SELECT doc_id AS media_id, unnest(range(0, 16)) AS bin
         |  FROM documents)

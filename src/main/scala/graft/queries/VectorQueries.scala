@@ -98,7 +98,7 @@ object VectorQueries {
     import graft.functions.TextExpressions.embed_text
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", embed_text($"text", 64).as("v"))
-    graft.dedup.Dedup.cosineNearDups(docs, "doc_id", "v", tau = 0.9)
+    graft.dedup.Dedup.cosineNearDups(docs, "doc_id", "v", tau = 0.9, dim = 64)
       .orderBy($"id_a", $"id_b")
   }
 

@@ -15,12 +15,22 @@ import org.apache.spark.sql.DataFrame
   */
 object ChartSink {
 
+  /** Hard cap on chart rows: the input is report-sized by contract, and
+    * the guard makes a miswired caller (raw data instead of the
+    * aggregated metric frame) fail fast instead of collecting it into
+    * driver memory. */
+  val MaxRows = 10000
+
   /** Render a vertical bar chart of (labelCol, valueCol) to `path`.
     * Deterministic output: bars in the DataFrame's row order, fixed
     * geometry, values formatted with 4 significant decimals. */
   def barChartSvg(df: DataFrame, labelCol: String, valueCol: String,
       title: String, path: String, width: Int = 800, height: Int = 400): Unit = {
-    val rows = df.select(labelCol, valueCol).collect().map { r =>
+    val limited = df.select(labelCol, valueCol).limit(MaxRows + 1).collect()
+    require(limited.length <= MaxRows,
+      s"chart input exceeds $MaxRows rows — pass the aggregated metric " +
+        "frame, not raw data (the collect here is chart-sized by contract)")
+    val rows = limited.map { r =>
       val label = Option(r.get(0)).map(_.toString).getOrElse("null")
       val v = r.get(1) match {
         case null => 0.0

@@ -49,10 +49,14 @@ object Ann {
 
   /** LSH top-k: probe bucket-mates of the query across `tables` hyperplane
     * tables, verify exactly, keep best k. Approximate: recall grows with
-    * `tables`, cost with bucket size (2^bits buckets/table). */
+    * `tables`, cost with bucket size (2^bits buckets/table).
+    * `dim` is the embedding width — callers know it (q27 reads it off the
+    * query vector it already fetched); the default −1 falls back to a
+    * one-row probe, an extra driver action per call. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      qv: Column, k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
-    val d = corpus.select(size(col(vecCol))).first().getInt(0)
+      qv: Column, k: Int, bits: Int = 8, tables: Int = 4,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else corpus.select(size(col(vecCol))).first().getInt(0)
     def sigs(v: Column): Column = graft.functions.VectorExpressions
       .hyperplane_sigs(v, d, "ann", bits, tables)
     val bucketed = corpus.select(col(idCol), col(vecCol),

@@ -34,9 +34,11 @@ object Crawler {
       maxIterations: Int = 2, maxFanout: Int = 20): DataFrame = {
     var visited = seeds.select(col("did")).distinct()
       .withColumn("depth", lit(0)).localCheckpoint()
-    var frontier = visited.select(col("did"))
+    var visitedCount = visited.count()
+    var frontierSize = visitedCount // depth-0 frontier = the seeds
     var depth = 0
-    while (depth < maxIterations && !frontier.isEmpty) {
+    while (depth < maxIterations && frontierSize > 0) {
+      val frontier = visited.filter(col("depth") === depth).select(col("did"))
       val w = Window.partitionBy(col("did")).orderBy(col("next"))
       val fresh = expand(frontier)
         .withColumn("__rn", row_number().over(w))
@@ -44,9 +46,15 @@ object Crawler {
         .select(col("next").as("did")).distinct()
         .join(visited, Seq("did"), "left_anti") // seen-set semantics
         .withColumn("depth", lit(depth + 1))
-        .localCheckpoint()
+      // ONE materializing action per depth: checkpoint the union
+      // (truncating both lineages at once — the per-depth fresh checkpoint
+      // is folded in) and drive the loop off the checkpointed size delta
+      // instead of a separate isEmpty job; the next frontier is re-derived
+      // from the materialized union by a depth filter, never recomputed
       visited = visited.union(fresh).localCheckpoint()
-      frontier = fresh.select(col("did"))
+      val n = visited.count() // reads the materialized blocks, no re-run
+      frontierSize = n - visitedCount
+      visitedCount = n
       depth += 1
     }
     visited

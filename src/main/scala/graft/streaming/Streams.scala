@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -84,53 +84,196 @@ object Streams {
 
   /** The MERGE step of [[upsertSink]], batch-callable (and composable: one
     * foreachBatch can merge several derived tables from a single topic —
-    * the EP1 fan-out): union existing state with the batch, keep the
-    * latest record per key, swap the new state in with a directory rename
-    * (one write per merge; the earlier write-tmp → read-tmp → rewrite
-    * cycle doubled every micro-batch's IO). */
-  def mergeUpsert(batch: DataFrame, tablePath: String, keyCol: String): Unit = {
+    * the EP1 fan-out): union the existing state for the batch's key range
+    * with the batch, keep the latest record per key, swap the result in
+    * with per-directory renames.
+    *
+    * Scale shape — INCREMENTAL, not O(total state): the state table is
+    * laid out hash-bucketed by key (`__bucket=<n>` hive-style dirs, n =
+    * pmod(xxhash64(key), buckets)), so a micro-batch reads and rewrites
+    * ONLY the buckets its keys hash into (partition pruning on the read,
+    * per-bucket rename swap on the write). IO per merge is
+    * O(batch + touched-bucket state) — at 100 TB of vertex/vector state a
+    * small batch touches a few buckets' files, never the table. The bucket
+    * count is recorded in a `_graft_buckets` marker at table root and that
+    * recorded count always wins, so a caller changing the default can
+    * never split a key across two layouts. (Delta/Iceberg MERGE is the
+    * managed-production answer; this is the same discipline on raw
+    * parquet.)
+    *
+    * Crash safety, per bucket: live bucket dir → staged at
+    * `<table>__old/__bucket=n`, then the freshly-written bucket renamed
+    * in; at every crash point each bucket's pre-merge state survives in
+    * exactly one of the two places, and the restore pass at the top of the
+    * next attempt puts staged buckets back before anything is read. A
+    * whole-dir swap (same staging discipline one level up) is used only
+    * for table creation and one-shot migration of a legacy flat layout. */
+  /** Default state-table bucket count — sized for the testdata scale; a
+    * 100 TB deployment passes a count that puts each bucket at a few
+    * hundred MB (the marker file pins whatever a table was created
+    * with). */
+  val DefaultMergeBuckets = 16
+
+  def mergeUpsert(batch: DataFrame, tablePath: String, keyCol: String,
+      buckets: Int = DefaultMergeBuckets): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    // only a genuinely missing table reads as empty; any OTHER read
-    // failure (FS hiccup, corrupt footer, concurrent writer) must
-    // rethrow so the micro-batch fails and retries — silently
-    // substituting empty would discard all previously upserted state
-    // on the next overwrite while the checkpoint marks the batch done
-    val tableDir = new org.apache.hadoop.fs.Path(tablePath)
-    val oldDir = new org.apache.hadoop.fs.Path(tablePath + "__old")
+    val tableDir = new Path(tablePath)
+    val stageDir = new Path(tablePath + "__old")
+    val tmpDir = new Path(tablePath + "__tmp")
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a crash between the two swap renames below leaves the state staged
-    // at __old with the live dir missing — restore it BEFORE the
-    // missing-table test, or the replayed batch would read 'no table' and
-    // silently discard all previously upserted state
-    if (!fs.exists(tableDir) && fs.exists(oldDir) && !fs.rename(oldDir, tableDir))
-      throw new java.io.IOException(s"cannot restore staged state $oldDir")
-    val existing =
-      if (fs.exists(tableDir)) spark.read.parquet(tablePath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-    val merged = existing.withColumn("__p", lit(0))
-      .unionByName(batch.dropDuplicates(keyCol).withColumn("__p", lit(1)))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol)).orderBy(col("__p").desc)))
-      .filter(col("__rn") === 1).drop("__rn", "__p")
-    val tmp = new org.apache.hadoop.fs.Path(tablePath + "__tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    // swap via rename with a staged backup: at every crash point either
-    // the live dir or __old holds the pre-merge state, and a failed
-    // rename OR delete throws so the micro-batch retries instead of
-    // committing — renaming onto a surviving __old would nest the staged
-    // state one level down, where the restore path could not find it
-    if (fs.exists(oldDir) && !fs.delete(oldDir, true))
-      throw new java.io.IOException(s"cannot clear stale $oldDir")
-    if (fs.exists(tableDir) && !fs.rename(tableDir, oldDir))
-      throw new java.io.IOException(s"cannot stage $tableDir for swap")
-    if (!fs.rename(tmp, tableDir)) {
-      fs.rename(oldDir, tableDir) // best-effort restore
-      throw new java.io.IOException(s"state swap failed for $tableDir")
+
+    // ---- crash recovery FIRST: a crash mid-swap leaves pre-merge state
+    // staged under __old (whole table or single buckets, live side gone) —
+    // restore it before the missing-table/missing-bucket tests below, or
+    // the replayed batch would read 'no state' and silently discard
+    // previously upserted rows while the checkpoint marks the batch done
+    if (fs.exists(stageDir)) {
+      if (!fs.exists(tableDir)) {
+        // crashed whole-dir swap (creation/migration): stage IS the table
+        if (!fs.rename(stageDir, tableDir))
+          throw new java.io.IOException(s"cannot restore staged state $stageDir")
+      } else {
+        // crashed per-bucket swap: restore buckets whose live dir is gone;
+        // a staged bucket whose live dir EXISTS was already re-swapped
+        // post-merge (live is newer) — dropped with the stage dir
+        fs.listStatus(stageDir).foreach { st =>
+          val live = new Path(tableDir, st.getPath.getName)
+          if (st.getPath.getName.startsWith("__bucket=") && !fs.exists(live) &&
+              !fs.rename(st.getPath, live))
+            throw new java.io.IOException(s"cannot restore staged bucket ${st.getPath}")
+        }
+        if (!fs.delete(stageDir, true))
+          throw new java.io.IOException(s"cannot clear stale $stageDir")
+      }
     }
-    if (fs.exists(oldDir) && !fs.delete(oldDir, true))
-      throw new java.io.IOException(s"cannot clear staged $oldDir after swap")
+
+    val exists = fs.exists(tableDir)
+    // legacy flat layout (data files at table root): migrate to the
+    // bucketed layout in one whole-table rewrite, this merge only
+    val legacyFlat = exists && fs.listStatus(tableDir).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_"))
+    // the layout's recorded bucket count wins over the parameter — mixing
+    // counts would route a key to a bucket its old rows are not in and
+    // the keep-latest dedup would never see them
+    val markerPath = new Path(tableDir, "_graft_buckets")
+    val nBuckets =
+      if (exists && fs.exists(markerPath)) {
+        val in = fs.open(markerPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toInt
+        finally in.close()
+      } else buckets
+    def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets)).cast("int")
+
+    val incremental = exists && !legacyFlat
+    // incremental merges evaluate the batch twice (touched-bucket probe +
+    // merge write) — cache it so a JSON topic decode doesn't run twice;
+    // creation/migration is a single pass and skips the cache entirely
+    val keyed0 = batch.withColumn("__bucket", bucketOf(col(keyCol)))
+    val keyed =
+      if (incremental)
+        keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else keyed0
+    // the probe: which buckets does this batch touch — the price of
+    // reading only those buckets back; batch ≪ state is the regime this
+    // layout exists for. Creation needs no probe (nothing to read back):
+    // touched is recovered from the written directory listing instead.
+    val touched: Array[Int] =
+      if (!incremental) Array.empty
+      else keyed.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+    if (incremental && touched.isEmpty) {
+      keyed.unpersist(blocking = false)
+      return // empty batch: state untouched
+    }
+
+    val existing =
+      if (!exists) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keyed.schema)
+      else if (legacyFlat)
+        spark.read.parquet(tablePath).withColumn("__bucket", bucketOf(col(keyCol)))
+      else // bucketed: partition pruning keeps untouched buckets unread
+        spark.read.parquet(tablePath)
+          .filter(col("__bucket").isin(touched.toSeq: _*))
+          .withColumn("__bucket", col("__bucket").cast("int"))
+
+    // keep-latest dedup (within the batch AND against existing state) in
+    // ONE shuffle, aligned with the write layout: hash-repartition by
+    // bucket (a key's rows all share its bucket, so they co-locate), sort
+    // each partition by (key, batch-first), keep the first row per key
+    // with a linear scan. A window over the key would shuffle by key and
+    // then need a SECOND shuffle back to bucket order for the partitioned
+    // write; a dropDuplicates on the batch would be a third.
+    val unioned = existing.withColumn("__p", lit(0))
+      .unionByName(keyed.withColumn("__p", lit(1)))
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col(keyCol), col("__p").desc)
+    val keyIdx = unioned.schema.fieldIndex(keyCol)
+    val merged = unioned.mapPartitions { it =>
+      var started = false
+      var prev: Any = null
+      it.filter { r =>
+        val k = r.get(keyIdx)
+        val keep = !started || k != prev
+        started = true; prev = k
+        keep
+      }
+    }(org.apache.spark.sql.Encoders.row(unioned.schema)).drop("__p")
+
+    def writeMarker(dir: Path): Unit = {
+      val out = fs.create(new Path(dir, "_graft_buckets"), true)
+      try out.write(s"$nBuckets\n".getBytes("UTF-8")) finally out.close()
+    }
+
+    merged.write.partitionBy("__bucket").mode("overwrite").parquet(tmpDir.toString)
+    if (incremental) keyed.unpersist(blocking = false)
+
+    if (!incremental && !fs.listStatus(tmpDir).exists(
+        _.getPath.getName.startsWith("__bucket="))) {
+      // creating a table from an empty batch: the partitioned write of
+      // zero rows left no footer at all — write a flat empty parquet so
+      // the schema stays readable; the first real batch migrates it
+      fs.delete(tmpDir, true)
+      merged.drop("__bucket").write.mode("overwrite").parquet(tablePath)
+      return
+    }
+
+    if (!incremental) {
+      // table creation / legacy migration: whole-dir staged swap
+      writeMarker(tmpDir)
+      if (fs.exists(stageDir) && !fs.delete(stageDir, true))
+        throw new java.io.IOException(s"cannot clear stale $stageDir")
+      if (fs.exists(tableDir) && !fs.rename(tableDir, stageDir))
+        throw new java.io.IOException(s"cannot stage $tableDir for swap")
+      if (!fs.rename(tmpDir, tableDir)) {
+        fs.rename(stageDir, tableDir) // best-effort restore
+        throw new java.io.IOException(s"state swap failed for $tableDir")
+      }
+      if (fs.exists(stageDir) && !fs.delete(stageDir, true))
+        throw new java.io.IOException(s"cannot clear staged $stageDir after swap")
+    } else {
+      // per-bucket staged swap — untouched buckets' files are never
+      // listed, read, rewritten or renamed
+      if (!fs.mkdirs(stageDir))
+        throw new java.io.IOException(s"cannot create stage dir $stageDir")
+      touched.foreach { b =>
+        val name = s"__bucket=$b"
+        val liveB = new Path(tableDir, name)
+        val tmpB = new Path(tmpDir, name)
+        if (!fs.exists(tmpB)) // every touched bucket holds ≥1 batch row
+          throw new java.io.IOException(s"merge wrote no data for $tmpB")
+        if (fs.exists(liveB) && !fs.rename(liveB, new Path(stageDir, name)))
+          throw new java.io.IOException(s"cannot stage $liveB for swap")
+        if (!fs.rename(tmpB, liveB)) {
+          fs.rename(new Path(stageDir, name), liveB) // best-effort restore
+          throw new java.io.IOException(s"bucket swap failed for $liveB")
+        }
+      }
+      if (!fs.delete(stageDir, true))
+        throw new java.io.IOException(s"cannot clear staged $stageDir after swap")
+      if (fs.exists(tmpDir) && !fs.delete(tmpDir, true))
+        throw new java.io.IOException(s"cannot clear $tmpDir after swap")
+    }
     ()
   }
 

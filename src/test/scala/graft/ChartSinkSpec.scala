@@ -29,6 +29,19 @@ class ChartSinkSpec extends SparkSpec with Matchers {
     svg shouldBe again
   }
 
+  test("report-size contract is enforced: oversize input fails fast, not OOM") {
+    val s = spark
+    import s.implicits._
+    val big = spark.range(ChartSink.MaxRows + 1L)
+      .selectExpr("cast(id as string) as label", "cast(id as double) as v")
+    val path = java.nio.file.Files.createTempDirectory("chart_big")
+      .resolve("big.svg").toString
+    val e = intercept[IllegalArgumentException] {
+      ChartSink.barChartSvg(big, "label", "v", "too big", path)
+    }
+    e.getMessage should include("chart input exceeds")
+  }
+
   test("labels are XML-escaped and zero/negative values render as zero-height bars") {
     val rendered = ChartSink.render(
       Array(("a<b>&\"q\"", 0.0), ("neg", -3.0)), "t", 400, 200)

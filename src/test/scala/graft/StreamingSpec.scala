@@ -67,6 +67,65 @@ class StreamingSpec extends SparkSpec with Matchers {
     out shouldBe Map("k1" -> "v1", "k2" -> "v2")
   }
 
+  test("incremental merge rewrites ONLY touched buckets (100 TB MERGE shape)") {
+    val s2 = spark
+    import s2.implicits._
+    val table = Files.createTempDirectory("bucketmerge").toFile.getAbsolutePath + "/t"
+    val keys = (0 until 12).map(i => s"key$i")
+    Streams.mergeUpsert(keys.map(k => (k, "v0")).toDF("k", "v"), table, "k")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(table)
+    val fs = live.getFileSystem(conf)
+    def listing(): Map[String, Set[(String, Long, Long)]] =
+      fs.listStatus(live).filter(_.getPath.getName.startsWith("__bucket="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+        }.toMap
+    val before = listing()
+    before.size should be >= 2 // 12 keys over the default buckets: ≥2 dirs w.h.p.
+    // the second merge touches exactly key0's bucket
+    val touchedBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("key0")), lit(Streams.DefaultMergeBuckets))
+        .cast("int")).first().getInt(0)
+    Streams.mergeUpsert(Seq(("key0", "v1")).toDF("k", "v"), table, "k")
+    val after = listing()
+    after.keySet shouldBe before.keySet
+    // untouched buckets: files byte-identical — same names, lengths, mtimes
+    before.foreach { case (dir, files) =>
+      if (dir != s"__bucket=$touchedBucket") after(dir) shouldBe files
+    }
+    after(s"__bucket=$touchedBucket") should not be
+      before(s"__bucket=$touchedBucket")
+    val out = spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    out shouldBe keys.map(k => k -> (if (k == "key0") "v1" else "v0")).toMap
+  }
+
+  test("crashed per-bucket swap: the staged bucket is restored before the read") {
+    val s2 = spark
+    import s2.implicits._
+    val table = Files.createTempDirectory("bucketcrash").toFile.getAbsolutePath + "/t"
+    Streams.mergeUpsert(Seq(("k1", "v1"), ("k2", "v2")).toDF("k", "v"), table, "k")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(table)
+    val fs = live.getFileSystem(conf)
+    // simulate a crash between the two renames of k1's bucket swap: live
+    // bucket gone, pre-merge bucket staged under __old
+    val b1 = spark.range(1)
+      .select(pmod(xxhash64(lit("k1")), lit(Streams.DefaultMergeBuckets))
+        .cast("int")).first().getInt(0)
+    val stage = new org.apache.hadoop.fs.Path(table + "__old")
+    fs.mkdirs(stage) shouldBe true
+    fs.rename(new org.apache.hadoop.fs.Path(live, s"__bucket=$b1"),
+      new org.apache.hadoop.fs.Path(stage, s"__bucket=$b1")) shouldBe true
+    // the next merge (of an unrelated key) must restore k1's bucket first
+    Streams.mergeUpsert(Seq(("k3", "v3")).toDF("k", "v"), table, "k")
+    val out = spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    out shouldBe Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3")
+  }
+
   test("publishSink file path: produced JSON round-trips through subscribe (S1)") {
     val src = writeTopic(userTopic)
     val out = Files.createTempDirectory("topic_out").toFile.getAbsolutePath + "/t"
