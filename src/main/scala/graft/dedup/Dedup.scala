@@ -59,11 +59,18 @@ object Dedup {
       .repartition(col("band"), col("h")) // spread buckets — don't inherit
       //                                     a single-file scan's partitioning
       .localCheckpoint() // signatures are expensive; never recompute for the self-join
-    banded.as("a").join(banded.as("b"),
+    // materialize the (small, collision-sized) pair set so the banded
+    // blocks can be released NOW — leaked corpus×bands checkpoints stack
+    // across calls in a long session until memory pressure drags every
+    // later job
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint()
+    graft.util.BlockRelease.release(banded)
+    pairs
   }
 
   /** Exact Jaccard for given candidate pairs (verification stage): joins
@@ -85,8 +92,16 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16): DataFrame = {
     val sh = shingledHashes(docs, idCol, textCol).cache()
-    jaccardOfPairs(minhashCandidates(sh, k, bands), sh)
+    // near-dup pairs are output-sized: materialize them and release the
+    // corpus-sized shingle cache and the candidate checkpoint before
+    // returning
+    val cand = minhashCandidates(sh, k, bands)
+    val out = jaccardOfPairs(cand, sh)
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    graft.util.BlockRelease.release(cand)
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs at threshold `tau` via
@@ -138,13 +153,18 @@ object Dedup {
     val banded = n.select(col("id"), col("nv"), posexplode(allSigs).as(Seq("t", "s")))
       .repartition(col("t"), col("s"))
       .localCheckpoint() // sigs computed once, spread over buckets
-    banded.as("a").join(banded.as("b"),
+    // verified pairs are output-sized: materialize, then release the
+    // corpus×tables banded blocks instead of leaking them per call
+    val out = banded.as("a").join(banded.as("b"),
         col("a.t") === col("b.t") && col("a.s") === col("b.s") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(VectorFunctions.dot(col("a.nv"), col("b.nv")), 4).as("sim"))
       .filter(col("sim") >= tau)
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
+    graft.util.BlockRelease.release(banded)
+    out
   }
 
   /** Exact all-pairs twin of [[cosineNearDups]] — the spec-side ground

@@ -111,11 +111,16 @@ object DensityCluster {
       .union(pairs.select(col("dst").as("node"), col("src").as("nbr")))
       .join(coreLabels.select(col("node").as("nbr"), col("label")), "nbr")
       .groupBy("node").agg(min(col("label")).as("border_label"))
-    points.select(col("id").as("node"))
+    val out = points.select(col("id").as("node"))
       .join(coreLabels.withColumnRenamed("label", "core_label"), Seq("node"), "left")
       .join(nbrOfCore, Seq("node"), "left")
       .select(col("node").as("id"),
         coalesce(col("core_label"), col("border_label"), lit(-1L)).as("label"))
+      .localCheckpoint() // point-sized, lineage-free
+    // scratch state (bucket rows, ε-edges, core cache) is unreachable from
+    // the checkpointed result — release instead of leaking per call
+    graft.util.BlockRelease.release(Seq(bucketed, pairs, core))
+    out
   }
 
   /** Exact sequential DBSCAN in cosine space (the small-n tier): all-pairs

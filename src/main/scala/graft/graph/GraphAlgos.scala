@@ -57,10 +57,16 @@ object GraphAlgos {
     if (sym.count() <= collectThreshold) {
       val csr = SeqCommunity.build(sym.select(col("src"), col("dst"),
         lit(1.0).as("weight")).as[(Long, Long, Double)].collect())
+      // drop the edge-sized checkpoint blocks NOW: repeated calls would
+      // otherwise stack them in the block manager until memory pressure
+      // slows every later job (measured: runs 5+ of this query went 1.2 s
+      // → 5.5 s from exactly this)
+      graft.util.BlockRelease.release(sym)
       return lpaInMemory(csr, maxSteps).toSeq.toDF("node", "label")
     }
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
+    var prevCkpt: DataFrame = null
     for (step <- 1 to maxSteps) {
       val counts = sym
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
@@ -74,9 +80,19 @@ object GraphAlgos {
       // stage from runtime stats); materialize every 3rd step only to
       // bound lineage/codegen depth — per-step eager actions were 5
       // scheduler round-trips of pure fixed overhead on a node-sized DF
-      if (step % 3 == 0 && step < maxSteps) labels = labels.localCheckpoint()
+      if (step % 3 == 0 && step < maxSteps) {
+        labels = labels.localCheckpoint()
+        if (prevCkpt != null) graft.util.BlockRelease.release(prevCkpt)
+        prevCkpt = labels
+      }
     }
-    labels.localCheckpoint() // lineage-free node-sized result
+    val out = labels.localCheckpoint() // lineage-free node-sized result
+    // superseded intermediates and the edge checkpoint are no longer
+    // reachable from `out` — release their blocks instead of letting
+    // repeated calls accumulate them
+    if (prevCkpt != null) graft.util.BlockRelease.release(prevCkpt)
+    graft.util.BlockRelease.release(sym)
+    out
   }
 
   /** Synchronous LPA over CSR arrays — the small-graph twin of the
@@ -133,11 +149,13 @@ object GraphAlgos {
       .localCheckpoint()
     if (pairs.count() <= collectThreshold) {
       val es = pairs.as[(Long, Long)].collect()
+      graft.util.BlockRelease.release(pairs) // edge-sized; don't leak per call
       val uf = new graft.util.UnionFind.Longs
       es.foreach { case (a, b) => uf.union(a, b) }
       return es.flatMap(e => Seq(e._1, e._2)).distinct
         .map(n0 => (n0, uf.find(n0))).toSeq.toDF("node", "label")
     }
+    graft.util.BlockRelease.release(pairs)
     CCLib.run(toGraph(edges)).vertices.toDF("node", "label")
   }
 }

@@ -63,11 +63,13 @@ object Hdbscan {
         .as[(Long, Array[Double])].collect().sortBy(_._1)
       return exactInMemory(pts, minPts, minClusterSize).toSeq.toDF("id", "label")
     }
-    val und = knnLsh(points, knnK, bits, tables)
+    val (knn, knnScratch) = knnLsh(points, knnK, bits, tables)
+    val und = knn
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"), col("d"))
       .groupBy("a", "b").agg(min(col("d")).as("d"))
       .localCheckpoint()
+    graft.util.BlockRelease.release(knnScratch) // bucket rows: und owns the data now
 
     // core distance = d of the minPts-th nearest incident candidate; a
     // point with fewer than minPts candidates (LSH tier only) sits in a
@@ -102,6 +104,9 @@ object Hdbscan {
       } else {
         runDistributedMst(points, mre, minClusterSize, collectThreshold)
       }
+    // both branches have materialized everything derived from the
+    // candidate edges — release them instead of leaking per call
+    graft.util.BlockRelease.release(und)
 
     points.select(col("id"))
       .join(labels, Seq("id"), "left")
@@ -117,7 +122,7 @@ object Hdbscan {
     val mst = boruvkaMst(mre).localCheckpoint()
     val mstSize = mst.count()
 
-    if (mstSize <= collectThreshold) {
+    val out = if (mstSize <= collectThreshold) {
         val edges = mst.select(col("a"), col("b"), col("w"))
           .as[(Long, Long, Double)].collect()
         val ids = points.select(col("id")).as[Long].collect()
@@ -145,7 +150,10 @@ object Hdbscan {
         comps.join(sizes, "label")
           .select(col("node").as("id"),
             when(col("sz") >= minClusterSize, col("label")).otherwise(lit(-1L)).as("label"))
+          .localCheckpoint() // node-sized; lets the MST blocks go
       }
+    graft.util.BlockRelease.release(mst)
+    out
   }
 
   /** Sequential Kruskal under the lexicographic (w, a, b) edge order —
@@ -237,7 +245,7 @@ object Hdbscan {
   /** Approximate kNN edges from centered-hyperplane LSH bucket mates
     * (candidate generation = equality join, the at-scale tier). */
   private[graft] def knnLsh(points: DataFrame, k: Int,
-      bits: Int, tables: Int): DataFrame = {
+      bits: Int, tables: Int): (DataFrame, DataFrame) = {
     val meanRow = points.agg(graft.functions.VectorMean(col("v")).as("m"))
       .select(col("m")).first().getSeq[Double](0)
     val meanCol = array(meanRow.map(lit): _*)
@@ -258,7 +266,7 @@ object Hdbscan {
     // vectors through that dedup was a multi-GB shuffle
     val wBucket = Window.partitionBy(col("t"), col("s"), col("a"))
       .orderBy(col("d").asc, col("b").asc)
-    bucketed.as("x").join(bucketed.as("y"),
+    val topk = bucketed.as("x").join(bucketed.as("y"),
         col("x.t") === col("y.t") && col("x.s") === col("y.s") &&
           col("x.id") =!= col("y.id"))
       .select(col("x.t").as("t"), col("x.s").as("s"),
@@ -278,6 +286,7 @@ object Hdbscan {
       .dropDuplicates("a", "b")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+    (topk, bucketed) // caller releases `bucketed` once topk is materialized
   }
 
   /** Distributed Borůvka: O(log n) rounds; each round every component
@@ -292,6 +301,10 @@ object Hdbscan {
     var comp = und.select(col("a").as("node")).union(und.select(col("b")))
       .distinct().select(col("node"), col("node").as("comp"))
       .localCheckpoint()
+    // minE checkpoints feed the LAZY mst union across rounds — they are
+    // only releasable after the final mst materializes; everything else is
+    // released the round it is superseded
+    val minEs = mutable.ArrayBuffer[DataFrame]()
     var mst: DataFrame = null
     var done = false
     while (!done) {
@@ -310,6 +323,7 @@ object Hdbscan {
           .select(col("c"), col("ed.a").as("a"), col("ed.b").as("b"),
             col("ed.w").as("w"), col("ed.tc").as("tc"))
           .localCheckpoint()
+        minEs += minE
         val nComps = minE.count()
         val chosen = minE.select(col("a"), col("b"), col("w")).distinct()
         mst = if (mst == null) chosen else mst.union(chosen)
@@ -349,19 +363,30 @@ object Hdbscan {
               changed = nxt.as("n")
                 .join(p.select(col("c"), col("p").as("prev")).as("o"), Seq("c"))
                 .filter(col("p") =!= col("prev")).count()
+              graft.util.BlockRelease.release(p) // superseded doubling state
               p = nxt
             }
             p.select(col("c").as("comp"), col("p").as("nc"))
           }
+        val prevComp = comp
         comp = comp
           .join(relabel, Seq("comp"), "left")
           .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
           .localCheckpoint()
+        graft.util.BlockRelease.release(prevComp)
       }
+      graft.util.BlockRelease.release(e) // consumed into minE/mst this round
     }
-    if (mst == null) und.limit(0)
-    else mst.select(least(col("a"), col("b")).as("a"),
-      greatest(col("a"), col("b")).as("b"), col("w")).distinct()
+    val result =
+      if (mst == null) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], und.schema)
+      else mst.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("w")).distinct()
+        .localCheckpoint()
+    graft.util.BlockRelease.release(und)
+    graft.util.BlockRelease.release(comp)
+    minEs.foreach(graft.util.BlockRelease.release)
+    result
   }
 
   /** In-memory hierarchy extraction: single-linkage dendrogram (union-find

@@ -33,7 +33,9 @@ object KCore {
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
       .localCheckpoint()
     if (sym.count() <= collectThreshold) {
-      val csr = SeqCommunity.build(sym.as[(Long, Long, Double)].collect())
+      val es = sym.as[(Long, Long, Double)].collect()
+      graft.util.BlockRelease.release(sym) // edge-sized; don't leak per call
+      val csr = SeqCommunity.build(es)
       val core = peel(csr)
       return (0 until csr.n).map(i => (csr.ids(i), core(i)))
         .toDF("node", "core")
@@ -102,10 +104,13 @@ object KCore {
           (least(col("est"), coalesce(col("h"), lit(0))) =!= col("est")).as("mv"))
         .localCheckpoint()
       changed = next.filter(col("mv")).count()
+      graft.util.BlockRelease.release(est) // superseded round state
       est = next.select(col("node"), col("est"))
       iter += 1
     }
-    est.select(col("node"), col("est").as("core"))
+    val out = est.localCheckpoint()
+    graft.util.BlockRelease.release(Seq(est, sym))
+    out.select(col("node"), col("est").as("core"))
   }
 
   /** Batagelj–Zaveršnik bucket peeling over CSR arrays: O(E), exact. */

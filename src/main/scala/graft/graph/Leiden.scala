@@ -29,7 +29,9 @@ object Leiden {
     // distributed rounds' per-round cost is pure scheduler latency there
     val (sym0, nSymEdges, m2in) = Louvain.symWithStats(edges0)
     if (nSymEdges <= collectThreshold) {
-      val label = leidenInMemory(sym0.as[(Long, Long, Double)].collect(), m2in)
+      val es = sym0.as[(Long, Long, Double)].collect()
+      graft.util.BlockRelease.release(sym0) // edge-sized; don't leak per call
+      val label = leidenInMemory(es, m2in)
       return label.toSeq.toDF("node", "label")
     }
 
@@ -54,14 +56,17 @@ object Leiden {
       ref.select(col("node"), col("ref").as("comm")), contractedRef,
       phase.m2, distRounds, collectThreshold, maxLevels)
 
-    if (nEdges <= collectThreshold) {
+    val out = (if (nEdges <= collectThreshold) {
       val finished = leidenInMemory(contracted.as[(Long, Long, Double)].collect(), phase.m2)
       val labelDf = finished.toSeq.toDF("rl", "label")
       mapping.join(broadcast(labelDf), mapping("comm") === labelDf("rl"))
         .select(col("node"), labelDf("label"))
     } else {
       mapping.select(col("node"), col("comm").as("label"))
-    }
+    }).localCheckpoint() // node-sized, lineage-free — lets everything below go
+    graft.util.BlockRelease.release(
+      Seq(sym0, phase.deg, phase.comm, ref, contractedRef, mapping, contracted))
+    out
   }
 
   /** Distributed Leiden refinement: within each coarse community, nodes
@@ -95,6 +100,7 @@ object Leiden {
     // comm is already cached, so re-deriving the singleton seed per
     // reference is a projection of cached blocks — no materialization
     var ref = comm.select(col("node"), col("node").as("ref"))
+    var prevCkpt: DataFrame = null
     var round = 0
     var moved = 1L
     while (round < rounds && moved > 0) {
@@ -126,9 +132,12 @@ object Leiden {
           (col("target").isNotNull && parity).as("mv"))
         .localCheckpoint()
       moved = nextState.filter(col("mv")).count()
+      if (prevCkpt != null) graft.util.BlockRelease.release(prevCkpt)
+      prevCkpt = nextState
       ref = nextState.select(col("node"), col("ref"))
       round += 1
     }
+    graft.util.BlockRelease.release(intra) // every round's state is checkpointed
     ref
   }
 

@@ -112,7 +112,10 @@ object Louvain {
       val prev = comm
       if (moved > 0) {
         comm = nextState.select(col("node"), col("comm"))
-        prev.unpersist(blocking = false)
+        // round-1 comm is the deg-backed cache (plain unpersist); later
+        // rounds are superseded checkpoints whose blocks must go too
+        if (round == 0) prev.unpersist(blocking = false)
+        else graft.util.BlockRelease.release(prev)
       }
       round += 1
     }
@@ -151,15 +154,25 @@ object Louvain {
       val next = distributedPhaseSym(
         contracted.select(col("csrc").as("src"), col("cdst").as("dst"), col("weight")),
         distRounds, m2)
+      val prevMapping = mapping
       mapping = mapping
         .join(next.comm.select(col("node").as("c0"), col("comm").as("cnext")),
           mapping("comm") === col("c0"))
         .select(mapping("node"), col("cnext").as("comm"))
         .localCheckpoint()
-      next.comm.unpersist(blocking = false)
-      val newEdges = next.contracted.count()
+      val newEdges = next.contracted.count() // materializes the lazy ckpt
       progress = newEdges < nEdges
       nEdges = newEdges
+      // each level's inputs are superseded once the composed mapping and
+      // the next contraction are BOTH materialized — release them instead
+      // of stacking a graph per level (ordering matters: releasing
+      // next.comm's blocks before the contraction job would destroy its
+      // truncated-lineage input)
+      if (!(prevMapping eq mapping0))
+        graft.util.BlockRelease.release(prevMapping)
+      graft.util.BlockRelease.release(next.comm)
+      graft.util.BlockRelease.release(next.deg)
+      graft.util.BlockRelease.release(contracted)
       contracted = next.contracted
       level += 1
     }
@@ -195,17 +208,20 @@ object Louvain {
     val (sym, nSymEdges, m2in) = symWithStats(edges0)
     if (nSymEdges <= collectThreshold) {
       // small-graph tier: exact sequential Louvain on the collected graph
-      val label = localLouvain(sym.as[(Long, Long, Double)].collect(), m2in)
+      val es = sym.as[(Long, Long, Double)].collect()
+      graft.util.BlockRelease.release(sym) // edge-sized; don't leak per call
+      val label = localLouvain(es, m2in)
       return label.toSeq.toDF("node", "label")
     }
-    val Phase(comm, _, _, contracted0, m2) = distributedPhaseSym(sym, distRounds, m2in)
+    val ph = distributedPhaseSym(sym, distRounds, m2in)
     val (mapping, contracted, nEdges) =
-      coarsenUntilFits(comm, contracted0, m2, distRounds, collectThreshold, maxLevels)
+      coarsenUntilFits(ph.comm, ph.contracted, ph.m2, distRounds,
+        collectThreshold, maxLevels)
 
-    if (nEdges <= collectThreshold) {
+    val out = (if (nEdges <= collectThreshold) {
       // ---- phase 2: classic sequential Louvain on the collected super-graph ----
       val superEdges = contracted.as[(Long, Long, Double)].collect()
-      val superLabel = localLouvain(superEdges, m2)
+      val superLabel = localLouvain(superEdges, ph.m2)
       val labelDf = superLabel.toSeq.toDF("comm", "final_label")
       mapping.join(broadcast(labelDf), "comm")
         .select(col("node"), col("final_label").as("label"))
@@ -214,7 +230,9 @@ object Louvain {
       // answer at this point — further in-memory refinement is impossible
       // without violating the memory bound, so degrade, don't die
       mapping.select(col("node"), col("comm").as("label"))
-    }
+    }).localCheckpoint() // node-sized, lineage-free — lets everything below go
+    graft.util.BlockRelease.release(Seq(sym, ph.deg, ph.comm, mapping, contracted))
+    out
   }
 
   /** Modularity optimization à la GDS (SURVEY.md G7; reference call at
@@ -227,11 +245,15 @@ object Louvain {
     import spark.implicits._
     val (sym, nSymEdges, m2) = symWithStats(edges0)
     if (nSymEdges <= collectThreshold) {
-      SeqCommunity.localMoveOnly(sym.as[(Long, Long, Double)].collect(), m2)
-        .toSeq.toDF("node", "label")
+      val es = sym.as[(Long, Long, Double)].collect()
+      graft.util.BlockRelease.release(sym) // edge-sized; don't leak per call
+      SeqCommunity.localMoveOnly(es, m2).toSeq.toDF("node", "label")
     } else {
-      distributedPhaseSym(sym, rounds, m2).comm
-        .select(col("node"), col("comm").as("label"))
+      val ph = distributedPhaseSym(sym, rounds, m2)
+      val out = ph.comm.select(col("node"), col("comm").as("label"))
+        .localCheckpoint()
+      graft.util.BlockRelease.release(Seq(sym, ph.deg, ph.comm))
+      out
     }
   }
 

@@ -61,9 +61,12 @@ object PipelineQueries {
       .select(col("id"), round(col("score"), 4).as("score"))
   }
 
-  /** q27 — LSH ANN top-10 for vec 0 (multi-table hyperplane buckets). */
+  /** q27 — LSH ANN top-10 for vec 0 (multi-table hyperplane buckets).
+    * No per-call cache: the corpus is read twice (query-vector probe +
+    * bucket join) but a parquet re-scan is cheaper than stacking a cached
+    * copy of the embeddings per invocation in long sessions. */
   val q27AnnLsh: Q = (spark, dir) => {
-    val pts = unitEmb(spark, dir).cache()
+    val pts = unitEmb(spark, dir)
     val qv = pts.filter(col("id") === 0).select(col("v")).first().getSeq[Double](0)
     val qcol = array(qv.map(lit): _*)
     Ann.lshTopK(pts.filter(col("id") =!= 0), "id", "v", qcol, k = 10,

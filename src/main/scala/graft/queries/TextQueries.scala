@@ -67,13 +67,19 @@ object TextQueries {
       //   a checkpoint inheriting a single-file scan's partitioning would
       //   run the whole self-join in one task
       .localCheckpoint() // shingling is the expensive part; never do it twice
-    ex.as("a").join(ex.as("b"),
+    // pair set is output-sized: materialize it and free the inverted
+    // index's corpus×shingles blocks (repeated calls in one session would
+    // otherwise stack them until memory pressure)
+    val out = ex.as("a").join(ex.as("b"),
         $"a.s" === $"b.s" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("inter"), max($"a.n").as("na"), max($"b.n").as("nb"))
       .select($"doc_a", $"doc_b",
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
+      .localCheckpoint()
+    graft.util.BlockRelease.release(ex)
+    out
   }
 
   /** q34 — heuristic language ID (stopword-density n-gram heuristic). */

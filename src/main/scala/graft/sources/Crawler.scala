@@ -51,7 +51,9 @@ object Crawler {
       // is folded in) and drive the loop off the checkpointed size delta
       // instead of a separate isEmpty job; the next frontier is re-derived
       // from the materialized union by a depth filter, never recomputed
+      val prev = visited
       visited = visited.union(fresh).localCheckpoint()
+      graft.util.BlockRelease.release(prev) // superseded by the new union
       val n = visited.count() // reads the materialized blocks, no re-run
       frontierSize = n - visitedCount
       visitedCount = n
