@@ -33,8 +33,12 @@ object ScaleBench {
       (0 until replicas).map { i =>
         li.select(
           (col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
+          // supplier-block mixing: modulus grows with the replica count
+          // past 10 so the distinct edge set keeps growing (a fixed mod-10
+          // saturates at the k=10 fixture's 4.5M edges)
           (col("l_suppkey") +
-            pmod(xxhash64(col("l_orderkey")) + lit(i), lit(10)) * 1000)
+            pmod(xxhash64(col("l_orderkey")) + lit(i),
+              lit(math.max(replicas, 10))) * 1000)
             .as("l_suppkey"))
       }.reduce(_ union _)
 
@@ -44,8 +48,15 @@ object ScaleBench {
       ((System.nanoTime() - t0) / 1e9, r)
     }
 
+    // SPARK_GRAFT_SCALE_KS=1,10 picks replica factors (default 1,10);
+    // SPARK_GRAFT_SCALE_ONLY=fastrp32 restricts the algorithm set — the
+    // round-4 FastRP decade-up run uses KS=30 ONLY=fastrp32 (~15M edges)
+    val ks = sys.env.get("SPARK_GRAFT_SCALE_KS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 10))
+    val onlyAlgos = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val threshold = 500000L // below both graphs → distributed path at both
-    Seq(1, 10).foreach { k =>
+    ks.foreach { k =>
       val g = Projection.coEngagementSalted(engagement(k),
         "l_suppkey", "l_orderkey").localCheckpoint()
       val nEdges = g.count()
@@ -69,7 +80,8 @@ object ScaleBench {
         "connected_components" -> (() => GraphAlgos.connectedComponents(g,
           collectThreshold = threshold).count()),
         "kcore_df" -> (() => KCore.runDF(g).count()))
-      rows.foreach { case (name, f) =>
+      rows.filter { case (name, _) => onlyAlgos.forall(_.contains(name)) }
+        .foreach { case (name, f) =>
         val (sec, n) = t(f())
         // stderr: unbuffered through sbt, progress visible mid-run
         System.err.println(

@@ -76,6 +76,33 @@ object TextFunctions {
     array_distinct(joined)
   }
 
+  /** Cross-engine-reproducible 16-dim signed feature-hash embedding:
+    * token t contributes ±1 to bucket b where b = value of the 2nd hex
+    * digit of md5(t) and the sign is + iff the 3rd digit ≥ 8. Every
+    * ingredient (whitespace tokenization, md5, hex-digit arithmetic,
+    * integer sums) computes identically in any SQL engine with md5 — so
+    * unlike the FNV/xxhash embeddings (engine-native, rows-only checks),
+    * cosine over THIS embedding is DuckDB-oracle-able bit-for-bit: the
+    * vectors are integer-valued, making dot products and norms exact in
+    * doubles. Pure built-ins, no UDF.
+    *
+    * Shape: ONE fold over the token list accumulating the 16-dim array
+    * (each step patches one slot of the running vector). The tempting
+    * per-dim formulation — transform(0..15, i => aggregate(tokens, ...))
+    * — re-evaluates the whole token→md5 signature lambda once per output
+    * dim (higher-order lambdas get no CSE, and CollapseProject re-inlines
+    * any staging projection), a measured 16× md5 blowup at sf0.1. */
+  def md5Embed(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val sig = transform(toks, tk => struct(
+      conv(substring(md5(tk), 2, 1), 16, 10).cast("int").as("b"),
+      when(conv(substring(md5(tk), 3, 1), 16, 10).cast("int") >= 8, lit(1.0))
+        .otherwise(lit(-1.0)).as("s")))
+    aggregate(sig, array_repeat(lit(0.0), 16),
+      (acc, x) => transform(acc, (v, i) =>
+        when(i === x.getField("b"), v + x.getField("s")).otherwise(v)))
+  }
+
   /** MinHash signature of a shingle array — single-pass custom expression
     * (see [[graft.functions.MinHashSig]]): one content hash per element +
     * k universal-hash mixes, not k full rehashes. */

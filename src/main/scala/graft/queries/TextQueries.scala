@@ -105,6 +105,55 @@ object TextQueries {
   val q36MinhashLsh: Q = (spark, dir) =>
     Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text", threshold = 0.5)
 
+  /** q38 — the dedup VERIFY stage under the full hash oracle (closing the
+    * round-3 q24 rows-only gap): candidates are doc pairs sharing ≥1 exact
+    * 3-word shingle within a source (the same SQL-expressible inverted
+    * index as q33, joined on md5 of the shingle string — identical in both
+    * engines), and each candidate is verified by cosine ≥ 0.6 over the
+    * [[graft.functions.TextFunctions.md5Embed]] vectors. Both the
+    * candidate set and the numerically-sensitive verify arithmetic
+    * hash-match DuckDB exactly (integer-valued vectors → exact dot/norm);
+    * q24 keeps exercising the SRP-LSH candidate tier, spec-proven equal to
+    * its brute twin. */
+  val q38CosineVerify: Q = (spark, dir) => {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    // candidate pairs via the one-pass HASHED shingle index (q33's
+    // machinery): the oracle joins on md5 of the shingle string, but the
+    // PAIR SET is what must match, and 64-bit content hashes produce the
+    // same pairs (collisions negligible) at a fraction of the string+md5
+    // cost — the md5 arithmetic is reserved for the verify stage, where
+    // bit-level parity is what the oracle checks
+    val ex = Dedup.shingledHashes(d, "doc_id", "text", 3, keep = Seq("source"))
+      .select($"doc_id", $"source", explode($"shingles").as("k"))
+      .repartition($"k") // spread the inverted index (q33 discipline)
+      .localCheckpoint() // shingling runs once for both self-join sides
+    val cand = ex.as("a").join(ex.as("b"),
+        $"a.k" === $"b.k" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+      .localCheckpoint()
+    graft.util.BlockRelease.release(ex)
+    // materialized BEFORE the pair join: Catalyst otherwise collapses the
+    // embedding projection past the join and re-evaluates the (interpreted
+    // higher-order) md5 vector fold once per candidate PAIR SIDE instead
+    // of once per document — measured 14 s → <1 s on 56k sf0.1 candidates
+    val emb = d.select($"doc_id", md5Embed($"text").as("v"))
+      .withColumn("n2", aggregate($"v", lit(0.0), (acc, x) => acc + x * x))
+      .localCheckpoint()
+    val out = cand
+      .join(emb.select($"doc_id".as("doc_a"), $"v".as("va"), $"n2".as("na2")), "doc_a")
+      .join(emb.select($"doc_id".as("doc_b"), $"v".as("vb"), $"n2".as("nb2")), "doc_b")
+      .filter($"na2" > 0 && $"nb2" > 0)
+      .select($"doc_a", $"doc_b",
+        round(aggregate(zip_with($"va", $"vb", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / sqrt($"na2" * $"nb2"), 4).as("cos"))
+      .filter($"cos" >= 0.6)
+      .localCheckpoint()
+    graft.util.BlockRelease.release(cand)
+    graft.util.BlockRelease.release(emb)
+    out
+  }
+
   /** q37 — document kNN through the deterministic EmbedText expression:
     * embed all docs (64-dim hashed), top-10 most similar to doc 0. */
   val q37EmbedKnn: Q = (spark, dir) => {
@@ -126,7 +175,8 @@ object TextQueries {
     "q34_langid" -> q34LangId,
     "q35_simhash_neardups" -> q35SimhashNearDups,
     "q36_minhash_lsh" -> q36MinhashLsh,
-    "q37_embed_knn" -> q37EmbedKnn)
+    "q37_embed_knn" -> q37EmbedKnn,
+    "q38_cosine_verify" -> q38CosineVerify)
 
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
@@ -190,5 +240,31 @@ object TextQueries {
          |SELECT doc_id,
          |CASE WHEN len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE / len(toks) >= 0.02
          |  THEN 'en' ELSE 'und' END AS lang_guess, lang
-         |FROM t""".stripMargin)
+         |FROM t""".stripMargin,
+    "q38_cosine_verify" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS ks FROM t),
+        |ex AS (SELECT doc_id, source, unnest(ks) AS k FROM sh),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |    FROM ex a JOIN ex b ON a.k = b.k AND a.source = b.source
+        |      AND a.doc_id < b.doc_id),
+        |v AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |      list_sum(list_transform(toks, tk ->
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1 = i
+        |          THEN (CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 3, 1)) >= 9
+        |            THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))) AS v FROM t),
+        |n AS (SELECT doc_id, v,
+        |    list_sum(list_transform(v, x -> x * x)) AS n2 FROM v)
+        |SELECT c.doc_a, c.doc_b,
+        |  round(list_sum(list_transform(range(1, 17),
+        |      i -> na.v[i] * nb.v[i])) / sqrt(na.n2 * nb.n2), 4) AS cos
+        |FROM cand c
+        |JOIN n na ON na.doc_id = c.doc_a
+        |JOIN n nb ON nb.doc_id = c.doc_b
+        |WHERE na.n2 > 0 AND nb.n2 > 0
+        |  AND round(list_sum(list_transform(range(1, 17),
+        |      i -> na.v[i] * nb.v[i])) / sqrt(na.n2 * nb.n2), 4) >= 0.6""".stripMargin)
 }
