@@ -86,6 +86,60 @@ object WavCodec extends Codec {
     } catch { case _: Exception => None }
 }
 
+/** Decodes one VIDEO-shaped payload into per-frame feature vectors (one
+  * row per frame downstream) — the multi-frame sibling of [[Codec]]. */
+trait FrameCodec extends Serializable {
+  def frameFeatures(payload: Array[Byte], featureDim: Int): Option[Seq[Array[Double]]]
+}
+
+/** REAL multi-frame decode — animated GIF via pure-JVM `javax.imageio`
+  * (the GIF reader ships with the JDK and exposes every frame through
+  * `getNumImages`/`read(i)`): features = one `featureDim`-bin luminance
+  * histogram per frame, L1-normalized. GIF stores indexed color
+  * losslessly, so a grayscale synthesis round-trips bit-exactly — the
+  * same oracle-ability as [[ImageIoCodec]]'s PNG path, but 1→N. Returns
+  * None when the payload isn't a decodable GIF, so undecodable rows
+  * degrade instead of failing the batch. */
+object GifFramesCodec extends FrameCodec {
+  def frameFeatures(payload: Array[Byte], featureDim: Int): Option[Seq[Array[Double]]] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map { f =>
+            val img = reader.read(f)
+            val hist = new Array[Double](featureDim)
+            val w = img.getWidth
+            val h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+                  + 114 * (rgb & 0xff)) / 1000
+                hist(lum * featureDim / 256) += 1.0
+                x += 1
+              }
+              y += 1
+            }
+            val total = math.max(1.0, (w.toLong * h).toDouble)
+            var j = 0
+            while (j < featureDim) { hist(j) /= total; j += 1 }
+            hist
+          })
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => None }
+}
+
 /** REAL image decode — pure-JVM `javax.imageio` (PNG/BMP/GIF/JPEG ship
   * with the JDK, no native libs): features = `featureDim`-bin luminance
   * histogram over the decoded pixels, L1-normalized. Returns None for

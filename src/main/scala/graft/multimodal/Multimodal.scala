@@ -76,6 +76,50 @@ object Multimodal {
     }.toDF()
   }
 
+  case class FrameFeatures(media_id: Long, kind: String, frame_idx: Int,
+      features: Array[Double])
+
+  /** REAL frame sampling + featurization through the [[FrameCodec]] seam:
+    * one binary payload row in, one typed row PER DECODED FRAME out —
+    * the 1→N shape [[sampleFrames]] stubs with byte slicing, backed by an
+    * actual multi-frame decoder (e.g. [[GifFramesCodec]]). Rows whose
+    * payload no codec decodes fall back to `fallbackFrames` byte-slice
+    * "frames" through the byte-histogram stub — per-row error
+    * containment, same partition-batched plumbing as
+    * [[extractFeatures]]. */
+  def extractFrameFeatures(media: DataFrame, featureDim: Int = 16,
+      codecs: Map[String, FrameCodec] = Map.empty,
+      fallbackFrames: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaRecord] = media.select(
+        col("media_id"), col("kind"), col("payload"),
+        col("meta.width"), col("meta.height"), col("meta.duration_ms"), col("meta.codec"))
+      .as[MediaRecord]
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+        val frames = codecs.get(r.kind)
+          .flatMap(_.frameFeatures(bytes, featureDim))
+          .getOrElse {
+            // stub tier: slice the payload into equal chunks and
+            // byte-histogram each — deterministic, never fails
+            val n = math.max(1, fallbackFrames)
+            (0 until n).map { f =>
+              val from = f * bytes.length / n
+              val until = math.min(bytes.length, (f + 1) * bytes.length / n)
+              ByteHistogramCodec
+                .features(java.util.Arrays.copyOfRange(bytes, from, until), featureDim)
+                .get
+            }
+          }
+        frames.iterator.zipWithIndex.map { case (feat, i) =>
+          FrameFeatures(r.media_id, r.kind, i, feat)
+        }
+      }
+    }.toDF()
+  }
+
   /** STUB resize: deterministic byte decimation to ≈targetBytes (stands in
     * for image resize keeping the binary-in/binary-out contract). */
   def resizePayload(media: DataFrame, targetBytes: Int): DataFrame =

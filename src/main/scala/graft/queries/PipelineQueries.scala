@@ -173,13 +173,66 @@ object PipelineQueries {
         round(col("share"), 6).as("share"))
   }
 
+  /** q62 — REAL video-shaped frame sampling under the oracle (the
+    * multi-frame sibling of q60/q61): deterministic 4-frame 8×8 animated
+    * GIFs (frame f pixel k = (id·31 + f·97 + k²) mod 256, drawn into an
+    * explicit 256-gray indexed palette so GIF's lossless indexed encoding
+    * round-trips bit-exactly) are ENCODED with the JDK GIF writer, then
+    * DECODED frame-by-frame through [[graft.multimodal.GifFramesCodec]]
+    * into per-frame luminance histograms — the 1→N frame-sample operator
+    * with a real codec, hash-verified end-to-end. */
+  val q62GifFrames: Q = (spark, dir) => {
+    import spark.implicits._
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      val cmap = Array.tabulate(256)(g => (0xff << 24) | (g << 16) | (g << 8) | g)
+      val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+        java.awt.image.DataBuffer.TYPE_BYTE)
+      // one writer per partition (the per-batch setup slot extractFeatures
+      // documents): writer lookup + instantiation per payload measurably
+      // dominates at corpus scale
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      it.map { d =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < 4) {
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          var k = 0
+          while (k < 64) {
+            val v = ((d * 31 + f * 97 + k.toLong * k) % 256).toInt
+            img.getRaster.setSample(k % 8, k / 8, 0, v)
+            k += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        (d, "video", bos.toByteArray)
+      }
+    }.toDF("media_id", "kind", "payload")
+      .withColumn("meta", expr(
+        "named_struct('width', 8, 'height', 8, 'duration_ms', 400L, 'codec', 'gif')"))
+    Multimodal.extractFrameFeatures(media, featureDim = 16,
+        codecs = Map("video" -> graft.multimodal.GifFramesCodec))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        posexplode(col("features")).as(Seq("bin", "share")))
+      .select(col("media_id"), col("frame_idx"), col("bin").cast("long").as("bin"),
+        round(col("share"), 6).as("share"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q26_ann_ivf" -> q26AnnIvf,
     "q27_ann_lsh" -> q27AnnLsh,
     "q50_multimodal_features" -> q50MultimodalFeatures,
     "q51_frame_sample" -> q51FrameSample,
     "q60_image_features" -> q60ImageFeatures,
-    "q61_audio_features" -> q61AudioFeatures)
+    "q61_audio_features" -> q61AudioFeatures,
+    "q62_gif_frames" -> q62GifFrames)
 
   /** q50/q51 are deterministic byte arithmetic over ASCII stand-in
     * payloads (octet_length == length across the testdata), so the byte
@@ -234,5 +287,19 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT g.media_id, g.bin,
         |  round(coalesce(h.c, 0)::DOUBLE / 256, 6) AS share
-        |FROM g LEFT JOIN h ON g.media_id = h.media_id AND g.bin = h.bin""".stripMargin)
+        |FROM g LEFT JOIN h ON g.media_id = h.media_id AND g.bin = h.bin""".stripMargin,
+    "q62_gif_frames" ->
+      """WITH px AS (SELECT doc_id AS media_id,
+        |    unnest(range(0, 4)) AS frame_idx FROM documents),
+        |pk AS (SELECT media_id, frame_idx, unnest(range(0, 64)) AS k FROM px),
+        |v AS (SELECT media_id, frame_idx,
+        |    ((media_id * 31 + frame_idx * 97 + k * k) % 256) // 16 AS bin
+        |  FROM pk),
+        |h AS (SELECT media_id, frame_idx, bin, count(*) AS c
+        |  FROM v GROUP BY 1, 2, 3),
+        |g AS (SELECT media_id, frame_idx, unnest(range(0, 16)) AS bin FROM px)
+        |SELECT g.media_id, g.frame_idx, g.bin,
+        |  round(coalesce(h.c, 0)::DOUBLE / 64, 6) AS share
+        |FROM g LEFT JOIN h ON g.media_id = h.media_id
+        |  AND g.frame_idx = h.frame_idx AND g.bin = h.bin""".stripMargin)
 }

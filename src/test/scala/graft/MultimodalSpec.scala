@@ -119,4 +119,54 @@ class MultimodalSpec extends SparkSpec with Matchers {
     // undecodable payload degrades to the byte-histogram stub, not a failure
     WavCodec.features("not audio".getBytes("UTF-8"), 16) shouldBe None
   }
+
+  test("real video codec: GIF frames decode 1→N with exact palette round-trip") {
+    import graft.multimodal.GifFramesCodec
+    // 2-frame 8x8 GIF over an explicit 256-gray palette: frame 0 all
+    // black, frame 1 half black half white
+    val cmap = Array.tabulate(256)(g => (0xff << 24) | (g << 16) | (g << 8) | g)
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 2) {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, if (f == 1 && y >= 4) 255 else 0)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+
+    val frames = GifFramesCodec.frameFeatures(gif, 16).get
+    frames.length shouldBe 2
+    frames(0)(0) shouldBe 1.0 +- 1e-9 // all pixels in the darkest bin
+    frames(1)(0) shouldBe 0.5 +- 1e-9
+    frames(1)(15) shouldBe 0.5 +- 1e-9
+
+    // through the Spark plumbing: one row per frame, real codec path
+    val s2 = spark
+    import s2.implicits._
+    val mediaDf = Seq((7L, "video", gif)).toDF("media_id", "kind", "payload")
+      .withColumn("meta", expr(
+        "named_struct('width', 8, 'height', 8, 'duration_ms', 200L, 'codec', 'gif')"))
+    val out = Multimodal.extractFrameFeatures(mediaDf, featureDim = 16,
+      codecs = Map("video" -> GifFramesCodec)).collect()
+    out.length shouldBe 2
+    out.map(_.getAs[Int]("frame_idx")).sorted shouldBe Array(0, 1)
+
+    // undecodable payload: fallback slices into `fallbackFrames` stub rows
+    val bad = Seq((8L, "video", "not a gif at all".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", expr(
+        "named_struct('width', 0, 'height', 0, 'duration_ms', 0L, 'codec', 'none')"))
+    val badOut = Multimodal.extractFrameFeatures(bad, featureDim = 16,
+      codecs = Map("video" -> GifFramesCodec), fallbackFrames = 3).collect()
+    badOut.length shouldBe 3
+    badOut.foreach(_.getAs[Seq[Double]]("features").sum shouldBe 1.0 +- 1e-9)
+  }
 }

@@ -102,6 +102,32 @@ class StreamingSpec extends SparkSpec with Matchers {
     out shouldBe keys.map(k => k -> (if (k == "key0") "v1" else "v0")).toMap
   }
 
+  test("legacy flat state table migrates to the bucketed layout in one merge") {
+    val s2 = spark
+    import s2.implicits._
+    val table = Files.createTempDirectory("legacymerge").toFile.getAbsolutePath + "/t"
+    // a pre-bucketing table: plain flat parquet at the table root
+    Seq(("k1", "v1"), ("k2", "v2")).toDF("k", "v")
+      .write.parquet(table)
+    Streams.mergeUpsert(Seq(("k2", "v2b"), ("k3", "v3")).toDF("k", "v"), table, "k")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(table)
+    val fs = live.getFileSystem(conf)
+    // flat files are gone, bucket dirs + marker are in
+    fs.listStatus(live).filter(_.isFile)
+      .map(_.getPath.getName).filterNot(_.startsWith("_")) shouldBe empty
+    fs.listStatus(live).count(_.getPath.getName.startsWith("__bucket=")) should be >= 2
+    fs.exists(new org.apache.hadoop.fs.Path(live, "_graft_buckets")) shouldBe true
+    val out = spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    out shouldBe Map("k1" -> "v1", "k2" -> "v2b", "k3" -> "v3")
+    // and the NEXT merge takes the incremental path on the migrated layout
+    Streams.mergeUpsert(Seq(("k1", "v1b")).toDF("k", "v"), table, "k")
+    spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap shouldBe
+      Map("k1" -> "v1b", "k2" -> "v2b", "k3" -> "v3")
+  }
+
   test("crashed per-bucket swap: the staged bucket is restored before the read") {
     val s2 = spark
     import s2.implicits._
