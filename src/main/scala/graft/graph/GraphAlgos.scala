@@ -19,14 +19,18 @@ object GraphAlgos {
     math.max(2, math.min(par, (nEdges / 50000L).toInt + 1))
   }
 
-  private def toGraph(edges: DataFrame): Graph[Int, Int] = {
+  /** Returns the graph AND the cached edge DataFrame backing it — the
+    * caller releases the cache once the (internally materializing)
+    * GraphX run has finished, so repeated calls don't stack a cached
+    * edge set per invocation. */
+  private def toGraph(edges: DataFrame): (Graph[Int, Int], DataFrame) = {
     val spark = edges.sparkSession
     import spark.implicits._
     val cached = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
     val p = sizedPartitions(cached, cached.count())
     val edgeRdd = cached.as[(Long, Long)].rdd
       .coalesce(p).map { case (s, d) => Edge(s, d, 1) }
-    Graph.fromEdges(edgeRdd, defaultValue = 0)
+    (Graph.fromEdges(edgeRdd, defaultValue = 0), cached)
   }
 
   /** Synchronous label propagation (G4; reference GDS call at
@@ -35,7 +39,12 @@ object GraphAlgos {
   def labelPropagation(edges: DataFrame, maxSteps: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    LPLib.run(toGraph(edges), maxSteps).vertices.toDF("node", "label")
+    val (g, scratch) = toGraph(edges)
+    val out = LPLib.run(g, maxSteps).vertices.toDF("node", "label")
+      .localCheckpoint()
+    scratch.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    out
   }
 
   /** Synchronous label propagation as pure DataFrame iteration — same
@@ -156,6 +165,10 @@ object GraphAlgos {
         .map(n0 => (n0, uf.find(n0))).toSeq.toDF("node", "label")
     }
     graft.util.BlockRelease.release(pairs)
-    CCLib.run(toGraph(edges)).vertices.toDF("node", "label")
+    val (g, scratch) = toGraph(edges)
+    val out = CCLib.run(g).vertices.toDF("node", "label").localCheckpoint()
+    scratch.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    out
   }
 }
