@@ -69,16 +69,22 @@ object IngestQueries {
         .option("checkpointLocation", s"$checkpointBase/users")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val (profiles, likes) = Streams.routeUserStream(batch)
-          phase("  merge users") {
-            Streams.mergeUpsert(Streams.cleanProfiles(profiles), s"$base/users", "did")
-          }
-          phase("  merge edges") {
-            Streams.mergeUpsert(
-              likes.select(concat_ws("|", col("user_did"), col("uri")).as("edge_id"),
-                col("user_did"), col("uri")),
-              s"$base/edges", "edge_id")
-          }
+          // ONE materialization of the micro-batch for the whole fan-out:
+          // each merge otherwise re-decodes the JSON topic segment for its
+          // own derived batch (probe + write), 4 decodes per micro-batch
+          val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val (profiles, likes) = Streams.routeUserStream(b)
+            phase("  merge users") {
+              Streams.mergeUpsert(Streams.cleanProfiles(profiles), s"$base/users", "did")
+            }
+            phase("  merge edges") {
+              Streams.mergeUpsert(
+                likes.select(concat_ws("|", col("user_did"), col("uri")).as("edge_id"),
+                  col("user_did"), col("uri")),
+                s"$base/edges", "edge_id")
+            }
+          } finally { b.unpersist(blocking = false); () }
         }
         .start().awaitTermination()
     }
