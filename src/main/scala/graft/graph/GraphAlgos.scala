@@ -40,10 +40,11 @@ object GraphAlgos {
     val spark = edges.sparkSession
     import spark.implicits._
     val (g, scratch) = toGraph(edges)
-    val out = LPLib.run(g, maxSteps).vertices.toDF("node", "label")
-      .localCheckpoint()
+    val result = LPLib.run(g, maxSteps)
+    val out = result.vertices.toDF("node", "label").localCheckpoint()
     scratch.unpersist(blocking = false)
     g.unpersist(blocking = false)
+    result.unpersist(blocking = false) // Pregel caches its result graph too
     out
   }
 
@@ -166,9 +167,11 @@ object GraphAlgos {
     }
     graft.util.BlockRelease.release(pairs)
     val (g, scratch) = toGraph(edges)
-    val out = CCLib.run(g).vertices.toDF("node", "label").localCheckpoint()
+    val result = CCLib.run(g)
+    val out = result.vertices.toDF("node", "label").localCheckpoint()
     scratch.unpersist(blocking = false)
     g.unpersist(blocking = false)
+    result.unpersist(blocking = false) // Pregel caches its result graph too
     out
   }
 }

@@ -116,6 +116,11 @@ object Louvain {
         // rounds are superseded checkpoints whose blocks must go too
         if (round == 0) prev.unpersist(blocking = false)
         else graft.util.BlockRelease.release(prev)
+      } else {
+        // converged: the terminal round's checkpoint was materialized but
+        // never becomes comm — release it or every converging phase
+        // strands one node-sized checkpoint
+        graft.util.BlockRelease.release(nextState)
       }
       round += 1
     }

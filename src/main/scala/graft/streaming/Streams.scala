@@ -82,6 +82,12 @@ object Streams {
       coalesce(nullif(trim(col("handle")), lit("")), lit("unknown")).as("handle"),
       coalesce(nullif(trim(col("display_name")), lit("")), lit("unknown")).as("display_name"))
 
+  /** Default state-table bucket count — sized for the testdata scale; a
+    * 100 TB deployment passes a count that puts each bucket at a few
+    * hundred MB (the marker file pins whatever a table was created
+    * with). */
+  val DefaultMergeBuckets = 16
+
   /** The MERGE step of [[upsertSink]], batch-callable (and composable: one
     * foreachBatch can merge several derived tables from a single topic —
     * the EP1 fan-out): union the existing state for the batch's key range
@@ -108,12 +114,6 @@ object Streams {
     * next attempt puts staged buckets back before anything is read. A
     * whole-dir swap (same staging discipline one level up) is used only
     * for table creation and one-shot migration of a legacy flat layout. */
-  /** Default state-table bucket count — sized for the testdata scale; a
-    * 100 TB deployment passes a count that puts each bucket at a few
-    * hundred MB (the marker file pins whatever a table was created
-    * with). */
-  val DefaultMergeBuckets = 16
-
   def mergeUpsert(batch: DataFrame, tablePath: String, keyCol: String,
       buckets: Int = DefaultMergeBuckets): Unit = {
     import org.apache.hadoop.fs.Path
@@ -163,7 +163,12 @@ object Streams {
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toInt
         finally in.close()
       } else buckets
-    def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets)).cast("int")
+    // null keys are legal (the old window formulation grouped them):
+    // coalesce routes them all to bucket 0 instead of a null __bucket,
+    // which would NPE the probe and strand rows in a never-swapped
+    // __HIVE_DEFAULT_PARTITION__ dir
+    def bucketOf(c: Column): Column =
+      pmod(coalesce(xxhash64(c), lit(0L)), lit(nBuckets)).cast("int")
 
     val incremental = exists && !legacyFlat
     // incremental merges evaluate the batch twice (touched-bucket probe +
@@ -174,6 +179,11 @@ object Streams {
       if (incremental)
         keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else keyed0
+    // any failure between the persist and the end of the merge (probe,
+    // read, write, a failed swap rename) must still drop the cached
+    // batch — foreachBatch retries would otherwise stack one copy per
+    // attempt
+    try {
     // the probe: which buckets does this batch touch — the price of
     // reading only those buckets back; batch ≪ state is the regime this
     // layout exists for. Creation needs no probe (nothing to read back):
@@ -183,7 +193,6 @@ object Streams {
       else keyed.select(col("__bucket")).distinct()
         .collect().map(_.getInt(0)).sorted
     if (incremental && touched.isEmpty) {
-      keyed.unpersist(blocking = false)
       return // empty batch: state untouched
     }
 
@@ -214,7 +223,9 @@ object Streams {
       var prev: Any = null
       it.filter { r =>
         val k = r.get(keyIdx)
-        val keep = !started || k != prev
+        // deepEquals: binary keys arrive as Array[Byte], where != is
+        // reference inequality and would never deduplicate
+        val keep = !started || !java.util.Objects.deepEquals(k, prev)
         started = true; prev = k
         keep
       }
@@ -226,7 +237,6 @@ object Streams {
     }
 
     merged.write.partitionBy("__bucket").mode("overwrite").parquet(tmpDir.toString)
-    if (incremental) keyed.unpersist(blocking = false)
 
     if (!incremental && !fs.listStatus(tmpDir).exists(
         _.getPath.getName.startsWith("__bucket="))) {
@@ -275,6 +285,7 @@ object Streams {
         throw new java.io.IOException(s"cannot clear $tmpDir after swap")
     }
     ()
+    } finally if (incremental) keyed.unpersist(blocking = false)
   }
 
   /** S5/ST2 — idempotent keyed upsert sink: each micro-batch merges into a

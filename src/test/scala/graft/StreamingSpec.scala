@@ -102,6 +102,29 @@ class StreamingSpec extends SparkSpec with Matchers {
     out shouldBe keys.map(k => k -> (if (k == "key0") "v1" else "v0")).toMap
   }
 
+  test("mergeUpsert: null keys route to a real bucket; binary keys dedup by value") {
+    val s2 = spark
+    import s2.implicits._
+    // null key: coalesced hash → bucket 0; keep-latest still applies
+    val t1 = Files.createTempDirectory("nullkey").toFile.getAbsolutePath + "/t"
+    Streams.mergeUpsert(
+      Seq((Option.empty[String], "v1"), (Some("k"), "v2")).toDF("k", "v"), t1, "k")
+    Streams.mergeUpsert(Seq((Option.empty[String], "v1b")).toDF("k", "v"), t1, "k")
+    val rows = spark.read.parquet(t1).collect()
+      .map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    rows shouldBe Map(None -> "v1b", Some("k") -> "v2")
+    // binary key: Array[Byte] equality must be by VALUE in the keep-latest
+    // scan (reference != would never dedup two equal byte arrays)
+    val t2 = Files.createTempDirectory("binkey").toFile.getAbsolutePath + "/t"
+    Streams.mergeUpsert(
+      Seq((Array[Byte](1, 2, 3), "x")).toDF("k", "v"), t2, "k")
+    Streams.mergeUpsert(
+      Seq((Array[Byte](1, 2, 3), "y")).toDF("k", "v"), t2, "k")
+    val binRows = spark.read.parquet(t2).collect()
+    binRows.length shouldBe 1
+    binRows(0).getString(1) shouldBe "y"
+  }
+
   test("legacy flat state table migrates to the bucketed layout in one merge") {
     val s2 = spark
     import s2.implicits._
