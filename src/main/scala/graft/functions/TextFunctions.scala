@@ -26,6 +26,25 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + greatest(ceil(length(t) / lit(4.0)).cast("long"), lit(1L)))
 
+  /** GPT-2-style pre-tokenizer regex (the split BPE applies merges inside):
+    * contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs, whitespace runs. The upstream pattern's `\s+(?!\S)` branch is
+    * dropped — lookahead is not RE2-expressible, and without it the
+    * pattern means the same thing on any leftmost-first engine (Java here,
+    * RE2 in DuckDB), which is what makes token BUDGETS computed by the
+    * pipeline reproducible by the serving stack. */
+  val gptPretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-token array under [[gptPretokenPattern]]. */
+  def gptPretokens(text: Column): Column =
+    regexp_extract_all(text, lit(gptPretokenPattern), lit(0))
+
+  /** Pre-token count — the unit LLM data pipelines budget by (BPE merges
+    * only split WITHIN these, so this bounds the true token count from
+    * below at ~1 merge-free token per pre-token). */
+  def gptPretokenCount(text: Column): Column = size(gptPretokens(text))
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 

@@ -82,6 +82,21 @@ object TextQueries {
     out
   }
 
+  /** q63 — GPT-style pre-tokenization (the "BPE-ish regex" tier of token
+    * counting): per-doc pre-token count, distinct pre-token count, and the
+    * subword-to-whitespace expansion ratio. The RE2-compatible pattern
+    * evaluates identically in Spark (Java regex) and DuckDB (RE2), so the
+    * token-budget arithmetic is hash-oracled. */
+  val q63GptTokens: Q = (spark, dir) => {
+    import spark.implicits._
+    docs(spark, dir).select(
+      $"doc_id",
+      gptPretokenCount($"text").as("n_pretokens"),
+      size(array_distinct(gptPretokens($"text"))).as("n_distinct_pretokens"),
+      round(gptPretokenCount($"text").cast("double") / tokenCount($"text"), 4)
+        .as("expansion_ratio"))
+  }
+
   /** q34 — heuristic language ID (stopword-density n-gram heuristic). */
   val q34LangId: Q = (spark, dir) => {
     import spark.implicits._
@@ -176,7 +191,8 @@ object TextQueries {
     "q35_simhash_neardups" -> q35SimhashNearDups,
     "q36_minhash_lsh" -> q36MinhashLsh,
     "q37_embed_knn" -> q37EmbedKnn,
-    "q38_cosine_verify" -> q38CosineVerify)
+    "q38_cosine_verify" -> q38CosineVerify,
+    "q63_gpt_tokens" -> q63GptTokens)
 
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
@@ -266,5 +282,15 @@ object TextQueries {
         |JOIN n nb ON nb.doc_id = c.doc_b
         |WHERE na.n2 > 0 AND nb.n2 > 0
         |  AND round(list_sum(list_transform(range(1, 17),
-        |      i -> na.v[i] * nb.v[i])) / sqrt(na.n2 * nb.n2), 4) >= 0.6""".stripMargin)
+        |      i -> na.v[i] * nb.v[i])) / sqrt(na.n2 * nb.n2), 4) >= 0.6""".stripMargin,
+    "q63_gpt_tokens" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
+        |    AS pt,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)
+        |SELECT doc_id, len(pt) AS n_pretokens,
+        |  len(list_distinct(pt)) AS n_distinct_pretokens,
+        |  round(len(pt)::DOUBLE / len(ws), 4) AS expansion_ratio
+        |FROM t""".stripMargin)
 }

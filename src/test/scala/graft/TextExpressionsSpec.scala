@@ -97,4 +97,15 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
     val d = Seq((0L, 7L)).toDF("a", "b")
     d.select(hamming64(col("a"), col("b"))).collect()(0).getInt(0) shouldBe 3
   }
+
+  test("gptPretokens: GPT-2-style splits — contractions, space-prefixed runs") {
+    val s = spark
+    import s.implicits._
+    val toks = Seq("It's 42 words, isn't it?").toDF("t")
+      .select(graft.functions.TextFunctions.gptPretokens(col("t")))
+      .collect()(0).getSeq[String](0)
+    // contraction suffixes split off; letter/digit/punct runs carry their
+    // leading space; whitespace-only runs survive as tokens
+    toks shouldBe Seq("It", "'s", " 42", " words", ",", " isn", "'t", " it", "?")
+  }
 }
