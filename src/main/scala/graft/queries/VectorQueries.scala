@@ -66,7 +66,9 @@ object VectorQueries {
       .agg(VectorMean($"nv").as("raw_centroid"), count(lit(1)).as("n"))
       .select($"label", $"n", posexplode($"raw_centroid"))
       .select($"label", ($"pos" + 1).cast("long").as("pos"),
-        round($"col", 4).as("value"), $"n")
+        // + 0.0 canonicalizes IEEE negative zero: round(-1e-9, 4) is -0.0
+        // in DuckDB but 0.0 here, and the hash compare is textual
+        (round($"col", 4) + lit(0.0)).as("value"), $"n")
       .orderBy($"label", $"pos")
   }
 
@@ -161,7 +163,7 @@ object VectorQueries {
         |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM nv),
         |m AS (SELECT label, pos, avg(val) AS mv FROM u GROUP BY label, pos),
         |cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
-        |SELECT m.label, m.pos::BIGINT AS pos, round(m.mv, 4) AS value, cnt.n
+        |SELECT m.label, m.pos::BIGINT AS pos, round(m.mv, 4) + 0.0 AS value, cnt.n
         |FROM m JOIN cnt ON m.label = cnt.label
         |ORDER BY m.label, pos""".stripMargin,
     "q23_variance" ->
