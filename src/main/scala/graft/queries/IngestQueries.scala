@@ -61,39 +61,40 @@ object IngestQueries {
   /** One full drain of both topics into the three state tables. The users
     * topic feeds ONE stream whose micro-batch fans out into both the users
     * and edges merges (ST5 multi-table fan-out from a single consumer,
-    * exactly the reference consumer's per-message dual MERGE). */
+    * exactly the reference consumer's per-message dual MERGE); the posts
+    * topic runs as a second stream CONCURRENTLY — the reference runs its
+    * consumers as separate processes, and the two streams touch disjoint
+    * state tables, so serializing them would only stack their fixed
+    * stream-startup costs. */
   private def drain(spark: SparkSession, usersTopic: String, postsTopic: String,
       base: String, checkpointBase: String): Unit = {
-    phase("users+edges stream") {
-      Streams.subscribe(spark, usersTopic, unionSchema).writeStream
-        .option("checkpointLocation", s"$checkpointBase/users")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // ONE materialization of the micro-batch for the whole fan-out:
-          // each merge otherwise re-decodes the JSON topic segment for its
-          // own derived batch (probe + write), 4 decodes per micro-batch
-          val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val (profiles, likes) = Streams.routeUserStream(b)
-            phase("  merge users") {
-              Streams.mergeUpsert(Streams.cleanProfiles(profiles), s"$base/users", "did")
-            }
-            phase("  merge edges") {
-              Streams.mergeUpsert(
-                likes.select(concat_ws("|", col("user_did"), col("uri")).as("edge_id"),
-                  col("user_did"), col("uri")),
-                s"$base/edges", "edge_id")
-            }
-          } finally { b.unpersist(blocking = false); () }
-        }
-        .start().awaitTermination()
-    }
-    phase("vectors stream") {
-      val vectors = Streams.embedPosts(
-        Streams.subscribe(spark, postsTopic, postSchema))
-      Streams.upsertSink(vectors, s"$base/vectors", "id",
-        s"$checkpointBase/vectors").start().awaitTermination()
-    }
+    val usersQ = Streams.subscribe(spark, usersTopic, unionSchema).writeStream
+      .option("checkpointLocation", s"$checkpointBase/users")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ONE materialization of the micro-batch for the whole fan-out:
+        // each merge otherwise re-decodes the JSON topic segment for its
+        // own derived batch (probe + write), 4 decodes per micro-batch
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (profiles, likes) = Streams.routeUserStream(b)
+          phase("  merge users") {
+            Streams.mergeUpsert(Streams.cleanProfiles(profiles), s"$base/users", "did")
+          }
+          phase("  merge edges") {
+            Streams.mergeUpsert(
+              likes.select(concat_ws("|", col("user_did"), col("uri")).as("edge_id"),
+                col("user_did"), col("uri")),
+              s"$base/edges", "edge_id")
+          }
+        } finally { b.unpersist(blocking = false); () }
+      }
+      .start()
+    val vectorsQ = Streams.upsertSink(
+      Streams.embedPosts(Streams.subscribe(spark, postsTopic, postSchema)),
+      s"$base/vectors", "id", s"$checkpointBase/vectors").start()
+    phase("await users+edges stream") { usersQ.awaitTermination() }
+    phase("await vectors stream") { vectorsQ.awaitTermination() }
   }
 
   /** (entity, n, k) state summary: users(k = cleaned-to-"unknown" handles),
