@@ -171,6 +171,53 @@ object GraphQueries {
       |  (SELECT u1 AS usr, wt FROM w UNION ALL SELECT u2, wt FROM w) GROUP BY usr)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q40/q41 — ITERATIVE GRAPH ALGORITHMS under the hash oracle: both
+    // fixpoints are deterministic functions of the graph (coreness is
+    // algorithm-independent; LPA is 5 synchronous most-frequent-label
+    // steps with a smallest-label tie-break), so a recursive-CTE
+    // re-implementation in DuckDB reproduces them exactly — same
+    // precedent as q43's min-label reachability oracle. The h-index
+    // window uses RANGE framing so ties share cnt = #neighbors with
+    // est ≥ ne, which IS the h-index closed form. 32 fixed iterations
+    // upper-bound convergence at both test SFs (verified, 0 mismatches
+    // at sf0.01 and sf0.1).
+    "q40_kcore" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),
+        |w AS (SELECT a.usr AS u1, b.usr AS u2 FROM e a
+        |  JOIN e b ON a.post = b.post AND a.usr < b.usr GROUP BY 1, 2),
+        |sym AS (SELECT u1, u2 FROM w UNION ALL SELECT u2, u1 FROM w),
+        |est(iter, node, est) AS (
+        |  SELECT 0, u1, count(*)::INT FROM sym GROUP BY u1
+        |  UNION ALL
+        |  SELECT e.iter + 1, e.node,
+        |    (SELECT max(least(r.cnt, r.ne)) FROM (
+        |       SELECT ne, count(*) OVER (ORDER BY ne DESC) AS cnt
+        |       FROM (SELECT n2.est AS ne
+        |             FROM sym s JOIN est n2 ON n2.node = s.u2 AND n2.iter = e.iter
+        |             WHERE s.u1 = e.node)) r)::INT
+        |  FROM est e WHERE e.iter < 32
+        |)
+        |SELECT node::BIGINT AS node, est AS core FROM est WHERE iter = 32""".stripMargin,
+    "q41_label_prop" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),
+        |w AS (SELECT a.usr AS u1, b.usr AS u2 FROM e a
+        |  JOIN e b ON a.post = b.post AND a.usr < b.usr GROUP BY 1, 2),
+        |sym AS (SELECT u1, u2 FROM w UNION ALL SELECT u2, u1 FROM w),
+        |lab(iter, node, label) AS (
+        |  SELECT 0, u1, u1 FROM sym GROUP BY u1
+        |  UNION ALL
+        |  SELECT e.iter + 1, e.node,
+        |    coalesce((SELECT l FROM (
+        |       SELECT n2.label AS l, count(*) AS c
+        |       FROM sym s JOIN lab n2 ON n2.node = s.u2 AND n2.iter = e.iter
+        |       WHERE s.u1 = e.node GROUP BY n2.label
+        |       ORDER BY c DESC, l ASC LIMIT 1)), e.label)
+        |  FROM lab e WHERE e.iter < 5
+        |)
+        |SELECT node::BIGINT AS node, label::BIGINT AS label
+        |FROM lab WHERE iter = 5""".stripMargin,
     "q15_modularity" ->
       s"""WITH $edgeCte,
          |tot AS (SELECT sum(wt) AS m,

@@ -292,12 +292,13 @@ object Streams {
     * parquet "table" keeping the latest record per key (MERGE semantics via
     * union + keep-last dedup; replays converge to the same state). */
   def upsertSink(batches: DataFrame, tablePath: String, keyCol: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String,
+      buckets: Int = DefaultMergeBuckets): DataStreamWriter[org.apache.spark.sql.Row] =
     batches.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeUpsert(batch, tablePath, keyCol)
+        mergeUpsert(batch, tablePath, keyCol, buckets)
       }
 
   /** S6/F2/X4/X5 — the vector-ingest transform of the reference's Qdrant
