@@ -190,6 +190,55 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
     out(0L) should not be -1L
   }
 
+  test("DBSCAN LSH tier vs exact tier: planted 3k fixture, disagreement bounded") {
+    val s = spark
+    import s.implicits._
+    // 3 planted clusters (1000 points each) + 60 scattered noise points,
+    // dim 8, deterministic jitter — same audit contract as HdbscanSpec's
+    // approximate-tier bound
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Seq(
+      Seq(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(0, 1.0, 0, 0, 0, 0, 0, 0),
+      Seq(0, 0, 1.0, 0, 0, 0, 0, 0))
+    val clustered = for {
+      c <- 0 until 3
+      i <- 0 until 1000
+    } yield {
+      val v = centers(c).zipWithIndex.map { case (x, d) =>
+        x + 0.02 * (((c * 1000 + i) * 31 + d * 7) % 5 - 2)
+      }
+      ((c * 1000 + i).toLong, unit(v))
+    }
+    val noise = (0 until 60).map { i =>
+      val v = (0 until 8).map(d => ((i * 13 + d * 5) % 11 - 5).toDouble + 0.1)
+      ((5000 + i).toLong, unit(v))
+    }
+    val pts = (clustered ++ noise).toDF("id", "v")
+    val exact = graft.graph.DensityCluster
+      .dbscan(pts, eps = 0.95, minPts = 4, bruteThreshold = 10000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = graft.graph.DensityCluster
+      .dbscan(pts, eps = 0.95, minPts = 4, bruteThreshold = 10) // force LSH tier
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact tier: the three planted clusters recovered, noise labeled -1
+    (0 until 3).foreach { c =>
+      (0 until 1000).map(i => exact((c * 1000 + i).toLong)).toSet.size shouldBe 1
+    }
+    exact(0L) should not be exact(1000L)
+    // LSH tier: same partition up to the candidate approximation — bound
+    // the pointwise disagreement like the HDBSCAN audit (measured 0)
+    val disagree = exact.keys.count { k =>
+      // compare partition structure via (is-noise, cluster-of-smallest-member)
+      val en = exact(k) == -1L
+      val ln = lsh(k) == -1L
+      en != ln || (!en && exact(k) != lsh(k))
+    }
+    disagree.toDouble / exact.size should be <= 0.02
+  }
+
   test("Leiden: total single-label partition on the testdata graph") {
     val g = Projection.supplierGraph(spark, "/root/testdata/sf0.001")
     val nodes = g.select(col("src").as("node"))
