@@ -86,6 +86,17 @@ object WavCodec extends Codec {
     } catch { case _: Exception => None }
 }
 
+/** Per-JVM ImageIO configuration: the default stream cache is
+  * DISK-backed — every encode/decode call creates and deletes a temp
+  * file, which at corpus scale is thousands of filesystem round-trips
+  * per task (and measured multi-second jitter on the media queries).
+  * In-memory payloads never need it. Initialized once per executor JVM
+  * on first codec use. */
+private[graft] object ImageIoSettings {
+  javax.imageio.ImageIO.setUseCache(false)
+  def ensure(): Unit = ()
+}
+
 /** Decodes one VIDEO-shaped payload into per-frame feature vectors (one
   * row per frame downstream) — the multi-frame sibling of [[Codec]]. */
 trait FrameCodec extends Serializable {
@@ -103,6 +114,7 @@ trait FrameCodec extends Serializable {
 object GifFramesCodec extends FrameCodec {
   def frameFeatures(payload: Array[Byte], featureDim: Int): Option[Seq[Array[Double]]] =
     try {
+      ImageIoSettings.ensure()
       val in = javax.imageio.ImageIO.createImageInputStream(
         new ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -149,6 +161,7 @@ object GifFramesCodec extends FrameCodec {
 object ImageIoCodec extends Codec {
   def features(payload: Array[Byte], featureDim: Int): Option[Array[Double]] =
     try {
+      ImageIoSettings.ensure()
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
       if (img == null) None
       else {

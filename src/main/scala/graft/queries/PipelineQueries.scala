@@ -110,6 +110,7 @@ object PipelineQueries {
     import spark.implicits._
     val ids = Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
     val media = ids.mapPartitions { it =>
+      graft.multimodal.ImageIoSettings.ensure() // no disk-backed stream cache
       it.map { d =>
         val img = new java.awt.image.BufferedImage(16, 16,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -185,6 +186,7 @@ object PipelineQueries {
     import spark.implicits._
     val ids = Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
     val media = ids.mapPartitions { it =>
+      graft.multimodal.ImageIoSettings.ensure() // no disk-backed stream cache
       val cmap = Array.tabulate(256)(g => (0xff << 24) | (g << 16) | (g << 8) | g)
       val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
         java.awt.image.DataBuffer.TYPE_BYTE)
