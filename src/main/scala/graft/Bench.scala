@@ -35,6 +35,12 @@ object Bench {
     }
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // warm the session projection cache + the graph-tier JIT the same way:
+    // otherwise whichever graph query the Map iteration order runs FIRST
+    // absorbs the one-time build and reads 3-8x inflated (the round-3/4
+    // "unexplained regression" pattern — see BENCH_LOCAL_r4.md)
+    try SparkEntry.queries("q43_connected_components")(spark, sfDir).count()
+    catch { case _: Throwable => }
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
