@@ -214,9 +214,13 @@ object RelationalQueries {
     * via explode + grouped count. */
   val q13Degrees: Q = (spark, dir) => {
     import spark.implicits._
-    val edges = q05Coengagement(spark, dir)
+    // degrees over the STORED graph (the reference reads them off Neo4j,
+    // not by re-projecting engagements): the session-cached projection is
+    // the same salted co-engagement edge set q05 computes — spec'd equal —
+    // with node ids = supplier keys, so the oracle is unchanged
+    val edges = graft.graph.Projection.supplierGraph(spark, dir)
     edges
-      .select(explode(array($"u1", $"u2")).as("user"))
+      .select(explode(array($"src", $"dst")).as("user"))
       .groupBy($"user")
       .agg(count(lit(1)).as("degree"))
   }
