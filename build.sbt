@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode Spark = one JVM; the heap IS the cluster memory. 8g on a
+  // 128 GiB box starved the block manager (cached projections +
+  // checkpointed round states + 32 concurrent task buffers) into the
+  // GC-pressure regime; 48g leaves ample room for the sbt server, the
+  // OS page cache and the driver-side oracle tooling.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -125,6 +125,28 @@ class StreamingSpec extends SparkSpec with Matchers {
     binRows(0).getString(1) shouldBe "y"
   }
 
+  test("empty micro-batch leaves the state table byte-identical") {
+    val s2 = spark
+    import s2.implicits._
+    val table = Files.createTempDirectory("emptybatch").toFile.getAbsolutePath + "/t"
+    Streams.mergeUpsert(Seq(("k1", "v1"), ("k2", "v2")).toDF("k", "v"), table, "k")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(table)
+    val fs = live.getFileSystem(conf)
+    def listing(): Set[(String, Long, Long)] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+      walk(live).toSet
+    }
+    val before = listing()
+    Streams.mergeUpsert(
+      Seq.empty[(String, String)].toDF("k", "v"), table, "k")
+    listing() shouldBe before // early return: no write, no swap, no churn
+  }
+
   test("legacy flat state table migrates to the bucketed layout in one merge") {
     val s2 = spark
     import s2.implicits._
