@@ -29,7 +29,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local-mode Spark = one JVM; the heap IS the cluster memory. 8g on a
   // 128 GiB box starved the block manager (cached projections +
   // checkpointed round states + 32 concurrent task buffers) into the
-  // GC-pressure regime; 48g leaves ample room for the sbt server, the
-  // OS page cache and the driver-side oracle tooling.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // GC-pressure regime — the full bench dropped 50 s → 42 s at 48g. The
+  // default scales with physical RAM so smaller hosts aren't handed a
+  // heap the OS can't back; SPARK_DRIVER_MEM always overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val memTotalGb = try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("MemTotal"))
+        .map(_.replaceAll("[^0-9]", "").toLong / (1024 * 1024))
+        .getOrElse(0L)
+    } catch { case _: Throwable => 0L }
+    if (memTotalGb >= 96) "48g"
+    else if (memTotalGb >= 32) "16g"
+    else "6g"
+  })}",
 )

@@ -38,9 +38,13 @@ object Bench {
     // warm the session projection cache + the graph-tier JIT the same way:
     // otherwise whichever graph query the Map iteration order runs FIRST
     // absorbs the one-time build and reads 3-8x inflated (the round-3/4
-    // "unexplained regression" pattern — see BENCH_LOCAL_r4.md)
-    try SparkEntry.queries("q43_connected_components")(spark, sfDir).count()
-    catch { case _: Throwable => }
+    // "unexplained regression" pattern — see BENCH_LOCAL_r4.md). Skipped
+    // when SPARK_GRAFT_ONLY selects no graph-family query, so a text-only
+    // profiling loop doesn't pay a projection build it never uses.
+    val graphFamily = graft.queries.GraphQueries.defs.keySet + "q13_degrees"
+    if (only.forall(_.exists(graphFamily)))
+      try SparkEntry.queries("q43_connected_components")(spark, sfDir).count()
+      catch { case _: Throwable => }
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

@@ -180,7 +180,10 @@ object GraphQueries {
     // window uses RANGE framing so ties share cnt = #neighbors with
     // est ≥ ne, which IS the h-index closed form. 32 fixed iterations
     // upper-bound convergence at both test SFs (verified, 0 mismatches
-    // at sf0.01 and sf0.1).
+    // at sf0.01 and sf0.1) — and the final select is SELF-CHECKING: it
+    // emits only nodes whose estimate stopped changing (iter 32 = iter
+    // 31), so a future graph needing more rounds surfaces as a missing-
+    // rows oracle failure, not a phantom engine bug.
     "q40_kcore" ->
       """WITH RECURSIVE
         |e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),
@@ -198,7 +201,9 @@ object GraphQueries {
         |             WHERE s.u1 = e.node)) r)::INT
         |  FROM est e WHERE e.iter < 32
         |)
-        |SELECT node::BIGINT AS node, est AS core FROM est WHERE iter = 32""".stripMargin,
+        |SELECT a.node::BIGINT AS node, a.est AS core
+        |FROM est a JOIN est b ON a.node = b.node
+        |WHERE a.iter = 32 AND b.iter = 31 AND a.est = b.est""".stripMargin,
     "q41_label_prop" ->
       """WITH RECURSIVE
         |e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),

@@ -93,8 +93,19 @@ object IngestQueries {
     val vectorsQ = Streams.upsertSink(
       Streams.embedPosts(Streams.subscribe(spark, postsTopic, postSchema)),
       s"$base/vectors", "id", s"$checkpointBase/vectors").start()
-    phase("await users+edges stream") { usersQ.awaitTermination() }
-    phase("await vectors stream") { vectorsQ.awaitTermination() }
+    try {
+      phase("await users+edges stream") { usersQ.awaitTermination() }
+      phase("await vectors stream") { vectorsQ.awaitTermination() }
+    } catch {
+      case t: Throwable =>
+        // one stream failing must not leave the sibling merging in the
+        // background — a retry's first step is rm(state), which would
+        // yank the table out from under the orphaned stream mid-merge
+        Seq(usersQ, vectorsQ).foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        throw t
+    }
   }
 
   /** (entity, n, k) state summary: users(k = cleaned-to-"unknown" handles),
