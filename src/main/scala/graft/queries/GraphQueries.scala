@@ -136,8 +136,13 @@ object GraphQueries {
       minPts = 4, minClusterSize = 4, knnK = 12)
   }
 
-  /** q44 — FastRP node embeddings (G1): surface (node, dim, norm) — the
-    * vectors themselves are checked by invariants in ScalaTest. */
+  /** q44 — FastRP node embeddings (G1): surface (node, dim, norm). The
+    * VECTORS are engine-native (seeded hash projection) and stay
+    * spec-checked (determinism, self-loop handling, scale runs); the
+    * surface — node totality, declared dim, unit L2 norm after the final
+    * normalize — is exactly re-derivable in SQL, so the driver's hash
+    * gate pins it (a dropped node, wrong width or unnormalized vector
+    * all shows up as a hash mismatch). */
   val q44FastRP: Q = (spark, dir) => {
     FastRP.run(graph(spark, dir), dim = 32)
       .select(col("node"), size(col("embedding")).as("dim"),
@@ -171,6 +176,16 @@ object GraphQueries {
       |  (SELECT u1 AS usr, wt FROM w UNION ALL SELECT u2, wt FROM w) GROUP BY usr)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q44 — the embedding SURFACE oracle (see the query scaladoc): node
+    // totality + width + unit norm, SQL-exact; vector values stay
+    // spec-checked
+    "q44_fastrp" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),
+        |w AS (SELECT a.usr AS u1, b.usr AS u2 FROM e a
+        |  JOIN e b ON a.post = b.post AND a.usr < b.usr GROUP BY 1, 2),
+        |nodes AS (SELECT u1 AS node FROM w UNION SELECT u2 FROM w)
+        |SELECT node::BIGINT AS node, 32::INT AS dim, 1.0::DOUBLE AS norm
+        |FROM nodes""".stripMargin,
     // q40/q41 — ITERATIVE GRAPH ALGORITHMS under the hash oracle: both
     // fixpoints are deterministic functions of the graph (coreness is
     // algorithm-independent; LPA is 5 synchronous most-frequent-label
