@@ -110,17 +110,20 @@ object IngestQueries {
 
   /** (entity, n, k) state summary: users(k = cleaned-to-"unknown" handles),
     * edges(k = distinct engaging users), vectors(k = distinct uris).
-    * One aggregate job per table. */
+    * ONE action for all three tables — the per-table `first()` version
+    * paid three scheduler round-trips per snapshot. */
   private def summary(spark: SparkSession, base: String): Array[(String, Long, Long)] = {
-    def agg2(table: String, k: org.apache.spark.sql.Column): (Long, Long) = {
-      val r = spark.read.parquet(s"$base/$table")
-        .agg(count(lit(1)), k).first()
-      (r.getLong(0), r.getLong(1))
+    def agg2(table: String, k: org.apache.spark.sql.Column): DataFrame =
+      spark.read.parquet(s"$base/$table")
+        .agg(count(lit(1)).as("n"), k.as("k"))
+        .select(lit(table).as("entity"), col("n"), col("k"))
+    val rows = phase("summaries") {
+      agg2("users", count(when(col("handle") === "unknown", 1)))
+        .unionByName(agg2("edges", countDistinct(col("user_did"))))
+        .unionByName(agg2("vectors", countDistinct(col("uri"))))
+        .collect()
     }
-    val u = phase("summary users") { agg2("users", count(when(col("handle") === "unknown", 1))) }
-    val e = phase("summary edges") { agg2("edges", countDistinct(col("user_did"))) }
-    val v = phase("summary vectors") { agg2("vectors", countDistinct(col("uri"))) }
-    Array(("users", u._1, u._2), ("edges", e._1, e._2), ("vectors", v._1, v._2))
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
   }
 
   val q59Ep1Ingest: Q = (spark, dir) => {
