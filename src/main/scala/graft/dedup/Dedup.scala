@@ -180,6 +180,67 @@ object Dedup {
       .filter(col("sim") >= tau)
   }
 
+  /** Cross-engine twin of [[simhashNearDups]] (the md5-twin precedent of
+    * q37/q38/q55): the 64-bit SimHash is derived from md5 token hashes —
+    * bit j is set iff Σ over token occurrences of (±1 by bit j of the
+    * first 8 md5 digest bytes) > 0 — so any engine with md5 reproduces
+    * the fingerprints, the pigeonhole candidates AND the Hamming
+    * distances exactly, which is what puts q35 under the DuckDB hash
+    * oracle. The fingerprint lives in two 32-bit words (hex chars 1–8 =
+    * high, 9–16 = low): Spark's conv() yields signed longs, and 32-bit
+    * words keep every value positive with every bit test an EXACT
+    * power-of-two division (there is no variable-shift Column builtin).
+    * Same pigeonhole exactness as the native tier — this is candidate
+    * generation via equality join, never all-pairs — and the same
+    * one-shuffle shape: tokens explode locally, the 64 ±1 bit sums ride
+    * ONE partial-aggregated groupBy. */
+  def simhashNearDupsMd5(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    require(width <= 32 && 32 % width == 0,
+      s"chunk width $width must divide 32 (supported maxDist: 1, 3, 7)")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tk"))
+    val th = tok.select(col("doc_id"),
+      conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(md5(col("tk")), 9, 8), 16, 10).cast("long").as("lo"))
+    // bit j of a 32-bit word by exact division (word < 2^32 and 2^j are
+    // both exact doubles; dividing by a power of two shifts the exponent
+    // only, so floor() is the true bit)
+    def bit(c: Column, j: Int): Column =
+      pmod(floor(c / lit(math.pow(2.0, j))).cast("long"), lit(2L))
+    val sums = th.groupBy(col("doc_id")).agg(
+      sum(when(bit(col("lo"), 0) === 1, 1).otherwise(-1)).as("s0"),
+      (1 until 64).map { j =>
+        val b = if (j < 32) bit(col("lo"), j) else bit(col("hi"), j - 32)
+        sum(when(b === 1, 1).otherwise(-1)).as(s"s$j")
+      }: _*)
+    val fpLo = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val fpHi = (32 until 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << (j - 32))).otherwise(lit(0L))).reduce(_ + _)
+    val fp = sums.select(col("doc_id"), fpLo.as("fp_lo"), fpHi.as("fp_hi"))
+    val chunkCols = (0 until chunks).map { c =>
+      val word = if (c < 32 / width) col("fp_lo") else col("fp_hi")
+      shiftrightunsigned(word, (c * width) % 32)
+        .bitwiseAND(lit((1L << width) - 1))
+    }
+    val banded = fp.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+      posexplode(array(chunkCols: _*)).as(Seq("c", "chunk")))
+    banded.as("a").join(banded.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp_lo").as("la"), col("a.fp_hi").as("ha"),
+        col("b.fp_lo").as("lb"), col("b.fp_hi").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("la").bitwiseXOR(col("lb"))) +
+          bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** SimHash near-dup pairs with Hamming ≤ maxDist: pigeonhole banding —
     * split the 64-bit fingerprint into maxDist+1 chunks; any pair within
     * distance shares ≥1 exact chunk, so an equality join on

@@ -24,6 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class KmvDistinct(
     child: Expression,
     k: Int,
+    md5Mode: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
@@ -33,12 +34,29 @@ case class KmvDistinct(
   override def dataType: DataType = LongType
   override def prettyName: String = "kmv_distinct"
 
+  /** Cross-engine hash tier (`md5Mode`): the 64-bit hash is the first 8
+    * bytes (= first 16 hex chars) of md5 of the value's decimal/string
+    * rendering — any engine with md5 reproduces the sketch and estimate
+    * bit-for-bit (the q38/q37 md5-twin precedent), which is what puts q55
+    * under the DuckDB hash oracle. The default tier stays the fast native
+    * mix64 (hash choice is orthogonal to the sketch's guarantees). */
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
   /** Hash biased by flipping the sign bit: natural (signed) ordering of the
     * stored value equals unsigned ordering of the raw hash, so a plain
     * TreeSet keeps the k unsigned-minimum hashes and
     * `stored − Long.MinValue` is the unsigned magnitude. */
   private def hash(v: Any): Long = {
-    val h = v match {
+    val h = if (md5Mode) {
+      val s = v match {
+        case u: UTF8String => u.toString
+        case other => other.toString
+      }
+      ByteBuffer.wrap(
+        md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        .getLong // big-endian, matching hex-literal parsing of the prefix
+    } else v match {
       case s: UTF8String => Hashing.mix64(Hashing.fnv1a64(s.getBytes))
       case l: Long => Hashing.mix64(l)
       case i: Int => Hashing.mix64(i.toLong)
@@ -70,9 +88,17 @@ case class KmvDistinct(
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
     if (buf.size < k) buf.size.toLong
     else {
-      // u_k = k-th minimum as fraction of the unsigned 64-bit hash space
-      val kth = buf.last.longValue()
-      val u = (kth.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+      // u_k = k-th minimum as fraction of the unsigned 64-bit hash space.
+      // The unsigned→double conversion goes through BigDecimal for a
+      // SINGLE correctly-rounded rounding: the tempting
+      // `stored.toDouble + 2^63` double-rounds (stored rounds at its own
+      // ulp, the sum rounds again), which can land one ulp off what an
+      // engine converting the unsigned value directly (DuckDB's
+      // UBIGINT::DOUBLE) produces — the op order below is the oracle's.
+      val raw = buf.last.longValue() ^ Long.MinValue // back to raw hash bits
+      val kthD = new java.math.BigDecimal(
+        java.lang.Long.toUnsignedString(raw)).doubleValue()
+      val u = kthD / 18446744073709551616.0 // 2^64, exact as a double
       math.round((k - 1) / math.max(u, 1e-18))
     }
   }
@@ -108,4 +134,10 @@ object KmvSketch {
   /** Approximate COUNT(DISTINCT c) with a k-entry mergeable sketch. */
   def kmv_distinct(c: Column, k: Int = 256): Column =
     column(KmvDistinct(expression(c), k).toAggregateExpression())
+
+  /** The cross-engine twin: md5-derived hashes, so the sketch (and thus
+    * the estimate) is reproducible in any engine with md5 — the oracled
+    * tier (q55). */
+  def kmv_distinct_md5(c: Column, k: Int = 256): Column =
+    column(KmvDistinct(expression(c), k, md5Mode = true).toAggregateExpression())
 }

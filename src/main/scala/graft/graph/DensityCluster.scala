@@ -30,17 +30,27 @@ object DensityCluster {
   /** @param points (id, v) with v array<double> L2-normalized
     * @param eps    cosine-similarity threshold (neighbors: sim ≥ eps)
     * @param minPts core threshold (neighbors counted excluding self)
+    * @param dim    embedding width — callers know it (their embed config);
+    *               the default −1 falls back to a one-row probe, which
+    *               costs a driver action per call (the q46 path passes it)
+    * @param exactCandidates distributed EXACT tier: the ε-graph comes from
+    *               the brute all-pairs join (q39's shape) instead of LSH
+    *               buckets — quadratic by construction, the exactness
+    *               baseline (q64) whose labels DuckDB re-derives in full;
+    *               the LSH tier remains the registered scale path (q46)
     * @return (id, label) — label = min core id of the cluster, or -1 noise */
   def dbscan(points: DataFrame, eps: Double, minPts: Int,
       bits: Int = 12, tables: Int = 4,
-      bruteThreshold: Long = 2000L): DataFrame = {
+      bruteThreshold: Long = 2000L, dim: Int = -1,
+      exactCandidates: Boolean = false): DataFrame = {
     val spark = points.sparkSession
 
     // Small-n tier (same gate as Hdbscan's exact tier): EXACT DBSCAN on
     // the collected points — all-pairs ε-graph instead of LSH candidates,
     // so below the threshold the result is approximation-free while the
-    // LSH machinery serves the scale it was built for
-    val nPts = points.count()
+    // LSH machinery serves the scale it was built for. Gate disabled at
+    // bruteThreshold ≤ 0 (skips the count() action too).
+    val nPts = if (bruteThreshold > 0) points.count() else Long.MaxValue
     if (nPts <= bruteThreshold) {
       import spark.implicits._
       val pts = points.select(col("id"), col("v"))
@@ -48,23 +58,47 @@ object DensityCluster {
       return dbscanInMemory(pts, eps, minPts).toSeq.toDF("id", "label")
     }
 
+    val pairs = if (exactCandidates) {
+      // distributed exact ε-graph: all pairs, similarity verified inside
+      // the join projection, only qualifying 16-byte id pairs survive
+      val n = points.select(col("id"), col("v"))
+      n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"),
+          VectorFunctions.dot(col("a.v"), col("b.v")).as("sim"))
+        .filter(col("sim") >= eps)
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    } else {
+      lshPairs(points, eps, bits, tables, dim)
+    }
+
+    clusterFromPairs(points, pairs, minPts)
+  }
+
+  /** LSH candidate ε-edges (the scale tier of [[dbscan]]). No driver
+    * action before the candidate join (the round-4 discipline of
+    * `Dedup.cosineNearDups`/`Ann.lshTopK`): the centering mean rides a
+    * broadcast 1-row aggregate instead of a `first()` probe, and the
+    * hyperplane width comes from the `dim` parameter (callers know their
+    * embed config; the −1 fallback probes once, documented). */
+  private def lshPairs(points: DataFrame, eps: Double, bits: Int,
+      tables: Int, dim: Int): DataFrame = {
     // 0. center the data: sign-bit LSH on uncentered embeddings collapses
     // into two complementary mega-buckets whenever the corpus shares a
     // dominant direction (measured: top bucket held 42% of points on the
     // testdata) — subtracting the global mean rebalances the signatures.
     // ε-verification still uses the ORIGINAL vectors, so precision is
     // unaffected; centering only shapes the candidate buckets.
-    val meanRow = points.agg(graft.functions.VectorMean(col("v")).as("m"))
-      .select(col("m")).first().getSeq[Double](0)
-    val meanCol = array(meanRow.map(lit): _*)
-    val centered = points.withColumn("vc",
-      zip_with(col("v"), meanCol, (x, m) => x - m))
+    val meanDf = points.agg(graft.functions.VectorMean(col("v")).as("m"))
+    val centered = points.crossJoin(broadcast(meanDf))
+      .withColumn("vc", zip_with(col("v"), col("m"), (x, mm) => x - mm))
+      .drop("m")
 
     // 1. random-hyperplane signatures: bit b of table t = sign(vc · h_{t,b}),
     // hyperplanes seeded deterministically from (t, b, dim index)
-    val dim = points.select(size(col("v"))).first().getInt(0)
+    val d = if (dim > 0) dim else points.select(size(col("v"))).first().getInt(0)
     val allSigs = graft.functions.VectorExpressions
-      .hyperplane_sigs(col("vc"), dim, "dbscan", bits, tables)
+      .hyperplane_sigs(col("vc"), d, "dbscan", bits, tables)
     val bucketed = centered
       .select(col("id"), col("v"), posexplode(allSigs).as(Seq("t", "sig")))
       .repartition(col("t"), col("sig")) // don't inherit the scan's (often
@@ -83,7 +117,14 @@ object DensityCluster {
       .select(col("src"), col("dst"))
       .dropDuplicates("src", "dst")
       .localCheckpoint()
+    graft.util.BlockRelease.release(bucketed)
+    pairs
+  }
 
+  /** Cores → clusters → borders → noise from a materialized ε-edge set —
+    * shared by the LSH and distributed-exact tiers. */
+  private def clusterFromPairs(points: DataFrame, pairs: DataFrame,
+      minPts: Int): DataFrame = {
     // 3. core points: neighbor degree ≥ minPts
     val degrees = pairs.select(col("src").as("id"))
       .union(pairs.select(col("dst").as("id")))
@@ -117,9 +158,10 @@ object DensityCluster {
       .select(col("node").as("id"),
         coalesce(col("core_label"), col("border_label"), lit(-1L)).as("label"))
       .localCheckpoint() // point-sized, lineage-free
-    // scratch state (bucket rows, ε-edges, core cache) is unreachable from
-    // the checkpointed result — release instead of leaking per call
-    graft.util.BlockRelease.release(Seq(bucketed, pairs, core))
+    // scratch state (ε-edges, core cache) is unreachable from the
+    // checkpointed result — release instead of leaking per call (the LSH
+    // tier's bucket rows are already released inside lshPairs)
+    graft.util.BlockRelease.release(Seq(pairs, core))
     out
   }
 

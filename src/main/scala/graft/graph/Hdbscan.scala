@@ -28,8 +28,11 @@ import graft.functions.VectorFunctions
   *     single-linkage dendrogram via union-find, condensed tree with
   *     `minClusterSize`, Excess-of-Mass cluster selection, noise = −1 —
   *     the hdbscan condensed-tree algorithm (Campello–Moulavi–Sander).
-  *     Over the threshold it degrades to a flat quantile cut of the MST
-  *     (documented approximation), never aborts.
+  *     Over the threshold the extraction stays EXACT and keeps EOM
+  *     semantics via the two-phase pivot-split factorization
+  *     ([[extractLabelsDistributed]]); only when no weight pivot can
+  *     split the MST into executor-fit pieces does it degrade to a flat
+  *     quantile cut ([[flatCutLabels]], warns, never aborts).
   */
 object Hdbscan {
 
@@ -129,31 +132,420 @@ object Hdbscan {
         val lab = extractLabels(edges, ids, minClusterSize)
         lab.toSeq.toDF("id", "label")
       } else {
-        // degradation tier: flat cut of the MST → connected components;
-        // undersized components are noise. The cut lands at the largest
-        // multiplicative gap in the (approximate) weight quantiles — the
-        // single-linkage gap criterion, one distributed pass. A flat cut is
-        // what the full hierarchy refines — quality degrades, the job
-        // survives
-        val probes = (0 to 50).map(_ / 50.0).toArray
-        val qs = mst.stat.approxQuantile("w", probes, 0.001)
-        // geometric midpoint of the widest gap: quantile resolution can
-        // hide stragglers just below the jump — a log-midway cut keeps
-        // them and still excludes everything across the gap
-        val cut = qs.zip(qs.tail).filter(_._1 > 0.0)
-          .maxByOption { case (lo, hi) => hi / lo }
-          .map { case (lo, hi) => math.sqrt(lo * hi) }.getOrElse(qs.last)
-        val comps = GraphAlgos.connectedComponents(
-          mst.filter(col("w") <= cut)
-            .select(col("a").as("src"), col("b").as("dst")))
-        val sizes = comps.groupBy("label").agg(count(lit(1)).as("sz"))
-        comps.join(sizes, "label")
-          .select(col("node").as("id"),
-            when(col("sz") >= minClusterSize, col("label")).otherwise(lit(-1L)).as("label"))
-          .localCheckpoint() // node-sized; lets the MST blocks go
+        // at-scale tier: EXACT two-phase condensed-tree extraction (EOM
+        // semantics preserved); flat-cut only as the documented fallback
+        // when no weight pivot can split the MST into executor-fit pieces
+        extractLabelsDistributed(mst, points.select(col("id")),
+          minClusterSize, topFit = collectThreshold)
       }
     graft.util.BlockRelease.release(mst)
     out
+  }
+
+  /** Last-resort degradation: flat cut of the MST at the largest
+    * multiplicative weight-quantile gap → connected components; undersized
+    * components are noise. Reached ONLY when [[extractLabelsDistributed]]
+    * cannot find a pivot splitting the MST into executor-fit components
+    * (a single near-uniform-density blob — where the condensed hierarchy
+    * carries little structure anyway); logs a warning, never aborts. */
+  private def flatCutLabels(mst: DataFrame, minClusterSize: Int): DataFrame = {
+    val probes = (0 to 50).map(_ / 50.0).toArray
+    val qs = mst.stat.approxQuantile("w", probes, 0.001)
+    // geometric midpoint of the widest gap: quantile resolution can
+    // hide stragglers just below the jump — a log-midway cut keeps
+    // them and still excludes everything across the gap
+    val cut = qs.zip(qs.tail).filter(_._1 > 0.0)
+      .maxByOption { case (lo, hi) => hi / lo }
+      .map { case (lo, hi) => math.sqrt(lo * hi) }.getOrElse(qs.last)
+    val comps = GraphAlgos.connectedComponents(
+      mst.filter(col("w") <= cut)
+        .select(col("a").as("src"), col("b").as("dst")))
+    val sizes = comps.groupBy("label").agg(count(lit(1)).as("sz"))
+    comps.join(sizes, "label")
+      .select(col("node").as("id"),
+        when(col("sz") >= minClusterSize, col("label")).otherwise(lit(-1L)).as("label"))
+      .localCheckpoint() // node-sized; lets the MST blocks go
+  }
+
+  /** Executor-phase emission row for [[extractLabelsDistributed]]:
+    * kind 0 = point membership (id, pgid = condensed parent cluster);
+    * kind 1 = cluster record (gid, pgid = parent, lam = λ_birth);
+    * kind 2 = stability partial (pgid, sls = Σ λ·size, ss = Σ size). */
+  private[graft] final case class XRow(kind: Int, id: Long, gid: Long,
+      pgid: Long, lam: Double, sls: Double, ss: Long)
+
+  /** Shared single-linkage dendrogram builder: `edges` MUST be pre-sorted
+    * by the lexicographic (w, origA, origB) total order; leaves 0..n-1
+    * with caller-supplied sizes, internal nodes n.. allocated in merge
+    * order. Returns (childL, childR, height, sz, roots, nodeCount). */
+  private def dendrogram(n: Int, edges: Array[(Int, Int, Double)],
+      leafSz: Int => Long): (Array[Int], Array[Int], Array[Double],
+      Array[Long], Seq[Int], Int) = {
+    val maxNodes = (2 * n - 1) max 1
+    val parent = Array.tabulate(maxNodes)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val m = edges.length
+    val childL = new Array[Int](m max 1)
+    val childR = new Array[Int](m max 1)
+    val height = new Array[Double](m max 1)
+    val sz = new Array[Long](maxNodes)
+    var i = 0
+    while (i < n) { sz(i) = leafSz(i); i += 1 }
+    var next = n
+    edges.foreach { case (a, b, w) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val id = next; next += 1
+        childL(id - n) = ra; childR(id - n) = rb; height(id - n) = w
+        sz(id) = sz(ra) + sz(rb)
+        parent(ra) = id; parent(rb) = id
+      }
+    }
+    val roots = (0 until next).filter(i => find(i) == i)
+    (childL, childR, height, sz, roots, next)
+  }
+
+  /** EXACT distributed condensed-tree extraction — the at-scale tier of
+    * [[run]] (replaces the round-4 flat-quantile-cut degradation, which
+    * survives only as [[flatCutLabels]], the no-viable-pivot fallback).
+    *
+    * Exactness rests on the single-linkage factorization: the dendrogram
+    * processes MST edges in ascending (w, a, b) order, so splitting the
+    * edge set at a weight pivot — every `w ≤ pivot` edge strictly before
+    * every `w > pivot` edge — cannot change any merge. The union-find
+    * state after the below-pivot prefix IS the below-forest's component
+    * set, hence:
+    *
+    *  1. **Pivot search** (driver, ≤ a handful of candidate quantiles):
+    *     pick the highest pivot whose above-pivot "top" piece collects
+    *     (≤ topFit edges) and whose below-forest components each fit one
+    *     executor (≤ componentFit edges, checked with one distributed
+    *     count per candidate). No pivot viable → [[flatCutLabels]] + log.
+    *  2. **Top condensed walk** (driver): dendrogram over component
+    *     super-nodes (sizes from a distributed count), virtual-root /
+    *     single-root semantics identical to [[extractLabels]]. Component
+    *     leaves either SPILL (all points leave cluster `cid` at λ — a
+    *     cluster-level stability term, no per-point work) or CONTINUE
+    *     (walk resumes inside the component at entry cluster `cid`).
+    *  3. **Per-component condensed walks** (executors, one `mapGroups`
+    *     over the below-edges of continuation components): each runs the
+    *     sequential walk on its own subtree, emitting point→cluster
+    *     memberships (distributed, never collected), plus cluster records
+    *     and stability partials (condensed-cluster-sized — collected;
+    *     cluster ids are made globally unique by a per-component high-bit
+    *     base). A condensed cluster tree that itself exceeds the driver is
+    *     out of scope (n/minClusterSize pathological bound; real
+    *     hierarchies condense to ≪ that).
+    *  4. **Global EOM** (driver, cluster-tree-sized): stabilities = driver
+    *     terms + executor partials; bottom-up Excess-of-Mass selection and
+    *     top-down winner absorption exactly as [[extractLabels]].
+    *  5. **Labels** (distributed): memberships ∪ spills → broadcast-join
+    *     the winner map → min member id per winning cluster → (id, label).
+    */
+  private[graft] def extractLabelsDistributed(mst: DataFrame,
+      points: DataFrame, minClusterSize: Int,
+      topFit: Long = 5000000L, componentFit: Long = 50000000L): DataFrame = {
+    val spark = mst.sparkSession
+    import spark.implicits._
+    val mcs = minClusterSize
+    val m = mst.count()
+
+    // ---- 1. pivot search ----
+    val fracs = (Seq(1.0 - 0.8 * topFit.toDouble / m) ++
+      Seq(0.98, 0.95, 0.9, 0.8, 0.6, 0.4))
+      .filter(f => f > 0.0 && f < 1.0).distinct.sortBy(-_)
+    val pivots = mst.stat.approxQuantile("w", fracs.toArray, 0.0001)
+    var chosen: Option[(Double, DataFrame)] = None // (pivot, compOf)
+    var prevPivot = Double.NaN
+    val it = pivots.iterator
+    while (chosen.isEmpty && it.hasNext) {
+      val pivot = it.next()
+      if (pivot != prevPivot) {
+        prevPivot = pivot
+        val below = mst.filter(col("w") <= pivot)
+        val belowCnt = below.count()
+        if (m - belowCnt <= topFit) {
+          val cc = GraphAlgos.connectedComponents(
+            below.select(col("a").as("src"), col("b").as("dst")))
+          val compOf = cc.select(col("node"), col("label").as("comp"))
+            .unionByName(points.select(col("id").as("node"))
+              .join(cc, Seq("node"), "left_anti")
+              .select(col("node"), col("node").as("comp")))
+            .localCheckpoint()
+          graft.util.BlockRelease.release(cc)
+          val maxComp = below
+            .join(compOf.select(col("node").as("a"), col("comp")), "a")
+            .groupBy("comp").agg(count(lit(1)).as("ec"))
+            .agg(coalesce(max(col("ec")), lit(0L))).as[Long].head()
+          if (maxComp <= componentFit) chosen = Some((pivot, compOf))
+          else graft.util.BlockRelease.release(compOf)
+        }
+      }
+    }
+    if (chosen.isEmpty) {
+      System.err.println(s"[graft] Hdbscan: no weight pivot splits $m MST " +
+        "edges into executor-fit components — degrading to flat-cut labels")
+      return flatCutLabels(mst, mcs)
+    }
+    val (pivot, compOf) = chosen.get
+    val below = mst.filter(col("w") <= pivot)
+
+    // ---- 2. top condensed walk on the component super-graph ----
+    val compSizes = compOf.groupBy("comp").agg(count(lit(1)).as("sz"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val compIdx = compSizes.iterator.map(_._1).zipWithIndex.toMap
+    val nC = compSizes.length
+    val topRaw = mst.filter(col("w") > pivot)
+      .join(compOf.select(col("node").as("a"), col("comp").as("ca")), "a")
+      .join(compOf.select(col("node").as("b"), col("comp").as("cb")), "b")
+      .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
+      .as[(Long, Long, Double, Long, Long)].collect()
+      .sortBy(e => (e._3, e._1, e._2)) // the shared (w, a, b) total order
+    val topEdges = topRaw.map(e => (compIdx(e._4), compIdx(e._5), e._3))
+    val (childL, childR, height, sz, roots, _) =
+      dendrogram(nC, topEdges, i => compSizes(i)._2)
+
+    def leavesOf(node: Int): List[Int] = {
+      var acc = List.empty[Int]
+      val stack = mutable.Stack(node)
+      while (stack.nonEmpty) {
+        val x = stack.pop()
+        if (x < nC) acc ::= x
+        else { stack.push(childL(x - nC)); stack.push(childR(x - nC)) }
+      }
+      acc
+    }
+
+    // cluster bookkeeping (driver gids 0, 1, 2, …; executor gids carry a
+    // per-component base in the high bits, so the spaces never collide)
+    val lambdaBirth = mutable.Map[Long, Double]()
+    val clusterParent = mutable.Map[Long, Long]()
+    val stab = mutable.Map[Long, Double]().withDefaultValue(0.0)
+    var nextCluster = 0L
+    def newCluster(birth: Double, par: Long): Long = {
+      val c = nextCluster; nextCluster += 1
+      lambdaBirth(c) = birth
+      if (par >= 0) clusterParent(c) = par
+      c
+    }
+    val spills = mutable.ArrayBuffer[(Int, Long)]()  // comp leaf → cid (λ only feeds stability, folded below)
+    val continuations = mutable.LinkedHashMap[Int, Long]() // comp leaf → entry cid
+    def spill(ci: Int, cid: Long, lam: Double): Unit = {
+      stab(cid) += (lam - lambdaBirth(cid)) * compSizes(ci)._2
+      spills += ((ci, cid))
+    }
+    def descend(x: Int, cid: Long,
+        stack: mutable.Stack[(Int, Long)]): Unit =
+      if (x >= nC) stack.push((x, cid)) else continuations(x) = cid
+
+    val virtualRoot = newCluster(0.0, -1L)
+    val bigRoots = roots.count(r => sz(r) >= mcs)
+    val rootLike = mutable.Set[Long]()
+    roots.foreach { root =>
+      if (sz(root) >= mcs) {
+        val rootCluster = newCluster(0.0, virtualRoot)
+        stab(virtualRoot) += 0.0 // λ = λ_birth(virtualRoot) = 0 — explicit no-op
+        if (bigRoots == 1) rootLike += rootCluster
+        val stack = mutable.Stack[(Int, Long)]()
+        descend(root, rootCluster, stack)
+        while (stack.nonEmpty) {
+          val (node, cid) = stack.pop()
+          val l = childL(node - nC); val r = childR(node - nC)
+          val lam = if (height(node - nC) > 0.0) 1.0 / height(node - nC) else 1e30
+          val bigL = sz(l) >= mcs; val bigR = sz(r) >= mcs
+          if (bigL && bigR) {
+            val cl = newCluster(lam, cid)
+            val cr = newCluster(lam, cid)
+            stab(cid) += (lam - lambdaBirth(cid)) * sz(l)
+            stab(cid) += (lam - lambdaBirth(cid)) * sz(r)
+            descend(l, cl, stack); descend(r, cr, stack)
+          } else if (bigL) {
+            leavesOf(r).foreach(ci => spill(ci, cid, lam))
+            descend(l, cid, stack)
+          } else if (bigR) {
+            leavesOf(l).foreach(ci => spill(ci, cid, lam))
+            descend(r, cid, stack)
+          } else {
+            (leavesOf(l) ++ leavesOf(r)).foreach(ci => spill(ci, cid, lam))
+          }
+        }
+      } else {
+        leavesOf(root).foreach(ci => spill(ci, virtualRoot, 0.0))
+      }
+    }
+
+    // ---- 3. per-component condensed walks in executors ----
+    val contBases: Map[Long, (Long, Long)] = // compId → (entryCid, gidBase)
+      continuations.zipWithIndex.map { case ((ci, cid), k) =>
+        compSizes(ci)._1 -> (cid, (k + 1).toLong << 32)
+      }.toMap
+    val bcCont = spark.sparkContext.broadcast(contBases)
+    val contDf = broadcast(contBases.keys.toSeq.toDF("comp"))
+    val xr = below
+      .join(compOf.select(col("node").as("a"), col("comp")), "a")
+      .join(contDf, Seq("comp"), "left_semi")
+      .select(col("comp"), col("a"), col("b"), col("w"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (comp, rows) =>
+        val (entryCid, base) = bcCont.value(comp)
+        val edges = rows.map(r => (r._2, r._3, r._4)).toArray
+        condenseComponent(edges, entryCid, base, mcs)
+      }
+      .localCheckpoint()
+    bcCont.destroy()
+
+    val clusterRecs = xr.filter(_.kind == 1).collect()
+    val statRows = xr.filter(_.kind == 2)
+      .groupByKey(_.pgid)
+      .mapGroups { (pg, rs) =>
+        var sls = 0.0; var ss = 0L
+        rs.foreach { r => sls += r.sls; ss += r.ss }
+        (pg, sls, ss)
+      }.collect()
+
+    // ---- 4. global EOM on the assembled cluster tree ----
+    clusterRecs.foreach { r =>
+      lambdaBirth(r.gid) = r.lam
+      clusterParent(r.gid) = r.pgid
+    }
+    statRows.foreach { case (pg, sls, ss) =>
+      stab(pg) += sls - lambdaBirth(pg) * ss
+    }
+    val childrenOf = mutable.Map[Long, mutable.ArrayBuffer[Long]]()
+    clusterParent.foreach { case (c, p) =>
+      childrenOf.getOrElseUpdate(p, mutable.ArrayBuffer[Long]()) += c
+    }
+    val allClusters = lambdaBirth.keys.toArray
+    val depth = mutable.Map[Long, Int]()
+    def depthOf(c: Long): Int = depth.getOrElseUpdate(c,
+      clusterParent.get(c).map(depthOf(_) + 1).getOrElse(0))
+    allClusters.foreach(depthOf)
+    val isRoot = allClusters.filter(!clusterParent.contains(_)).toSet ++ rootLike
+    val selected = mutable.Set[Long]()
+    val subtreeStab = mutable.Map[Long, Double]()
+    allClusters.sortBy(c => (-depth(c), c)).foreach { c =>
+      val kids = childrenOf.getOrElse(c, mutable.ArrayBuffer.empty[Long])
+      if (kids.isEmpty) {
+        if (!isRoot(c)) selected += c
+        subtreeStab(c) = stab(c)
+      } else {
+        val s = kids.iterator.map(subtreeStab).sum
+        if (stab(c) > s && !isRoot(c)) { selected += c; subtreeStab(c) = stab(c) }
+        else subtreeStab(c) = s
+      }
+    }
+    val winner = mutable.Map[Long, Long]()
+    val wstack = mutable.Stack[(Long, Long)]() // (cluster, winning ancestor or -1)
+    isRoot.foreach(r => wstack.push((r, -1L)))
+    while (wstack.nonEmpty) {
+      val (c, w0) = wstack.pop()
+      val w1 = if (w0 >= 0) w0 else if (selected(c)) c else -1L
+      if (w1 >= 0) winner(c) = w1
+      childrenOf.getOrElse(c, mutable.ArrayBuffer.empty[Long])
+        .foreach(k => wstack.push((k, w1)))
+    }
+
+    // ---- 5. labels, fully distributed ----
+    val winnerDf = broadcast(winner.toSeq.toDF("pgid", "wgid"))
+    val spillDf = broadcast(
+      spills.map { case (ci, cid) => (compSizes(ci)._1, cid) }
+        .toSeq.toDF("comp", "pgid"))
+    val members = xr.filter(_.kind == 0).map(r => (r.id, r.pgid))
+      .toDF("id", "pgid")
+      .unionByName(compOf.join(spillDf, Seq("comp"))
+        .select(col("node").as("id"), col("pgid")))
+    val assigned = members.join(winnerDf, Seq("pgid"), "left")
+    val minIds = broadcast(assigned.filter(col("wgid").isNotNull)
+      .groupBy("wgid").agg(min(col("id")).as("clab")))
+    val out = assigned.join(minIds, Seq("wgid"), "left")
+      .select(col("id"), coalesce(col("clab"), lit(-1L)).as("label"))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(Seq(xr.toDF(), compOf))
+    out
+  }
+
+  /** The sequential condensed walk of ONE below-pivot component, resumed
+    * at entry cluster `entryCid` (λ_birth lives on the driver; stability
+    * partials are emitted relative to λ alone and the driver subtracts
+    * λ_birth·Σsize). Cluster ids allocated as `base | local`. */
+  private[graft] def condenseComponent(rawEdges: Array[(Long, Long, Double)],
+      entryCid: Long, base: Long, mcs: Int): Iterator[XRow] = {
+    val ids = rawEdges.iterator.flatMap(e => Iterator(e._1, e._2))
+      .toArray.distinct.sorted
+    val n = ids.length
+    val idx = ids.zipWithIndex.toMap
+    val edges = rawEdges
+      .sortBy(e => (e._3, e._1, e._2))
+      .map(e => (idx(e._1), idx(e._2), e._3))
+    val (childL, childR, height, sz, roots, _) = dendrogram(n, edges, _ => 1L)
+
+    def leavesOf(node: Int): List[Int] = {
+      var acc = List.empty[Int]
+      val stack = mutable.Stack(node)
+      while (stack.nonEmpty) {
+        val x = stack.pop()
+        if (x < n) acc ::= x
+        else { stack.push(childL(x - n)); stack.push(childR(x - n)) }
+      }
+      acc
+    }
+
+    val out = mutable.ArrayBuffer[XRow]()
+    val stats = mutable.Map[Long, (Double, Long)]() // parent → (Σλ·sz, Σsz)
+    def statAdd(pg: Long, lam: Double, s: Long): Unit = {
+      val (a, b) = stats.getOrElse(pg, (0.0, 0L))
+      stats(pg) = (a + lam * s, b + s)
+    }
+    var nextLocal = 0L
+    def newCluster(birth: Double, par: Long): Long = {
+      val c = base | nextLocal; nextLocal += 1
+      out += XRow(1, 0L, c, par, birth, 0.0, 0L)
+      c
+    }
+    def pointRow(p: Int, cid: Long, lam: Double): Unit = {
+      out += XRow(0, ids(p), 0L, cid, 0.0, 0.0, 0L)
+      statAdd(cid, lam, 1L)
+    }
+
+    // a component is connected by construction → exactly one dendrogram
+    // root; its subtree is already inside `entryCid`
+    val stack = mutable.Stack[(Int, Long)]()
+    roots.foreach { root =>
+      if (root >= n) stack.push((root, entryCid))
+      else pointRow(root, entryCid, 1e30) // 1-point component: not reachable
+      //          via continuations (size ≥ mcs ≥ 2), defensive only
+    }
+    while (stack.nonEmpty) {
+      val (node, cid) = stack.pop()
+      val l = childL(node - n); val r = childR(node - n)
+      val lam = if (height(node - n) > 0.0) 1.0 / height(node - n) else 1e30
+      val bigL = sz(l) >= mcs; val bigR = sz(r) >= mcs
+      def descend(x: Int, c: Long): Unit =
+        if (x >= n) stack.push((x, c)) else pointRow(x, c, lam)
+      if (bigL && bigR) {
+        val cl = newCluster(lam, cid)
+        val cr = newCluster(lam, cid)
+        statAdd(cid, lam, sz(l)); statAdd(cid, lam, sz(r))
+        descend(l, cl); descend(r, cr)
+      } else if (bigL) {
+        leavesOf(r).foreach(p => pointRow(p, cid, lam))
+        descend(l, cid)
+      } else if (bigR) {
+        leavesOf(l).foreach(p => pointRow(p, cid, lam))
+        descend(r, cid)
+      } else {
+        (leavesOf(l) ++ leavesOf(r)).foreach(p => pointRow(p, cid, lam))
+      }
+    }
+    stats.foreach { case (pg, (sls, ss)) => out += XRow(2, 0L, 0L, pg, 0.0, sls, ss) }
+    out.iterator
   }
 
   /** Sequential Kruskal under the lexicographic (w, a, b) edge order —

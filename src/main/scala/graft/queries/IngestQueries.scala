@@ -78,14 +78,25 @@ object IngestQueries {
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val (profiles, likes) = Streams.routeUserStream(b)
+          val users = Streams.cleanProfiles(profiles)
+          val edges = likes.select(
+            concat_ws("|", col("user_did"), col("uri")).as("edge_id"),
+            col("user_did"), col("uri"))
+          // ONE touched-bucket probe for the whole fan-out (the per-merge
+          // probe paid the fixed per-job floor once per derived table on
+          // the same cached batch)
+          val hints = phase("  probe buckets") {
+            Streams.probeTouched(Seq(
+              (users, "did", s"$base/users", Streams.DefaultMergeBuckets),
+              (edges, "edge_id", s"$base/edges", Streams.DefaultMergeBuckets)))
+          }
           phase("  merge users") {
-            Streams.mergeUpsert(Streams.cleanProfiles(profiles), s"$base/users", "did")
+            Streams.mergeUpsert(users, s"$base/users", "did",
+              touchedHint = Some(hints(0)))
           }
           phase("  merge edges") {
-            Streams.mergeUpsert(
-              likes.select(concat_ws("|", col("user_did"), col("uri")).as("edge_id"),
-                col("user_did"), col("uri")),
-              s"$base/edges", "edge_id")
+            Streams.mergeUpsert(edges, s"$base/edges", "edge_id",
+              touchedHint = Some(hints(1)))
           }
         } finally { b.unpersist(blocking = false); () }
       }

@@ -356,13 +356,17 @@ object RelationalQueries {
 
   /** q55 — KMV sketch distinct counts per group (constant state per group
     * vs exact distinct's full-value shuffle — the 100 TB cardinality
-    * estimator). Engine-native hashing → rows-only check; accuracy bound
-    * asserted in KmvSketchSpec. */
+    * estimator). Registered through the md5 hash tier
+    * ([[graft.functions.KmvSketch.kmv_distinct_md5]]): the k-minimum
+    * hashes — and therefore the estimate arithmetic — are reproducible in
+    * DuckDB, putting the sketch under the full hash oracle (the q37/q38
+    * md5-twin precedent); the fast native-hash tier stays the default and
+    * keeps its accuracy-bound spec in KmvSketchSpec. */
   val q55KmvDistinct: Q = (spark, dir) => {
     import spark.implicits._
     Tables.load(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(graft.functions.KmvSketch.kmv_distinct($"l_orderkey", 256).as("approx_orders"),
+      .agg(graft.functions.KmvSketch.kmv_distinct_md5($"l_orderkey", 256).as("approx_orders"),
         count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag")
   }
@@ -420,6 +424,28 @@ object RelationalQueries {
     "q14_set_ops" -> q14SetOps)
 
   val oracles: Map[String, String] = Map(
+    // q55 — the KMV sketch replayed exactly: same md5-prefix 64-bit
+    // hashes (big-endian first 16 hex chars ≡ first 8 digest bytes), same
+    // k-th-minimum selection over DISTINCT hashes, same estimate
+    // arithmetic in the same op order (unsigned hash → double, / 2^64,
+    // 255/u, round). Exact tier (< k distinct → the distinct count) is
+    // the CASE's other arm.
+    "q55_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 16))::UBIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS nd FROM h),
+        |g AS (SELECT l_returnflag, max(nd) AS nd,
+        |    max(CASE WHEN rn = 256 THEN h END) AS kth FROM r GROUP BY 1),
+        |c AS (SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1)
+        |SELECT g.l_returnflag,
+        |  CASE WHEN g.nd < 256 THEN g.nd
+        |    ELSE CAST(round(255.0 / (g.kth::DOUBLE / 18446744073709551616.0)) AS BIGINT)
+        |  END AS approx_orders, c.n_rows
+        |FROM g JOIN c USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q28_asof_join" ->
       """WITH o AS (SELECT o_custkey - 1 AS user_id, o_orderdate AS ots,
         |  max(o_orderkey) AS asof_order

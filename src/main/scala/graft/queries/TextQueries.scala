@@ -13,10 +13,11 @@ import graft.dedup.Dedup
   * extension set; reference text handling at
   * project/qdrant/consumer_post.py:79-91).
   *
-  * Queries q30–q34 carry exact DuckDB oracles (identical double-op order →
-  * bit-equal). q35–q37 use engine-native hashing (FNV/xxhash) that no other
-  * engine reproduces → rows-only driver check + ScalaTest invariants
-  * (LSH candidates ⊇ true near-dups is asserted in DedupSpec).
+  * Every query here carries an exact DuckDB oracle (identical double-op
+  * order → bit-equal): q30–q34/q36/q63 over built-in string arithmetic,
+  * q35/q37/q38 through the md5-twin hashing tiers (the engine-native
+  * FNV/xxhash tiers stay the fast defaults, spec-checked in DedupSpec /
+  * TextExpressionsSpec).
   */
 object TextQueries {
 
@@ -104,10 +105,16 @@ object TextQueries {
       .select($"doc_id", langId($"text").as("lang_guess"), $"lang")
   }
 
-  /** q35 — SimHash near-dups (Hamming ≤ 3) via pigeonhole chunk banding.
-    * Engine-native fingerprint → rows-only check. */
+  /** q35 — SimHash near-dups (Hamming ≤ 3) via pigeonhole chunk banding,
+    * registered through the md5-derived fingerprint
+    * ([[Dedup.simhashNearDupsMd5]]): pigeonhole candidates are EXACT for
+    * the distance bound (any pair within Hamming 3 shares one of 4 16-bit
+    * chunks), and md5 fingerprints are engine-reproducible, so the full
+    * pair set + distances sit under the DuckDB hash oracle. The fast
+    * native-fingerprint tier ([[Dedup.simhashNearDups]]) keeps its
+    * planted-pair spec in DedupSpec. */
   val q35SimhashNearDups: Q = (spark, dir) =>
-    Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text", maxDist = 3)
+    Dedup.simhashNearDupsMd5(docs(spark, dir), "doc_id", "text", maxDist = 3)
 
   /** q36 — MinHash-LSH near-dups verified by exact Jaccard ≥ 0.5.
     * Same ground truth as q33, found at shuffle cost O(buckets).
@@ -169,15 +176,26 @@ object TextQueries {
     out
   }
 
-  /** q37 — document kNN through the deterministic EmbedText expression:
-    * embed all docs (64-dim hashed), top-10 most similar to doc 0. */
+  /** q37 — document kNN over the cross-engine md5 feature-hash embedding
+    * (the q38 precedent, closing the round-4 rows-only gap): embed all
+    * docs with [[graft.functions.TextFunctions.md5Embed]] (16-dim signed
+    * feature hashing — integer-valued vectors, so dot/norm arithmetic is
+    * EXACT in doubles and DuckDB reproduces the scores bit-for-bit),
+    * top-10 most similar to doc 0 by cosine. Zero vectors (empty docs)
+    * are excluded on both sides — cosine is undefined there. The
+    * engine-native 64-dim EmbedText expression stays exercised by q24's
+    * LSH tier and TextExpressionsSpec. */
   val q37EmbedKnn: Q = (spark, dir) => {
     import spark.implicits._
-    val emb = docs(spark, dir).select($"doc_id", embed_text($"text", 64).as("v"))
-    val q = emb.filter($"doc_id" === 0).select($"v".as("qv"))
+    val emb = docs(spark, dir).select($"doc_id", md5Embed($"text").as("v"))
+      .withColumn("n2", aggregate($"v", lit(0.0), (acc, x) => acc + x * x))
+      .filter($"n2" > 0)
+    val q = emb.filter($"doc_id" === 0).select($"v".as("qv"), $"n2".as("qn2"))
     emb.filter($"doc_id" =!= 0)
       .crossJoin(broadcast(q))
-      .select($"doc_id", round(VectorFunctions.dot($"v", $"qv"), 4).as("score"))
+      .select($"doc_id",
+        round(VectorFunctions.dot($"v", $"qv") / sqrt($"n2" * $"qn2"), 4)
+          .as("score"))
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(10)
   }
@@ -283,6 +301,51 @@ object TextQueries {
         |WHERE na.n2 > 0 AND nb.n2 > 0
         |  AND round(list_sum(list_transform(range(1, 17),
         |      i -> na.v[i] * nb.v[i])) / sqrt(na.n2 * nb.n2), 4) >= 0.6""".stripMargin,
+    // q35 — the md5 SimHash replayed exactly: per-token ±1 bit votes from
+    // the first 8 md5 digest bytes (= hex chars 1–16, split 32/32),
+    // fingerprint bit j set iff the vote sum is positive, then ALL pairs
+    // at Hamming ≤ 3 — the pigeonhole banding in the engine finds exactly
+    // this set, so a plain quadratic re-derivation is the true oracle.
+    "q35_simhash_neardups" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |th AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(tk), 9, 8))::BIGINT AS lo FROM tk),
+        |b AS (SELECT doc_id, j,
+        |    sum(CASE WHEN ((CASE WHEN j < 32 THEN lo ELSE hi END)
+        |          >> (j % 32)::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, (SELECT unnest(range(0, 64)) AS j) GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id,
+        |    sum(CASE WHEN s > 0 AND j < 32 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS fp_lo,
+        |    sum(CASE WHEN s > 0 AND j >= 32 THEN (1::BIGINT << ((j - 32)::INT)) ELSE 0 END)::BIGINT AS fp_hi
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  (bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)))::BIGINT AS dist
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3""".stripMargin,
+    // q37 — exact kNN over the same md5 feature-hash vectors as q38's
+    // verify stage: integer-valued 16-dim vectors make every score exact
+    // in doubles, and both engines order by (rounded score DESC, doc_id)
+    // — a deterministic total order.
+    "q37_embed_knn" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |      list_sum(list_transform(toks, tk ->
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1 = i
+        |          THEN (CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 3, 1)) >= 9
+        |            THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))) AS v FROM t),
+        |n AS (SELECT doc_id, v,
+        |    list_sum(list_transform(v, x -> x * x)) AS n2 FROM v),
+        |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE doc_id = 0)
+        |SELECT n.doc_id,
+        |  round(list_sum(list_transform(range(1, 17),
+        |      i -> n.v[i] * q.qv[i])) / sqrt(n.n2 * q.qn2), 4) AS score
+        |FROM n, q
+        |WHERE n.doc_id <> 0 AND n.n2 > 0 AND q.qn2 > 0
+        |ORDER BY score DESC, n.doc_id ASC LIMIT 10""".stripMargin,
     "q63_gpt_tokens" ->
       """WITH t AS (SELECT doc_id, text,
         |  regexp_extract_all(text,

@@ -94,7 +94,15 @@ object VectorQueries {
     * banding — candidate generation is an equality join, shuffle ∝ data +
     * collisions, NEVER all pairs. Engine-native hashing → rows-only driver
     * check; DedupSpec proves exact equality against the brute-force twin on
-    * the testdata. The exact tier stays available (and oracled) as q39. */
+    * the testdata. The exact tier stays available (and oracled) as q39.
+    *
+    * Deliberately NOT oracled (round-5 finding, measured): an oracle must
+    * re-derive the full pair set, but the banding is probabilistic —
+    * with the md5-twin embedding at sf0.1 the τ-join holds ~120.8k pairs
+    * and the banding missed 11 (≈ the documented 3e-4 per-pair tail), so
+    * any exact-SQL oracle of an LSH tier fails honestly at scale. The
+    * verify ARITHMETIC is what is cross-engine checkable, and that is
+    * exactly q38's oracle; recall stays spec-bounded in DedupSpec. */
   val q24NearDupPairs: Q = (spark, dir) => {
     import spark.implicits._
     import graft.functions.TextExpressions.embed_text

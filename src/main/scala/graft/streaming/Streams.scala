@@ -88,6 +88,54 @@ object Streams {
     * with). */
   val DefaultMergeBuckets = 16
 
+  /** Bucket routing for the state layout: pmod(xxhash64(key), n). Null
+    * keys are legal (the old window formulation grouped them) and route
+    * to pmod(seed, n) — Spark's xxhash64(NULL) returns its seed (42),
+    * never NULL — so they land in one ordinary bucket like any other key
+    * value. Probe, pruned read and partitioned write all use this one
+    * expression; that consistency (not the specific bucket) is what the
+    * layout needs. */
+  private def bucketExpr(c: Column, nBuckets: Int): Column =
+    pmod(xxhash64(c), lit(nBuckets)).cast("int")
+
+  /** A table's pinned bucket count (`_graft_buckets` marker wins over the
+    * caller's default — mixing counts would route a key to a bucket its
+    * old rows are not in). */
+  private def resolveBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path, default: Int): Int = {
+    val markerPath = new org.apache.hadoop.fs.Path(tableDir, "_graft_buckets")
+    if (fs.exists(tableDir) && fs.exists(markerPath)) {
+      val in = fs.open(markerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toInt
+      finally in.close()
+    } else default
+  }
+
+  /** ONE touched-bucket probe serving several derived merges of a shared
+    * micro-batch (the EP1 fan-out runs users+edges off one cached topic
+    * batch; probing per merge paid the fixed per-job floor once per
+    * table). Tags each derived batch's distinct bucket set with its index
+    * and collects the union in a single Spark action; the result feeds
+    * [[mergeUpsert]]'s `touchedHint`. Returns (resolvedBucketCount,
+    * touchedBuckets) per input, positionally. */
+  def probeTouched(batches: Seq[(DataFrame, String, String, Int)]): Array[(Int, Array[Int])] = {
+    require(batches.nonEmpty, "probeTouched needs at least one batch")
+    val spark = batches.head._1.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val counts = batches.map { case (_, _, tablePath, default) =>
+      val dir = new org.apache.hadoop.fs.Path(tablePath)
+      resolveBuckets(dir.getFileSystem(hconf), dir, default)
+    }
+    val tagged = batches.zipWithIndex.map { case ((batch, keyCol, _, _), i) =>
+      batch.select(lit(i).as("__t"),
+        bucketExpr(col(keyCol), counts(i)).as("__bucket")).distinct()
+    }.reduce(_ unionByName _)
+    val hit = tagged.collect()
+      .groupBy(_.getInt(0))
+      .map { case (t, rows) => t -> rows.map(_.getInt(1)).sorted }
+    counts.indices.map(i => (counts(i), hit.getOrElse(i, Array.empty[Int]))).toArray
+  }
+
   /** The MERGE step of [[upsertSink]], batch-callable (and composable: one
     * foreachBatch can merge several derived tables from a single topic —
     * the EP1 fan-out): union the existing state for the batch's key range
@@ -111,11 +159,17 @@ object Streams {
     * `<table>__old/__bucket=n`, then the freshly-written bucket renamed
     * in; at every crash point each bucket's pre-merge state survives in
     * exactly one of the two places, and the restore pass at the top of the
-    * next attempt puts staged buckets back before anything is read. A
+    * next attempt puts staged buckets back before anything is read. That
+    * is WRITER crash safety only, not reader isolation: the swap is not
+    * atomic across buckets, so a reader overlapping an in-flight merge
+    * can observe a mix of pre- and post-merge buckets (or a momentarily
+    * absent one) — readers must not overlap a merge (single-writer,
+    * read-after-drain contract, same as the old whole-dir swap implied). A
     * whole-dir swap (same staging discipline one level up) is used only
     * for table creation and one-shot migration of a legacy flat layout. */
   def mergeUpsert(batch: DataFrame, tablePath: String, keyCol: String,
-      buckets: Int = DefaultMergeBuckets): Unit = {
+      buckets: Int = DefaultMergeBuckets,
+      touchedHint: Option[(Int, Array[Int])] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     val tableDir = new Path(tablePath)
@@ -155,28 +209,27 @@ object Streams {
       s.isFile && !s.getPath.getName.startsWith("_"))
     // the layout's recorded bucket count wins over the parameter — mixing
     // counts would route a key to a bucket its old rows are not in and
-    // the keep-latest dedup would never see them
-    val markerPath = new Path(tableDir, "_graft_buckets")
-    val nBuckets =
-      if (exists && fs.exists(markerPath)) {
-        val in = fs.open(markerPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toInt
-        finally in.close()
-      } else buckets
-    // null keys are legal (the old window formulation grouped them):
-    // coalesce routes them all to bucket 0 instead of a null __bucket,
-    // which would NPE the probe and strand rows in a never-swapped
-    // __HIVE_DEFAULT_PARTITION__ dir
-    def bucketOf(c: Column): Column =
-      pmod(coalesce(xxhash64(c), lit(0L)), lit(nBuckets)).cast("int")
+    // the keep-latest dedup would never see them (see resolveBuckets)
+    val nBuckets = resolveBuckets(fs, tableDir, buckets)
+    def bucketOf(c: Column): Column = bucketExpr(c, nBuckets)
 
     val incremental = exists && !legacyFlat
-    // incremental merges evaluate the batch twice (touched-bucket probe +
-    // merge write) — cache it so a JSON topic decode doesn't run twice;
-    // creation/migration is a single pass and skips the cache entirely
+    // a precomputed probe (probeTouched — the shared-batch fan-out path)
+    // is honored only if it was derived under the same bucket count this
+    // merge resolved; a crash-restored marker can differ from what the
+    // probe saw, and a mismatched hint would route keys to buckets their
+    // old rows are not in — fall back to probing locally
+    val hinted = touchedHint.collect {
+      case (n, t) if n == nBuckets => t
+    }
+    // incremental merges without a hint evaluate the batch twice
+    // (touched-bucket probe + merge write) — cache it so a JSON topic
+    // decode doesn't run twice; with a hint (or on creation/migration)
+    // the merge is a single pass and skips the cache entirely
     val keyed0 = batch.withColumn("__bucket", bucketOf(col(keyCol)))
+    val cachesBatch = incremental && hinted.isEmpty
     val keyed =
-      if (incremental)
+      if (cachesBatch)
         keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else keyed0
     // any failure between the persist and the end of the merge (probe,
@@ -190,8 +243,9 @@ object Streams {
     // touched is recovered from the written directory listing instead.
     val touched: Array[Int] =
       if (!incremental) Array.empty
-      else keyed.select(col("__bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted
+      else hinted.getOrElse(
+        keyed.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).sorted)
     if (incremental && touched.isEmpty) {
       return // empty batch: state untouched
     }
@@ -285,7 +339,7 @@ object Streams {
         throw new java.io.IOException(s"cannot clear $tmpDir after swap")
     }
     ()
-    } finally if (incremental) keyed.unpersist(blocking = false)
+    } finally if (cachesBatch) keyed.unpersist(blocking = false)
   }
 
   /** S5/ST2 — idempotent keyed upsert sink: each micro-batch merges into a

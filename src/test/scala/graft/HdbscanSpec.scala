@@ -89,14 +89,66 @@ class HdbscanSpec extends SparkSpec with Matchers {
     out(0L) should not be out(100L)
   }
 
-  test("over collect threshold: flat-cut degradation still separates the blobs, never aborts") {
-    val out = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5, knnK = 10,
-        collectThreshold = 0L) // force the degradation tier
+  test("over collect threshold: distributed EOM extraction = collected extraction, label-exact") {
+    // same LSH candidate graph and MST both times; the only difference is
+    // the extraction tier — collected condensed tree vs the two-phase
+    // pivot-split factorization (round-5 replacement for the flat cut).
+    // Labels are min member ids, so exact equality is the contract.
+    val base = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5, knnK = 10,
+        bruteThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    out.size shouldBe 72
-    (0L until 30L).map(out).toSet.size shouldBe 1
-    (100L until 130L).map(out).toSet.size shouldBe 1
-    out(0L) should not be out(100L)
+    val dist = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5, knnK = 10,
+        bruteThreshold = 0L, collectThreshold = 20L) // force two-phase extraction
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist.size shouldBe 72
+    dist shouldBe base
+    // and the planted structure survives end-to-end
+    (0L until 30L).map(dist).toSet.size shouldBe 1
+    (100L until 130L).map(dist).toSet.size shouldBe 1
+    dist(0L) should not be dist(100L)
+    dist(0L) should not be -1L
+  }
+
+  test("two-phase extraction = sequential extraction on a handcrafted forest MST") {
+    // a forest exercising every stitching path: two mcs-sized chains
+    // joined by a heavy bridge (top-piece edge → the EOM split), an
+    // undersized side tree (→ noise) and an isolated point (singleton
+    // component, → noise). componentFit forces the pivot BELOW the
+    // bridge so both chains become separate continuation components.
+    val s = spark
+    import s.implicits._
+    val chainA = (0 until 9).map(i => (i.toLong, (i + 1).toLong, 0.10 + 0.01 * i))
+    val chainB = (0 until 9).map(i => (100L + i, 101L + i, 0.12 + 0.01 * i))
+    val bridge = Seq((9L, 100L, 5.0))
+    val smallTree = Seq((200L, 201L, 0.1))
+    val edges = (chainA ++ chainB ++ bridge ++ smallTree).toArray
+    val ids = ((0L to 9L) ++ (100L to 109L) ++ Seq(200L, 201L, 300L)).toArray
+    val seqLab = Hdbscan.extractLabels(edges, ids, 4)
+    val distLab = Hdbscan.extractLabelsDistributed(
+        edges.toSeq.toDF("a", "b", "w"), ids.toSeq.toDF("id"),
+        minClusterSize = 4, topFit = 5, componentFit = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    distLab shouldBe seqLab
+    distLab(300L) shouldBe -1L // isolated singleton component
+    distLab(200L) shouldBe -1L // undersized side tree
+    distLab(0L) should not be distLab(100L) // the bridge split both chains
+  }
+
+  test("no viable pivot: flat-cut fallback still separates the blobs, never aborts") {
+    // componentFit = 0 makes every pivot candidate fail → the documented
+    // last-resort flat cut (warns, degrades, survives)
+    val s = spark
+    import s.implicits._
+    val chain = (0 until 30).map(i => (i.toLong, (i + 1).toLong, 0.1))
+    val far = Seq((30L, 100L, 9.0)) // huge gap → flat cut lands inside it
+    val chainB = (0 until 30).map(i => (100L + i, 101L + i, 0.1))
+    val mst = (chain ++ far ++ chainB).toSeq.toDF("a", "b", "w")
+    val ids = ((0L to 30L) ++ (100L to 130L)).toSeq.toDF("id")
+    val out = Hdbscan.extractLabelsDistributed(mst, ids,
+        minClusterSize = 4, topFit = 5, componentFit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.values.toSet.size shouldBe 2 // two flat clusters, no noise here
+    out(0L) should not be out(130L)
   }
 
   test("single tight blob with allow_single_cluster=False semantics → all noise") {

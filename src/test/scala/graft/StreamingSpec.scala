@@ -105,7 +105,8 @@ class StreamingSpec extends SparkSpec with Matchers {
   test("mergeUpsert: null keys route to a real bucket; binary keys dedup by value") {
     val s2 = spark
     import s2.implicits._
-    // null key: coalesced hash → bucket 0; keep-latest still applies
+    // null key: xxhash64(NULL) = its seed (42) → one ordinary bucket,
+    // same expression on probe/read/write; keep-latest still applies
     val t1 = Files.createTempDirectory("nullkey").toFile.getAbsolutePath + "/t"
     Streams.mergeUpsert(
       Seq((Option.empty[String], "v1"), (Some("k"), "v2")).toDF("k", "v"), t1, "k")
