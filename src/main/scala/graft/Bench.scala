@@ -58,7 +58,16 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        // caller-side result release (the BlockReleaseSweepSpec contract):
+        // operators returning checkpointed outputs hand ownership to the
+        // consumer — releasing here keeps N-query × M-run sessions at a
+        // flat block count (release cost is part of using the result, so
+        // it stays inside the timed region)
+        try {
+          val r = fn(spark, sfDir)
+          r.count()
+          graft.util.BlockRelease.release(r)
+        } catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
       name -> median(times)

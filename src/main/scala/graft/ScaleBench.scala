@@ -26,6 +26,11 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("dedup")) {
+      runDedup(spark)
+      spark.stop()
+      return
+    }
     val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
 
@@ -89,5 +94,76 @@ object ScaleBench {
       }
     }
     spark.stop()
+  }
+
+  /** Dedup-tier scale evidence (round-5 item 7): q24's SRP-LSH cosine
+    * banding and q36's MinHash banding timed one decade apart (5k → 50k
+    * docs, planted near-dup families of 3 inside 30% of the corpus), with
+    * recall vs the O(n²) brute τ-join asserted at the 5k size (at 50k the
+    * brute twin is 1.25B candidate pairs — exactly the tier the banding
+    * exists to avoid). Sub-quadratic claim = time grows ~linearly with
+    * the corpus while planted-pair counts grow linearly. */
+  private def runDedup(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    def mix(x0: Long): Long = { // splitmix64 finalizer
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // doc i: 30% sit in families of 3 (i%10 < 3, family = i/10) sharing
+    // 76 of 80 tokens — cosine ≈ 0.95 and Jaccard ≈ 0.9 within a family;
+    // the rest are i-seeded unique docs (background noise well below
+    // both thresholds)
+    def corpus(n: Int): DataFrame = spark.range(n.toLong).map { i =>
+      val variant = i % 10
+      val isFam = variant < 3
+      val seed = if (isFam) (i / 10) * 1000003L else 7000000019L + i * 65537L
+      val sb = new StringBuilder
+      var j = 0
+      while (j < 80) {
+        val ownSlot = isFam && j % 20 == (variant * 7) % 20
+        if (ownSlot) sb.append("v").append(
+          java.lang.Math.floorMod(mix(seed + 500L + j * 31L + variant), 30000L))
+        else sb.append("w").append(
+          java.lang.Math.floorMod(mix(seed + j), 30000L))
+        sb.append(' ')
+        j += 1
+      }
+      (i, sb.result().trim)
+    }.toDF("doc_id", "text")
+
+    def t(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    Seq(5000, 50000).foreach { n =>
+      val docs = corpus(n).localCheckpoint()
+      val emb = docs.select(col("doc_id"),
+        graft.functions.TextExpressions.embed_text(col("text"), 64).as("v"))
+        .localCheckpoint()
+      val (tCos, nCos) = t {
+        val r = Dedup.cosineNearDups(emb, "doc_id", "v", tau = 0.9, dim = 64)
+        val c = r.count(); graft.util.BlockRelease.release(r); c
+      }
+      val (tMh, nMh) = t {
+        val r = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+        val c = r.count(); graft.util.BlockRelease.release(r); c
+      }
+      System.err.println(
+        f"SCALE-DEDUP n=$n%6d cosine_lsh $tCos%7.1f s (pairs=$nCos)  minhash_lsh $tMh%7.1f s (pairs=$nMh)")
+      if (n == 5000) {
+        val (tBrute, nBrute) = t {
+          val r = Dedup.cosineNearDupsBrute(emb, "doc_id", "v", tau = 0.9)
+          val c = r.count(); graft.util.BlockRelease.release(r); c
+        }
+        System.err.println(
+          f"SCALE-DEDUP n=$n%6d cosine_brute $tBrute%6.1f s (pairs=$nBrute)  lsh_recall=${nCos.toDouble / nBrute}%.4f")
+      }
+      graft.util.BlockRelease.release(Seq(docs, emb))
+    }
   }
 }

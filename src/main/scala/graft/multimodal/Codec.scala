@@ -46,6 +46,7 @@ object WavCodec extends Codec {
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(payload))
+      try {
       val fmt = ais.getFormat
       val bits = fmt.getSampleSizeInBits
       if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
@@ -83,6 +84,8 @@ object WavCodec extends Codec {
         while (j < featureDim) { hist(j) /= total; j += 1 }
         Some(hist)
       }
+      } finally ais.close() // memory-backed today, but a conversion chain
+      //       can hold buffers — release per payload, not per GC
     } catch { case _: Exception => None }
 }
 
@@ -117,6 +120,7 @@ object GifFramesCodec extends FrameCodec {
       ImageIoSettings.ensure()
       val in = javax.imageio.ImageIO.createImageInputStream(
         new ByteArrayInputStream(payload))
+      try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (!readers.hasNext) None
       else {
@@ -149,6 +153,8 @@ object GifFramesCodec extends FrameCodec {
           })
         } finally reader.dispose()
       }
+      } finally in.close() // with setUseCache(false) this is memory-backed,
+      //       but close anyway so a cache/file-backed stream never leaks
     } catch { case _: Exception => None }
 }
 

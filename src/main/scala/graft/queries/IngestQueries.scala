@@ -90,14 +90,25 @@ object IngestQueries {
               (users, "did", s"$base/users", Streams.DefaultMergeBuckets),
               (edges, "edge_id", s"$base/edges", Streams.DefaultMergeBuckets)))
           }
-          phase("  merge users") {
+          // the two merges touch DISJOINT tables and read the same cached
+          // batch — run them as concurrent Spark jobs (ST5: independent
+          // sinks of one consumer don't serialize at scale either). Both
+          // futures are awaited before any rethrow, so a failure can
+          // never leave the sibling merging against a state dir the
+          // caller's retry path is about to clear.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val fu = Future(phase("  merge users") {
             Streams.mergeUpsert(users, s"$base/users", "did",
               touchedHint = Some(hints(0)))
-          }
-          phase("  merge edges") {
+          })
+          val fe = Future(phase("  merge edges") {
             Streams.mergeUpsert(edges, s"$base/edges", "edge_id",
               touchedHint = Some(hints(1)))
-          }
+          })
+          Seq(fu, fe).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+            .foreach(_.get)
         } finally { b.unpersist(blocking = false); () }
       }
       .start()

@@ -194,7 +194,7 @@ object PipelineQueries {
       // documents): writer lookup + instantiation per payload measurably
       // dominates at corpus scale
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      it.map { d =>
+      val rows = it.map { d =>
         val bos = new java.io.ByteArrayOutputStream()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
         writer.setOutput(ios)
@@ -215,6 +215,17 @@ object PipelineQueries {
         writer.endWriteSequence()
         ios.close()
         (d, "video", bos.toByteArray)
+      }
+      // dispose the per-partition writer once the iterator drains (it
+      // holds native-ish ImageIO state; per-GC release is too late)
+      new Iterator[(Long, String, Array[Byte])] {
+        private var disposed = false
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && !disposed) { disposed = true; writer.dispose() }
+          h
+        }
+        def next(): (Long, String, Array[Byte]) = rows.next()
       }
     }.toDF("media_id", "kind", "payload")
       .withColumn("meta", expr(

@@ -187,7 +187,14 @@ object TextQueries {
     * LSH tier and TextExpressionsSpec. */
   val q37EmbedKnn: Q = (spark, dir) => {
     import spark.implicits._
-    val emb = docs(spark, dir).select($"doc_id", md5Embed($"text").as("v"))
+    // stage the embed behind a checkpoint: the q/corpus branches (and the
+    // n2 column) would each re-run the md5 token lambda otherwise — HOFs
+    // get no CSE and CollapseProject re-inlines staging projections (the
+    // q38 trap). Output-sized; released by the caller contract
+    // (BlockReleaseSweepSpec) since it stays a leaf of the result plan.
+    val emb0 = docs(spark, dir).select($"doc_id", md5Embed($"text").as("v"))
+      .localCheckpoint()
+    val emb = emb0
       .withColumn("n2", aggregate($"v", lit(0.0), (acc, x) => acc + x * x))
       .filter($"n2" > 0)
     val q = emb.filter($"doc_id" === 0).select($"v".as("qv"), $"n2".as("qn2"))
