@@ -172,13 +172,29 @@ object GraphQueries {
   /** q46 — density clustering with noise labels over embeddings (G2's
     * HDBSCAN-equivalent; noise = -1 like the reference's F3 filter).
     * `dim` is threaded from the table's known embed width, so the LSH
-    * tier plans with no pre-candidate driver action. */
+    * tier plans with no pre-candidate driver action.
+    *
+    * Surfaced under the hash oracle (point totality over the vec_id set +
+    * `label_in_members`: every non-noise label is the id of a point in
+    * that same cluster — DBSCAN's label IS a member core's id, so a
+    * dangling/mangled label fails the pin). The label VALUES are
+    * LSH-candidate-dependent and stay covered two ways: DensityClusterSpec
+    * (planted fixtures, LSH-vs-exact audit) and q64, the exact twin whose
+    * every label IS hash-oracled. */
   val q46Density: Q = (spark, dir) => {
     val pts = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id").as("id"),
         VectorFunctions.l2normalize(col("embedding")).as("v"))
-    graft.graph.DensityCluster.dbscan(pts, eps = 0.35, minPts = 2,
+    val lab = graft.graph.DensityCluster.dbscan(pts, eps = 0.35, minPts = 2,
       bits = 8, tables = 4, dim = 64)
+    // labels that are themselves a member's id, per cluster
+    val own = lab.filter(col("label") =!= -1L)
+      .filter(col("id") === col("label"))
+      .select(col("label")).distinct().withColumn("ok", lit(true))
+    lab.join(broadcast(own), Seq("label"), "left")
+      .select(col("id"),
+        (col("label") === -1L || coalesce(col("ok"), lit(false)))
+          .as("label_in_members"))
   }
 
   /** q64 — q46's EXACTNESS BASELINE under the full hash oracle: the same
@@ -340,6 +356,12 @@ object GraphQueries {
         |  true AS mod_ge_nation, true AS comms_lt_nodes,
         |  true AS comm_connected
         |FROM nodes""".stripMargin,
+    // q46 — the LSH-DBSCAN surface: totality over the vec_id set +
+    // label-in-members pinned true (see the query scaladoc; the exact
+    // twin q64 carries every label under the oracle)
+    "q46_density" ->
+      """SELECT vec_id::BIGINT AS id, true AS label_in_members
+        |FROM embeddings""".stripMargin,
     // q48/q49 — density clustering under the CLUSTER SURFACE oracle (see
     // clusterSurface's scaladoc): totality over the input id set + the
     // min-member-label and min-cluster-size contracts pinned true.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.schemas.Tables
@@ -9,8 +9,10 @@ import graft.multimodal.Multimodal
 import graft.functions.VectorFunctions
 
 /** LLM-pipeline extension queries: ANN tiers and multimodal plumbing.
-  * All approximate/engine-native → rows-only driver check + ScalaTest
-  * invariants (AnnSpec recall bound, MultimodalSpec shape checks). */
+  * The multimodal queries carry full hash oracles; the ANN tiers carry
+  * the [[PipelineQueries.annSurface]] invariant oracle (ids stay
+  * spec-checked in AnnSpec — approximate search is id-nondeterministic
+  * across candidate configs by nature). */
 object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -41,11 +43,50 @@ object PipelineQueries {
       (path, centroids)
     })
 
+  /** ANN surface (the q44/q48 precedent applied to approximate search):
+    * WHICH ids an ANN tier returns is approximation-dependent (ids and
+    * scores stay spec-checked in AnnSpec), but four facts about the
+    * result are engine-checkable and pinned as constants by the oracle:
+    *   - exactly k ranked rows (`rank` 1..k — a short result is a row
+    *     mismatch);
+    *   - `score_is_metric`: each returned score equals the exact cosine
+    *     between the query vector and the CLAIMED id's CURRENT table
+    *     embedding — index↔table consistency (a stale or corrupted
+    *     index score fails the pin);
+    *   - `sorted_desc`: scores are non-increasing in rank order;
+    *   - `recall_ge_half`: ≥ k/2 of the exact brute-force top-k ids are
+    *     present — AnnSpec's recall bound, now under the driver's hash
+    *     gate (the brute top-k is one cheap full scan at oracle SF).
+    */
+  private def annSurface(pts: DataFrame, res: DataFrame, qcol: Column,
+      k: Int, metric: (Column, Column) => Column): DataFrame = {
+    // the re-derived score uses the SAME metric expression as the tier
+    // under test (q26 scores raw dot on unit vectors, q27 divides by the
+    // ≈1±ulp norms) — bit-equality after the shared round(…, 4)
+    val exactScore = round(metric(col("v"), qcol), 4)
+    val brute = pts.filter(col("id") =!= 0)
+      .select(col("id"), VectorFunctions.dot(col("v"), qcol).as("bs"))
+      .orderBy(col("bs").desc, col("id").asc).limit(k).select(col("id"))
+    val overlap = broadcast(res.join(brute, "id")
+      .agg(count(lit(1)).as("ov")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id").asc)
+    res.join(pts.select(col("id"), col("v")), "id")
+      .withColumn("rank", row_number().over(w))
+      .withColumn("prev", lag(col("score"), 1).over(w))
+      .crossJoin(overlap)
+      .select(col("rank").cast("long").as("rank"),
+        (col("score") === exactScore).as("score_is_metric"),
+        (col("prev").isNull || col("score") <= col("prev")).as("sorted_desc"),
+        (col("ov") >= k / 2).as("recall_ge_half"))
+  }
+
   /** q26 — IVF ANN top-10 for vec 0 THROUGH THE PERSISTED INDEX: the
     * corpus is written `partitionBy(cell)` once, and the query scan reads
     * only the nprobe probed cells' files (PartitionFilters in the scan —
     * asserted in AnnSpec). This is the 100 TB tier: bytes touched scale
-    * with nprobe/nlist of the corpus, not the corpus. */
+    * with nprobe/nlist of the corpus, not the corpus. Surfaced through
+    * [[annSurface]] (rank + pinned invariants under the hash oracle). */
   val q26AnnIvf: Q = (spark, dir) => {
     val pts = unitEmb(spark, dir)
     val qv = pts.filter(col("id") === 0).select(col("v")).first().getSeq[Double](0)
@@ -53,25 +94,35 @@ object PipelineQueries {
     val (path, centroids) = ivfIndex(spark, dir)
     // k+1 then re-limit: the query vector itself lives in the index and is
     // excluded from its own neighbor list
-    Ann.ivfTopKFromIndex(spark, path, centroids, "id", "v", qcol,
+    val res = Ann.ivfTopKFromIndex(spark, path, centroids, "id", "v", qcol,
         k = 11, nprobe = 4)
       .filter(col("id") =!= 0)
       .orderBy(col("score").desc, col("id").asc)
       .limit(10)
       .select(col("id"), round(col("score"), 4).as("score"))
+    annSurface(pts, res, qcol, k = 10, VectorFunctions.dot)
   }
 
   /** q27 — LSH ANN top-10 for vec 0 (multi-table hyperplane buckets).
     * No per-call cache: the corpus is read twice (query-vector probe +
     * bucket join) but a parquet re-scan is cheaper than stacking a cached
-    * copy of the embeddings per invocation in long sessions. */
+    * copy of the embeddings per invocation in long sessions. Surfaced
+    * through [[annSurface]] like q26. */
   val q27AnnLsh: Q = (spark, dir) => {
     val pts = unitEmb(spark, dir)
     val qv = pts.filter(col("id") === 0).select(col("v")).first().getSeq[Double](0)
     val qcol = array(qv.map(lit): _*)
-    Ann.lshTopK(pts.filter(col("id") =!= 0), "id", "v", qcol, k = 10,
-      bits = 6, tables = 8, dim = qv.length)
+    // bits=4 × tables=16: wide multi-probe — the testdata embeddings are
+    // STRUCTURELESS random vectors (top-10 cosines sit barely above the
+    // bulk), the worst case for LSH, and the narrow round-4 config
+    // (bits=6, tables=8) measured only 2/10 recall there. Width is the
+    // standard recall/compute knob; the surface's recall_ge_half pin now
+    // holds on the hardest data shape rather than only on clustered
+    // fixtures (AnnSpec's planted case).
+    val res = Ann.lshTopK(pts.filter(col("id") =!= 0), "id", "v", qcol, k = 10,
+        bits = 4, tables = 16, dim = qv.length)
       .select(col("id"), round(col("score"), 4).as("score"))
+    annSurface(pts, res, qcol, k = 10, VectorFunctions.cosineUnguarded)
   }
 
   /** q50 — multimodal feature extraction: binary payloads → batched
@@ -254,6 +305,20 @@ object PipelineQueries {
     * check. floor() is explicit where Spark's double→int cast truncates
     * (DuckDB's rounds). */
   val oracles: Map[String, String] = Map(
+    // q26/q27 — the ANN SURFACE oracle (see annSurface's scaladoc):
+    // exactly k ranked rows with the index-consistency, ordering and
+    // recall invariants computed BY the engine from its own result and
+    // pinned true — a short result, stale index score, disorder or
+    // sub-half recall all hash-mismatch. The ids themselves are
+    // approximation-dependent and stay spec-checked in AnnSpec.
+    "q26_ann_ivf" ->
+      """SELECT (i + 1)::BIGINT AS rank, true AS score_is_metric,
+        |  true AS sorted_desc, true AS recall_ge_half
+        |FROM (SELECT unnest(range(0, 10)) AS i)""".stripMargin,
+    "q27_ann_lsh" ->
+      """SELECT (i + 1)::BIGINT AS rank, true AS score_is_metric,
+        |  true AS sorted_desc, true AS recall_ge_half
+        |FROM (SELECT unnest(range(0, 10)) AS i)""".stripMargin,
     "q50_multimodal_features" ->
       """WITH m AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
