@@ -11,9 +11,11 @@ object Plans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    Seq("q01_pricing_summary", "q02_region_revenue", "q03_top_orders",
-      "q05_coengagement", "q20_cosine_top5", "q22_centroids", "q10_semi_join",
-      "q29_asof_planned").foreach { q =>
+    val defaults = Seq("q01_pricing_summary", "q02_region_revenue",
+      "q03_top_orders", "q05_coengagement", "q20_cosine_top5",
+      "q22_centroids", "q10_semi_join", "q29_asof_planned")
+    val qs = if (args.nonEmpty) args.toSeq else defaults
+    qs.foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -67,6 +67,43 @@ class StreamingSpec extends SparkSpec with Matchers {
     out shouldBe Map("k1" -> "v1", "k2" -> "v2")
   }
 
+  test("probeTouched: one shared probe serves several merges; mismatched hints fall back safely") {
+    val s2 = spark
+    import s2.implicits._
+    val base = Files.createTempDirectory("sharedprobe").toFile.getAbsolutePath
+    val tA = s"$base/a"; val tB = s"$base/b"
+    // create both tables
+    Streams.mergeUpsert(Seq(("a1", "v0")).toDF("k", "v"), tA, "k")
+    Streams.mergeUpsert(Seq(("b1", "v0")).toDF("k", "v"), tB, "k")
+    // one probe for both derived batches of a shared "micro-batch"
+    val batchA = Seq(("a1", "v1"), ("a2", "v1")).toDF("k", "v")
+    val batchB = Seq(("b2", "v1")).toDF("k", "v")
+    val hints = Streams.probeTouched(Seq(
+      (batchA, "k", tA, Streams.DefaultMergeBuckets),
+      (batchB, "k", tB, Streams.DefaultMergeBuckets)))
+    hints.length shouldBe 2
+    hints(0)._1 shouldBe Streams.DefaultMergeBuckets // resolved from marker
+    hints(0)._2 should not be empty
+    Streams.mergeUpsert(batchA, tA, "k", touchedHint = Some(hints(0)))
+    Streams.mergeUpsert(batchB, tB, "k", touchedHint = Some(hints(1)))
+    spark.read.parquet(tA).collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap shouldBe Map("a1" -> "v1", "a2" -> "v1")
+    spark.read.parquet(tB).collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap shouldBe Map("b1" -> "v0", "b2" -> "v1")
+    // a hint computed under a DIFFERENT bucket count must be IGNORED
+    // (falls back to the local probe), never trusted: a mismatched hint
+    // would route keys to buckets their old rows are not in
+    Streams.mergeUpsert(Seq(("a3", "v2")).toDF("k", "v"), tA, "k",
+      touchedHint = Some((Streams.DefaultMergeBuckets + 1, Array(0))))
+    spark.read.parquet(tA).collect().map(r => r.getString(0)).toSet shouldBe
+      Set("a1", "a2", "a3")
+    // an empty-touched hint on an incremental merge is a no-op batch
+    Streams.mergeUpsert(batchA.filter(lit(false)), tA, "k",
+      touchedHint = Some((Streams.DefaultMergeBuckets, Array.empty[Int])))
+    spark.read.parquet(tA).collect().map(r => r.getString(0)).toSet shouldBe
+      Set("a1", "a2", "a3")
+  }
+
   test("incremental merge rewrites ONLY touched buckets (100 TB MERGE shape)") {
     val s2 = spark
     import s2.implicits._
