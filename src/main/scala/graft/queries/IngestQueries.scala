@@ -84,12 +84,24 @@ object IngestQueries {
             col("user_did"), col("uri"))
           // ONE touched-bucket probe for the whole fan-out (the per-merge
           // probe paid the fixed per-job floor once per derived table on
-          // the same cached batch)
-          val hints = phase("  probe buckets") {
-            Streams.probeTouched(Seq(
-              (users, "did", s"$base/users", Streams.DefaultMergeBuckets),
-              (edges, "edge_id", s"$base/edges", Streams.DefaultMergeBuckets)))
+          // the same cached batch). Creation batches need no probe at all
+          // (mergeUpsert recovers touched from the written layout), so
+          // while both tables are still unborn the probe job is skipped
+          // entirely — two FS existence checks instead of a Spark job
+          val hconf = spark.sparkContext.hadoopConfiguration
+          def tableExists(p: String): Boolean = {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(hconf).exists(path)
           }
+          val hints: IndexedSeq[Option[(Int, Array[Int])]] =
+            if (!tableExists(s"$base/users") && !tableExists(s"$base/edges"))
+              IndexedSeq(None, None)
+            else phase("  probe buckets") {
+              Streams.probeTouched(Seq(
+                (users, "did", s"$base/users", Streams.DefaultMergeBuckets),
+                (edges, "edge_id", s"$base/edges", Streams.DefaultMergeBuckets)))
+                .toIndexedSeq.map(Option(_))
+            }
           // the two merges touch DISJOINT tables and read the same cached
           // batch — run them as concurrent Spark jobs (ST5: independent
           // sinks of one consumer don't serialize at scale either). Both
@@ -101,11 +113,11 @@ object IngestQueries {
           import scala.concurrent.ExecutionContext.Implicits.global
           val fu = Future(phase("  merge users") {
             Streams.mergeUpsert(users, s"$base/users", "did",
-              touchedHint = Some(hints(0)))
+              touchedHint = hints(0))
           })
           val fe = Future(phase("  merge edges") {
             Streams.mergeUpsert(edges, s"$base/edges", "edge_id",
-              touchedHint = Some(hints(1)))
+              touchedHint = hints(1))
           })
           Seq(fu, fe).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
             .foreach(_.get)
