@@ -134,6 +134,53 @@ class HdbscanSpec extends SparkSpec with Matchers {
     distLab(0L) should not be distLab(100L) // the bridge split both chains
   }
 
+  test("two-phase extraction = sequential extraction on 12 randomized forest MSTs") {
+    // deterministic pseudo-random forests with mixed weight scales,
+    // multiple trees, chains, stars and isolated points — the stitching
+    // logic (pivot split, continuations, spills, cross-boundary EOM) must
+    // reproduce the sequential labels EXACTLY on every one
+    val s = spark
+    import s.implicits._
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    for (seed <- 1 to 12) {
+      val nTrees = 1 + (mix(seed).abs % 4).toInt
+      var nodeId = 0L
+      val edges = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val ids = scala.collection.mutable.ArrayBuffer[Long]()
+      for (t <- 0 until nTrees) {
+        val size = 2 + (mix(seed * 100 + t).abs % 30).toInt
+        val members = (0 until size).map(i => nodeId + i)
+        ids ++= members
+        // random attachment: node i joins a random earlier member —
+        // mixes chains and stars; weights span two scales so pivots
+        // land in genuinely different places per seed
+        for (i <- 1 until size) {
+          val parent = members((mix(seed * 1000 + nodeId + i).abs % i).toInt)
+          val scale = if (mix(seed * 7 + i).abs % 3 == 0) 10.0 else 0.1
+          val w = scale * (1 + (mix(seed * 13 + nodeId + i).abs % 100).toInt / 100.0)
+          edges += ((math.min(parent, members(i)), math.max(parent, members(i)), w))
+        }
+        nodeId += size + 3 // id gaps; the +3 leaves room for isolated ids
+      }
+      ids += nodeId + 1 // one isolated point per fixture
+      val mcs = 2 + (mix(seed * 31).abs % 4).toInt
+      val seqLab = Hdbscan.extractLabels(edges.toArray, ids.toArray.sorted, mcs)
+      val distLab = Hdbscan.extractLabelsDistributed(
+          edges.toSeq.toDF("a", "b", "w"), ids.toSeq.toDF("id"),
+          minClusterSize = mcs,
+          topFit = 1 + (mix(seed * 41).abs % 10), componentFit = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed=$seed mcs=$mcs nodes=${ids.size} edges=${edges.size}: ") {
+        distLab shouldBe seqLab
+      }
+    }
+  }
+
   test("no viable pivot: flat-cut fallback still separates the blobs, never aborts") {
     // componentFit = 0 makes every pivot candidate fail → the documented
     // last-resort flat cut (warns, degrades, survives)
