@@ -63,11 +63,12 @@ object Bench {
         // consumer — releasing here keeps N-query × M-run sessions at a
         // flat block count (release cost is part of using the result, so
         // it stays inside the timed region)
+        var r: org.apache.spark.sql.DataFrame = null
         try {
-          val r = fn(spark, sfDir)
+          r = fn(spark, sfDir)
           r.count()
-          graft.util.BlockRelease.release(r)
         } catch { case _: Throwable => }
+        finally if (r != null) graft.util.BlockRelease.release(r)
         (System.nanoTime() - t0) / 1e9
       }
       name -> median(times)

@@ -16,14 +16,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // caller-side result release (the BlockReleaseSweepSpec contract) —
+      // in a finally, so a failed write still drops what materialized
+      var r: org.apache.spark.sql.DataFrame = null
       try {
-        val r = fn(spark, sfDir)
+        r = fn(spark, sfDir)
         r.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        // caller-side result release (the BlockReleaseSweepSpec contract)
-        graft.util.BlockRelease.release(r)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally if (r != null) graft.util.BlockRelease.release(r)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -244,7 +244,15 @@ object Hdbscan {
     *     hierarchies condense to ≪ that).
     *  4. **Global EOM** (driver, cluster-tree-sized): stabilities = driver
     *     terms + executor partials; bottom-up Excess-of-Mass selection and
-    *     top-down winner absorption exactly as [[extractLabels]].
+    *     top-down winner absorption exactly as [[extractLabels]]. One
+    *     honest caveat on "exact": stabilities are accumulated as
+    *     Σλ·size − λ_birth·Σsize here vs per-event (λ−λ_birth)·size in
+    *     the sequential walk — algebraically identical, but a different
+    *     FP summation order, so a cluster whose stability MATHEMATICALLY
+    *     ties its children's sum (symmetric density degeneracy) could
+    *     resolve the strict `>` differently by an ulp. Non-degenerate
+    *     data (every spec fixture, incl. 12 randomized forests) is
+    *     label-identical.
     *  5. **Labels** (distributed): memberships ∪ spills → broadcast-join
     *     the winner map → min member id per winning cluster → (id, label).
     */

@@ -104,10 +104,14 @@ object IngestQueries {
             }
           // the two merges touch DISJOINT tables and read the same cached
           // batch — run them as concurrent Spark jobs (ST5: independent
-          // sinks of one consumer don't serialize at scale either). Both
-          // futures are awaited before any rethrow, so a failure can
-          // never leave the sibling merging against a state dir the
-          // caller's retry path is about to clear.
+          // sinks of one consumer don't serialize at scale either). BOTH
+          // futures are awaited to COMPLETION before anything propagates —
+          // including a thread interrupt from q.stop() on a sibling-stream
+          // failure (InterruptedException is fatal to scala.util.Try and
+          // would otherwise skip the second await, leaving a merge running
+          // against a state dir the caller's retry path is about to
+          // clear). The merges are bounded work, so finishing them under
+          // interrupt is safe; the interrupt flag is restored after.
           import scala.concurrent.{Await, Future}
           import scala.concurrent.duration.Duration
           import scala.concurrent.ExecutionContext.Implicits.global
@@ -119,8 +123,16 @@ object IngestQueries {
             Streams.mergeUpsert(edges, s"$base/edges", "edge_id",
               touchedHint = hints(1))
           })
-          Seq(fu, fe).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-            .foreach(_.get)
+          var interrupted = false
+          Seq(fu, fe).foreach { f =>
+            var done = false
+            while (!done) {
+              try { Await.ready(f, Duration.Inf); done = true }
+              catch { case _: InterruptedException => interrupted = true }
+            }
+          }
+          if (interrupted) Thread.currentThread().interrupt()
+          Seq(fu, fe).foreach(_.value.get.get) // rethrow the first failure
         } finally { b.unpersist(blocking = false); () }
       }
       .start()

@@ -58,12 +58,17 @@ object PipelineQueries {
     *     present — AnnSpec's recall bound, now under the driver's hash
     *     gate (the brute top-k is one cheap full scan at oracle SF).
     */
-  private def annSurface(pts: DataFrame, res: DataFrame, qcol: Column,
+  private def annSurface(pts: DataFrame, res0: DataFrame, qcol: Column,
       k: Int, metric: (Column, Column) => Column): DataFrame = {
     // the re-derived score uses the SAME metric expression as the tier
     // under test (q26 scores raw dot on unit vectors, q27 divides by the
     // ≈1±ulp norms) — bit-equality after the shared round(…, 4)
     val exactScore = round(metric(col("v"), qcol), 4)
+    // the surface embeds the ANN result in TWO branches (overlap
+    // aggregate + consistency join); without a stage the whole search
+    // (index read / bucket self-join) would execute twice per action —
+    // k rows, released by the caller contract as a result-plan leaf
+    val res = res0.localCheckpoint()
     val brute = pts.filter(col("id") =!= 0)
       .select(col("id"), VectorFunctions.dot(col("v"), qcol).as("bs"))
       .orderBy(col("bs").desc, col("id").asc).limit(k).select(col("id"))
@@ -87,20 +92,32 @@ object PipelineQueries {
     * asserted in AnnSpec). This is the 100 TB tier: bytes touched scale
     * with nprobe/nlist of the corpus, not the corpus. Surfaced through
     * [[annSurface]] (rank + pinned invariants under the hash oracle). */
-  val q26AnnIvf: Q = (spark, dir) => {
-    val pts = unitEmb(spark, dir)
-    val qv = pts.filter(col("id") === 0).select(col("v")).first().getSeq[Double](0)
-    val qcol = array(qv.map(lit): _*)
+  /** q26's raw (id, score) top-10 BEFORE the surface — factored out so
+    * AnnSpec can assert the partition-pruned plan (the surface stage
+    * checkpoints, which hides the scan from the final explain). */
+  private[graft] def q26Raw(spark: SparkSession, dir: String,
+      qcol: Column): DataFrame = {
     val (path, centroids) = ivfIndex(spark, dir)
     // k+1 then re-limit: the query vector itself lives in the index and is
     // excluded from its own neighbor list
-    val res = Ann.ivfTopKFromIndex(spark, path, centroids, "id", "v", qcol,
+    Ann.ivfTopKFromIndex(spark, path, centroids, "id", "v", qcol,
         k = 11, nprobe = 4)
       .filter(col("id") =!= 0)
       .orderBy(col("score").desc, col("id").asc)
       .limit(10)
       .select(col("id"), round(col("score"), 4).as("score"))
-    annSurface(pts, res, qcol, k = 10, VectorFunctions.dot)
+  }
+
+  private[graft] def queryVec(spark: SparkSession, dir: String): Column = {
+    val pts = unitEmb(spark, dir)
+    array(pts.filter(col("id") === 0).select(col("v"))
+      .first().getSeq[Double](0).map(lit): _*)
+  }
+
+  val q26AnnIvf: Q = (spark, dir) => {
+    val pts = unitEmb(spark, dir)
+    val qcol = queryVec(spark, dir)
+    annSurface(pts, q26Raw(spark, dir, qcol), qcol, k = 10, VectorFunctions.dot)
   }
 
   /** q27 — LSH ANN top-10 for vec 0 (multi-table hyperplane buckets).

@@ -58,9 +58,14 @@ class AnnSpec extends SparkSpec with Matchers {
   }
 
   test("q26 runs through the persisted index with a partition-pruned scan") {
-    val q26 = graft.queries.PipelineQueries.q26AnnIvf(spark, "/root/testdata/sf0.001")
+    val dir = "/root/testdata/sf0.001"
+    val q26 = graft.queries.PipelineQueries.q26AnnIvf(spark, dir)
     q26.collect().length shouldBe 10
-    val plan = q26.queryExecution.executedPlan.toString
+    // the surface stage checkpoints (so the final plan is a checkpoint
+    // scan); the pruning assertion targets the raw index query q26 wraps
+    val qcol = graft.queries.PipelineQueries.queryVec(spark, dir)
+    val raw = graft.queries.PipelineQueries.q26Raw(spark, dir, qcol)
+    val plan = raw.queryExecution.executedPlan.toString
     "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan) should not be empty
   }
 
