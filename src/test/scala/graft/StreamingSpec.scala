@@ -104,6 +104,48 @@ class StreamingSpec extends SparkSpec with Matchers {
       Set("a1", "a2", "a3")
   }
 
+  test("mergeUpsert keep-latest semantics: 10 randomized batch sequences vs a reference map") {
+    val s2 = spark
+    import s2.implicits._
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    for (seed <- 1 to 10) {
+      val table = Files.createTempDirectory(s"randmerge$seed").toFile.getAbsolutePath + "/t"
+      val ref = scala.collection.mutable.Map[String, String]()
+      val nBatches = 3 + (mix(seed).abs % 4).toInt
+      for (b <- 0 until nBatches) {
+        // small keyspace → plenty of overwrites within and across batches;
+        // batch-internal duplicates keep the LAST occurrence... keep-latest
+        // within a batch is position-independent here, so make in-batch
+        // values per key unique by construction (last write wins in ref)
+        val rows = (0 until 8 + (mix(seed * 100 + b).abs % 20).toInt).map { i =>
+          val k = "k" + (mix(seed * 1000 + b * 37 + i).abs % 12)
+          val v = s"v$seed-$b-$i"
+          (k, v)
+        }
+        // the merge keeps ONE row per key from the batch (sorted by
+        // (key, batch-first) then first-wins within the partition scan) —
+        // mirror by keeping the row the merge keeps: for in-batch dups the
+        // engine keeps an arbitrary-but-deterministic one; make the ref
+        // agree by deduping the batch first (engine semantics under test
+        // is batch-vs-STATE latest, not intra-batch order)
+        val deduped = rows.groupBy(_._1).map(_._2.head).toSeq
+        Streams.mergeUpsert(deduped.toDF("k", "v"), table, "k",
+          buckets = 4)
+        deduped.foreach { case (k, v) => ref(k) = v }
+      }
+      val got = spark.read.parquet(table).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      withClue(s"seed=$seed after $nBatches batches: ") {
+        got shouldBe ref.toMap
+      }
+    }
+  }
+
   test("incremental merge rewrites ONLY touched buckets (100 TB MERGE shape)") {
     val s2 = spark
     import s2.implicits._
