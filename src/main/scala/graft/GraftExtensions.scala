@@ -45,7 +45,12 @@ object GraftExtensions {
     "vec_sqdist" -> ((args: Seq[Expression]) => SqDist(args.head, args(1))),
     "kmv_distinct" -> ((args: Seq[Expression]) =>
       KmvDistinct(args.head, if (args.length > 1) intArg(args(1)) else 256)
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    // the cross-engine md5 hash tier (q55's oracled variant): sketch and
+    // estimate reproducible in any engine with md5
+    "kmv_distinct_md5" -> ((args: Seq[Expression]) =>
+      KmvDistinct(args.head, if (args.length > 1) intArg(args(1)) else 256,
+        md5Mode = true).toAggregateExpression()))
 
   /** Register on an already-built session (temp functions in the session's
     * FunctionRegistry) — for sessions created without the extensions conf. */

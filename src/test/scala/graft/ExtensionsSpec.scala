@@ -26,4 +26,13 @@ class ExtensionsSpec extends SparkSpec with Matchers {
     r.getAs[Double]("dp") shouldBe 11.0
     r.getAs[Double]("sd") shouldBe 25.0
   }
+
+  test("kmv_distinct + its md5 tier callable from SQL; exact below k") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT kmv_distinct(v, 64) AS nat, kmv_distinct_md5(v, 64) AS md5
+        |FROM (SELECT explode(sequence(1, 40)) AS v)""".stripMargin).collect()(0)
+    r.getAs[Long]("nat") shouldBe 40L // below k → exact
+    r.getAs[Long]("md5") shouldBe 40L
+  }
 }
