@@ -180,6 +180,35 @@ object Dedup {
       .filter(col("sim") >= tau)
   }
 
+  /** Benchmark DECONTAMINATION (the eval-leak scrub of a training corpus):
+    * flag every non-benchmark document sharing at least one `n`-token
+    * shingle with any benchmark document. Candidates from an equality
+    * join on md5 shingle hashes — the inverted-index shape, shuffle ∝
+    * shingles + matches, never corpus × benchmark; md5 keeps the counts
+    * cross-engine exact (q66's oracle). Documents shorter than `n` tokens
+    * can never be flagged. */
+  def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
+      isBench: Column, n: Int = 8): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val sh = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val withSh = docs.select(col(idCol).as("doc_id"), isBench.as("b"),
+      explode(sh).as("h"))
+    val bench = withSh.filter(col("b")).select(col("h")).distinct()
+    val corpus = withSh.filter(!col("b"))
+    val hits = corpus.join(bench, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_bench_shingles"))
+    docs.select(col(idCol).as("doc_id"), isBench.as("b"))
+      .filter(!col("b")).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_shingles"), lit(0L)).as("n_bench_shingles"),
+        (coalesce(col("n_bench_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Cross-engine twin of [[simhashNearDups]] (the md5-twin precedent of
     * q37/q38/q55): the 64-bit SimHash is derived from md5 token hashes —
     * bit j is set iff Σ over token occurrences of (±1 by bit j of the

@@ -136,4 +136,30 @@ object TextFunctions {
       b => struct(b.as("band"),
         xxhash64(concat_ws(",",
           transform(slice(signature, b * rows + 1, lit(rows)), x => x.cast("string"))), b).as("h")))
+
+  /** PII redaction patterns (the training-corpus scrub step): kept to the
+    * regex subset where Java (Spark codegen) and RE2 (DuckDB, and most
+    * scale-out scanners) agree exactly — character classes, bounded
+    * repetition, alternation; no backrefs or lookaround — so the redaction
+    * is engine-portable and the q65 oracle can replay it verbatim. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** Replace emails, IPv4 addresses and phone-shaped numbers with typed
+    * placeholder tokens. Order matters (phones before IPs would mangle
+    * dotted quads with dashes? no — but emails FIRST so user@host.ip
+    * digits are gone before the IP pass). One pass per pattern, each a
+    * codegen'd regexp_replace — no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of matches for one PII pattern (regexp_count is exact and
+    * engine-portable over the RE2-safe subset). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
 }

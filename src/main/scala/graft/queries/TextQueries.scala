@@ -207,7 +207,48 @@ object TextQueries {
       .limit(10)
   }
 
+  /** q65 — PII redaction (the training-corpus scrub step a 100 TB text
+    * pipeline runs before anything else): documents are deterministically
+    * ENRICHED with synthetic PII (email + IPv4 + phone derived from
+    * doc_id — the raw testdata carries none, and the scrub must be
+    * exercised on matches, not just no-ops), then redacted with the
+    * RE2-safe patterns in [[TextFunctions.redactPii]]. The oracle replays
+    * enrichment, counting AND the full redaction — `red_md5` pins every
+    * byte of the redacted output, so a single mis-replaced character
+    * hash-mismatches. Scale shape: three codegen'd regexp_replace passes,
+    * no shuffle at all. */
+  val q65PiiRedact: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val enriched = concat($"text",
+      lit(" contact user"), $"doc_id", lit("@example.com via 10."),
+      ($"doc_id" % 200).cast("string"), lit(".0.1 tel 555-"),
+      lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-1234"))
+    docs(spark, dir)
+      .select($"doc_id", enriched.as("t"))
+      .select($"doc_id",
+        piiCount($"t", EmailRe).as("n_email"),
+        piiCount($"t", Ipv4Re).as("n_ip"),
+        piiCount($"t", PhoneRe).as("n_phone"),
+        md5(redactPii($"t")).as("red_md5"))
+  }
+
+  /** q66 — benchmark DECONTAMINATION (the eval-leak scrub): flag every
+    * corpus document sharing at least one 8-token shingle with the
+    * "benchmark" subset (doc_id % 97 == 0 stands in for the held-out eval
+    * set). Candidates come from an equality join on md5 shingle hashes —
+    * the inverted-index shape (q33/q38), shuffle ∝ shingles + matches,
+    * never corpus × benchmark. Cross-engine md5 puts the full match
+    * counts under the hash oracle. */
+  val q66Decontaminate: Q = (spark, dir) => {
+    import spark.implicits._
+    Dedup.flagContaminated(docs(spark, dir), "doc_id", "text",
+      isBench = $"doc_id" % 97 === 0, n = 8)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q65_pii_redact" -> q65PiiRedact,
+    "q66_decontaminate" -> q66Decontaminate,
     "q30_token_stats" -> q30TokenStats,
     "q31_quality" -> q31Quality,
     "q32_fingerprints" -> q32Fingerprints,
@@ -222,6 +263,41 @@ object TextQueries {
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
   val oracles: Map[String, String] = Map(
+    // q65 — enrichment, counts and the FULL redaction replayed: DuckDB's
+    // RE2 and Spark's Java regex agree on the whole pattern subset used
+    // (classes, bounded repetition, \b, optional +) and DuckDB's
+    // regexp_replace needs the 'g' flag to match Spark's replace-all.
+    "q65_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com via 10.' ||
+        |    (doc_id % 200) || '.0.1 tel 555-' ||
+        |    lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-1234' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+        |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::INT AS n_ip,
+        |  len(regexp_extract_all(t, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))::INT AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS red_md5
+        |FROM t""".stripMargin,
+    // q66 — the decontamination join replayed on md5 8-token shingles
+    // (inclusive 1-based list slices ≙ Spark's slice(toks, i+1, 8)).
+    "q66_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(toks) - 7, 0)),
+        |    i -> md5(array_to_string(toks[i+1:i+8], ' ')))) AS h FROM t),
+        |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (SELECT s.doc_id, count(DISTINCT s.h) AS n
+        |  FROM sh s JOIN bench b ON s.h = b.h WHERE s.doc_id % 97 <> 0
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id, coalesce(hits.n, 0)::BIGINT AS n_bench_shingles,
+        |  coalesce(hits.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
     "q30_token_stats" ->
       s"""WITH t AS (SELECT doc_id, text,
          |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)

@@ -67,6 +67,52 @@ class DedupSpec extends SparkSpec with Matchers {
     pairs should not contain ((2L, 3L))
   }
 
+  test("decontamination: planted 8-gram overlap flagged, 7-gram overlap is not") {
+    val s = spark
+    import s.implicits._
+    val run8 = (1 to 8).map(i => s"leak$i").mkString(" ")
+    val run7 = (1 to 7).map(i => s"part$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"benchmark question alpha $run8 beta gamma delta epsilon"),
+      (1L, s"training doc containing $run8 verbatim and more words here"),
+      (2L, s"training doc containing only $run7 so it stays clean words"),
+      (3L, "completely unrelated training document with its own tokens kept"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.flagContaminated(docs, "doc_id", "text",
+        isBench = $"doc_id" === 0L, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L) // benchmark doc excluded
+    out(1L)._2 shouldBe true
+    out(1L)._1 shouldBe 1L // exactly the one shared 8-gram
+    out(2L) shouldBe ((0L, false)) // 7-token run is below the shingle width
+    out(3L) shouldBe ((0L, false))
+    out(4L) shouldBe ((0L, false)) // < 8 tokens: no shingles at all
+  }
+
+  test("PII redaction: planted email/IP/phone replaced, counts exact, clean text untouched") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions._
+    val docs = Seq(
+      (1L, "reach me at jane.doe+x@sub.example.org or 192.168.001.1 now"),
+      (2L, "call +123 456-7890 no wait 555-042-1234 that dash style"),
+      (3L, "nothing sensitive here at all")).toDF("id", "t")
+    val out = docs.select($"id", redactPii($"t").as("r"),
+        piiCount($"t", EmailRe).as("e"), piiCount($"t", Ipv4Re).as("ip"),
+        piiCount($"t", PhoneRe).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    out(1L)._1 shouldBe "reach me at <EMAIL> or <IP> now"
+    out(1L)._2 shouldBe 1
+    out(1L)._3 shouldBe 1
+    // the pattern allows mixed separators, so "+123 456-7890" is
+    // phone-shaped too (digits split 3/3/4 by [- ])
+    out(2L)._1 shouldBe "call <PHONE> no wait <PHONE> that dash style"
+    out(2L)._4 shouldBe 2
+    out(3L)._1 shouldBe "nothing sensitive here at all"
+    out(3L) shouldBe (("nothing sensitive here at all", 0, 0, 0))
+  }
+
   test("md5-SimHash tier: planted pair found, pigeonhole candidates complete vs brute Hamming") {
     // unit-level redundancy for the q35 oracle: the md5 tier must (a)
     // find the planted near-identical pair, and (b) return EXACTLY the
