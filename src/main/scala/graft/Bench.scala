@@ -53,9 +53,41 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
+    // SPARK_GRAFT_DIAG=1: after each query, log session-accumulation
+    // telemetry to STDERR (the stdout JSON contract is untouched) — the
+    // instrument for the round-5 "sweep inflation" finding (driver sweep
+    // ~71 s vs clean-session ~43 s; later queries' all-three-runs slow).
+    val diag = sys.env.get("SPARK_GRAFT_DIAG").contains("1")
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
+    }
+    def diagLine(name: String, gcDelta: Long, times: Seq[Double]): Unit = if (diag) {
+      val sc = spark.sparkContext
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      val memUsedMb = sc.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
+      val rddInfo = sc.getRDDStorageInfo
+      val nBlocks = rddInfo.map(_.numCachedPartitions).sum
+      val nRdds = sc.getPersistentRDDs.size
+      val nStreams = spark.streams.active.length
+      val nViews = spark.catalog.listTables().count()
+      // min/max across the runs separates "all runs slow" (persistent
+      // state / sustained contention) from "one run slow" (transient)
+      val tmin = if (times.nonEmpty) times.min else -1.0
+      val tmax = if (times.nonEmpty) times.max else -1.0
+      System.err.println(
+        s"""DIAG {"q":"$name","gc_ms":$gcDelta,"heap_mb":$heapMb,""" +
+        s""""storage_mb":$memUsedMb,"blocks":$nBlocks,"rdds":$nRdds,""" +
+        s""""active_streams":$nStreams,"views":$nViews,""" +
+        f""""t_min":$tmin%.3f,"t_max":$tmax%.3f}""")
+    }
+
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = queries.map { case (name, fn) =>
+      val gc0 = gcMillis
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // caller-side result release (the BlockReleaseSweepSpec contract):
@@ -71,12 +103,21 @@ object Bench {
         finally if (r != null) graft.util.BlockRelease.release(r)
         (System.nanoTime() - t0) / 1e9
       }
+      // between-query hygiene: terminated streaming queries (q58/q59 start
+      // fresh queries every run) otherwise accumulate in the
+      // StreamingQueryManager for the life of the session, pinning their
+      // progress buffers and last-batch plans
+      spark.streams.resetTerminated()
+      diagLine(name, gcMillis - gc0, times)
       name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs}""")
+    // headline FIRST: the driver's tail capture truncated round 5's line
+    // and lost the total — leading with metric/value keeps a truncated
+    // line parseable down to the headline number
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -46,6 +46,11 @@ object Hdbscan {
       bruteThreshold: Long = 2000L,
       collectThreshold: Long = 5000000L): DataFrame = {
     require(knnK >= minPts, s"knnK ($knnK) must be ≥ minPts ($minPts)")
+    // minClusterSize = 1 is degenerate HDBSCAN (every point a cluster, no
+    // noise) and the distributed extraction tier would silently drop
+    // singleton components (a size-1 'big root' emits no membership rows)
+    require(minClusterSize >= 2,
+      s"minClusterSize ($minClusterSize) must be ≥ 2")
     val spark = points.sparkSession
     import spark.implicits._
 
@@ -148,7 +153,8 @@ object Hdbscan {
     * cannot find a pivot splitting the MST into executor-fit components
     * (a single near-uniform-density blob — where the condensed hierarchy
     * carries little structure anyway); logs a warning, never aborts. */
-  private def flatCutLabels(mst: DataFrame, minClusterSize: Int): DataFrame = {
+  private def flatCutLabels(mst: DataFrame, points: DataFrame,
+      minClusterSize: Int): DataFrame = {
     val probes = (0 to 50).map(_ / 50.0).toArray
     val qs = mst.stat.approxQuantile("w", probes, 0.001)
     // geometric midpoint of the widest gap: quantile resolution can
@@ -161,9 +167,16 @@ object Hdbscan {
       mst.filter(col("w") <= cut)
         .select(col("a").as("src"), col("b").as("dst")))
     val sizes = comps.groupBy("label").agg(count(lit(1)).as("sz"))
-    comps.join(sizes, "label")
+    val labeled = comps.join(sizes, "label")
       .select(col("node").as("id"),
         when(col("sz") >= minClusterSize, col("label")).otherwise(lit(-1L)).as("label"))
+    // TOTALITY: a point whose every MST edge exceeds the cut (or that the
+    // MST left isolated) has no component row — it is noise, not absent;
+    // the id set of the output must equal the input's (cluster-surface
+    // contract, same coalesce discipline as run/extractLabelsDistributed)
+    points.select(col("id"))
+      .join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), lit(-1L)).as("label"))
       .localCheckpoint() // node-sized; lets the MST blocks go
   }
 
@@ -261,6 +274,8 @@ object Hdbscan {
       topFit: Long = 5000000L, componentFit: Long = 50000000L): DataFrame = {
     val spark = mst.sparkSession
     import spark.implicits._
+    require(minClusterSize >= 2, // see run(): singleton 'big roots' would vanish
+      s"minClusterSize ($minClusterSize) must be ≥ 2")
     val mcs = minClusterSize
     val m = mst.count()
 
@@ -299,7 +314,7 @@ object Hdbscan {
     if (chosen.isEmpty) {
       System.err.println(s"[graft] Hdbscan: no weight pivot splits $m MST " +
         "edges into executor-fit components — degrading to flat-cut labels")
-      return flatCutLabels(mst, mcs)
+      return flatCutLabels(mst, points, mcs)
     }
     val (pivot, compOf) = chosen.get
     val below = mst.filter(col("w") <= pivot)
@@ -432,9 +447,21 @@ object Hdbscan {
     }
     val allClusters = lambdaBirth.keys.toArray
     val depth = mutable.Map[Long, Int]()
-    def depthOf(c: Long): Int = depth.getOrElseUpdate(c,
-      clusterParent.get(c).map(depthOf(_) + 1).getOrElse(0))
-    allClusters.foreach(depthOf)
+    // iterative depth fill (a condensed chain can reach n/minClusterSize
+    // deep in pathological hierarchies — recursion would overflow the
+    // driver stack): walk up to the nearest node with a known depth, then
+    // assign on the way back down the recorded path
+    allClusters.foreach { c0 =>
+      var path = List.empty[Long]
+      var c = c0
+      while (!depth.contains(c) && clusterParent.contains(c)) {
+        path ::= c
+        c = clusterParent(c)
+      }
+      var d = depth.getOrElse(c, 0)
+      if (!depth.contains(c)) depth(c) = d
+      path.foreach { x => d += 1; depth(x) = d }
+    }
     val isRoot = allClusters.filter(!clusterParent.contains(_)).toSet ++ rootLike
     val selected = mutable.Set[Long]()
     val subtreeStab = mutable.Map[Long, Double]()

@@ -127,12 +127,32 @@ object IngestQueries {
           Seq(fu, fe).foreach { f =>
             var done = false
             while (!done) {
-              try { Await.ready(f, Duration.Inf); done = true }
-              catch { case _: InterruptedException => interrupted = true }
+              // after the first interrupt the wait turns FINITE: the merges
+              // are bounded work and should be finished rather than
+              // abandoned mid-swap, but a merge wedged during shutdown must
+              // not leave this thread permanently un-interruptible
+              val limit =
+                if (interrupted) scala.concurrent.duration.Duration(10, "minutes")
+                else Duration.Inf
+              try { Await.ready(f, limit); done = true }
+              catch {
+                case _: InterruptedException => interrupted = true
+                case _: java.util.concurrent.TimeoutException =>
+                  Thread.currentThread().interrupt()
+                  throw new java.io.InterruptedIOException(
+                    "interrupted, and a merge future did not complete within " +
+                    "the 10-minute grace period — abandoning the await")
+              }
             }
           }
           if (interrupted) Thread.currentThread().interrupt()
-          Seq(fu, fe).foreach(_.value.get.get) // rethrow the first failure
+          // rethrow with NOTHING masked: both merges' failures surface (an
+          // edges failure must not hide behind a users failure)
+          val failures = Seq(fu, fe).flatMap(_.value.get.failed.toOption)
+          failures.headOption.foreach { head =>
+            failures.tail.foreach(t => if (t ne head) head.addSuppressed(t))
+            throw head
+          }
         } finally { b.unpersist(blocking = false); () }
       }
       .start()

@@ -316,6 +316,21 @@ object Streams {
       if (fs.exists(stageDir) && !fs.delete(stageDir, true))
         throw new java.io.IOException(s"cannot clear staged $stageDir after swap")
     } else {
+      // an UNDER-covering touchedHint is fatal, loudly: a bucket the write
+      // produced but the hint omitted was (a) never read back into the
+      // union — swapping it in would drop that bucket's existing state —
+      // and (b) about to be deleted with tmpDir — skipping it would drop
+      // the batch's rows. Neither is recoverable here, so fail before any
+      // bucket is renamed (pre-merge state fully intact).
+      val written = fs.listStatus(tmpDir).map(_.getPath.getName)
+        .filter(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toInt).toSet
+      val unhinted = written -- touched
+      if (unhinted.nonEmpty)
+        throw new java.io.IOException(
+          s"touchedHint omitted bucket(s) ${unhinted.toSeq.sorted.mkString(",")} " +
+          s"that the batch wrote to $tmpDir — aborting merge before swap " +
+          "(their existing state was never merged; proceeding would lose rows)")
       // per-bucket staged swap — untouched buckets' files are never
       // listed, read, rewritten or renamed
       if (!fs.mkdirs(stageDir))

@@ -37,6 +37,19 @@ class BlockReleaseSweepSpec extends SparkSpec with Matchers {
       val r = SparkEntry.queries(n)(spark, dir); r.count()
       graft.util.BlockRelease.release(r)
     }
+    // probe-query timing, fresh side (round-5 "sweep inflation" gate):
+    // median of 5 runs of a small fixed query BEFORE the sweep...
+    def probeMedian(): Double = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        val r = SparkEntry.queries("q29_asof_planned")(spark, dir)
+        r.count()
+        graft.util.BlockRelease.release(r)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(2)
+    }
+    val freshProbe = probeMedian()
     val baseline = sc.getPersistentRDDs.keySet
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       withClue(s"query $name failed: ") {
@@ -44,6 +57,16 @@ class BlockReleaseSweepSpec extends SparkSpec with Matchers {
         r.count()
         graft.util.BlockRelease.release(r) // caller-side result release
       }
+      spark.streams.resetTerminated() // the Bench loop's between-query hygiene
+    }
+    // ...and AFTER: whatever a full sweep accumulates must not slow later
+    // queries. 1.5× is the driver-contract bound; the absolute floor keeps
+    // a sub-second probe's scheduler jitter (shared session, concurrent
+    // suites) from flaking the ratio.
+    val postProbe = probeMedian()
+    withClue(f"probe q29 fresh=$freshProbe%.3f s vs post-sweep=$postProbe%.3f s — " +
+        "a full-session sweep left state that slows later queries: ") {
+      assert(postProbe <= math.max(freshProbe * 1.5, freshProbe + 1.5))
     }
     // suites share this SparkSession and sbt runs them concurrently, so
     // another suite's in-flight scratch can appear in the snapshot —
