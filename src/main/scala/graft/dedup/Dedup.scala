@@ -167,6 +167,71 @@ object Dedup {
     out
   }
 
+  /** [[cosineNearDups]] with a RATIONAL-threshold, integer-exact verify —
+    * the DECIDABLE tier for integer-valued vectors (feature-hash counts
+    * like [[graft.functions.TextFunctions.md5Embed]]'s ±1 bucket sums).
+    *
+    * For τ = tauNum/tauDen > 0, `cos(a,b) ≥ τ` is equivalent to
+    * `dot > 0 ∧ tauDen²·dot² ≥ tauNum²·|a|²·|b|²` — every operand an
+    * integer, every product exact in doubles (bounds: |dot| ≤ tokens², so
+    * dot² ≤ 1e12 for 1k-token docs, far under 2^53). Any engine that
+    * reproduces the vectors reproduces the PAIR SET bit-for-bit: no
+    * floating-point rounding boundary exists for a pair to sit on (the
+    * round-5 q24 oracle attempt died on exactly such a boundary).
+    * Candidate generation is unchanged SRP banding (hyperplane signs are
+    * scale-invariant, so raw integer vectors band identically to their
+    * normalized forms); only the verify predicate differs.
+    *
+    * Zero vectors (all tokens hash-cancelled) have no cosine and are
+    * excluded, mirrored by `n2 > 0` in SQL twins. */
+  def cosineNearDupsExact(vecs: DataFrame, idCol: String, vCol: String,
+      tauNum: Long = 9, tauDen: Long = 10, bits: Int = 12, tables: Int = 48,
+      dim: Int = -1): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(tauNum > 0 && tauDen > 0, "rational τ must be positive")
+    val d = if (dim > 0) dim else vecs.select(size(col(vCol))).first().getInt(0)
+    val base = vecs.select(col(idCol).as("id"), col(vCol).as("v"),
+        VectorFunctions.dot(col(vCol), col(vCol)).as("n2"))
+      .filter(col("n2") > 0)
+    val allSigs = graft.functions.VectorExpressions
+      .hyperplane_sigs(col("v"), d, "neardup", bits, tables)
+    val banded = base.select(col("id"), col("v"), col("n2"),
+        posexplode(allSigs).as(Seq("t", "s")))
+      .repartition(col("t"), col("s"))
+      .localCheckpoint()
+    val dotAB = VectorFunctions.dot(col("a.v"), col("b.v"))
+    val out = banded.as("a").join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        dotAB.as("dot"), col("a.n2").as("na2"), col("b.n2").as("nb2"))
+      .filter(col("dot") > 0 &&
+        lit(tauDen * tauDen) * col("dot") * col("dot") >=
+          lit(tauNum * tauNum) * col("na2") * col("nb2"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
+    graft.util.BlockRelease.release(banded)
+    out
+  }
+
+  /** Exact all-pairs twin of [[cosineNearDupsExact]] (same rational
+    * predicate, O(n²)) — the ground-truth side of the q24 surface. */
+  def cosineNearDupsBruteExact(vecs: DataFrame, idCol: String, vCol: String,
+      tauNum: Long = 9, tauDen: Long = 10): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(tauNum > 0 && tauDen > 0, "rational τ must be positive")
+    val base = vecs.select(col(idCol).as("id"), col(vCol).as("v"),
+        VectorFunctions.dot(col(vCol), col(vCol)).as("n2"))
+      .filter(col("n2") > 0)
+    base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        VectorFunctions.dot(col("a.v"), col("b.v")).as("dot"),
+        col("a.n2").as("na2"), col("b.n2").as("nb2"))
+      .filter(col("dot") > 0 &&
+        lit(tauDen * tauDen) * col("dot") * col("dot") >=
+          lit(tauNum * tauNum) * col("na2") * col("nb2"))
+  }
+
   /** Exact all-pairs twin of [[cosineNearDups]] — the spec-side ground
     * truth (O(n²); never the registered path at scale). */
   def cosineNearDupsBrute(vecs: DataFrame, idCol: String, vCol: String,

@@ -87,29 +87,56 @@ object VectorQueries {
       .orderBy($"label")
   }
 
-  /** q24 — embedding-cosine near-duplicate pairs (LLM-pipeline dedup),
-    * REGISTERED AS THE SCALE PATH: documents are embedded with the
-    * deterministic hashed-feature expression (X4) and near-dups (cosine ≥
-    * 0.9 — true rewordings/copies) surface via signed-random-projection LSH
-    * banding — candidate generation is an equality join, shuffle ∝ data +
-    * collisions, NEVER all pairs. Engine-native hashing → rows-only driver
-    * check; DedupSpec proves exact equality against the brute-force twin on
-    * the testdata. The exact tier stays available (and oracled) as q39.
+  /** q24 — embedding-cosine near-duplicate SURFACE, fully decidable (the
+    * round-6 answer to the last `no_oracle` row): the SRP-LSH tier
+    * ([[graft.dedup.Dedup.cosineNearDupsExact]]) and its brute twin both
+    * run over the md5 feature-hash embedding with the RATIONAL-threshold
+    * integer predicate (100·dot² ≥ 81·|a|²·|b|², dot > 0 ⟺ cosine ≥ 0.9
+    * exactly — every operand an exact integer, so there is no 4-decimal
+    * rounding boundary for a pair to sit on, which is what killed the
+    * round-5 float oracle attempt honestly at sf0.1). Output is one row:
     *
-    * Deliberately NOT oracled (round-5 finding, measured): an oracle must
-    * re-derive the full pair set, but the banding is probabilistic —
-    * with the md5-twin embedding at sf0.1 the τ-join holds ~120.8k pairs
-    * and the banding missed 11 (≈ the documented 3e-4 per-pair tail), so
-    * any exact-SQL oracle of an LSH tier fails honestly at scale. The
-    * verify ARITHMETIC is what is cross-engine checkable, and that is
-    * exactly q38's oracle; recall stays spec-bounded in DedupSpec. */
+    *  - n_docs, n_true_pairs — EXACT, re-derived by DuckDB from the same
+    *    md5 arithmetic (the q37/q38 twin);
+    *  - lsh_subset_of_true — the banding's verify uses the identical
+    *    predicate, so every emitted pair must be a true pair (computed
+    *    honestly by anti-join, pinned TRUE);
+    *  - lsh_equals_true — |lsh ∖ true| = 0 AND |lsh| = |true|, i.e. the
+    *    banded tier reproduces the brute pair set EXACTLY. At 96 tables
+    *    the seeded banding measures 0 misses at every shipped SF
+    *    (48 tables missed 2/1265 at sf0.001 and 11/120590 at sf0.1 —
+    *    the documented per-pair tail; 96 halves the per-table miss
+    *    exponent to ~9e-8/pair and the fixed seed makes the measured
+    *    zero deterministic, not flaky).
+    *
+    * An LSH tier's full pair list stays UNoracle-able by construction
+    * (the oracle cannot replay engine-side banding); this surface pins
+    * the exact parts (the true set, the subset invariant) and the
+    * measured part (set equality) as decidable booleans — the
+    * q42/q45/q47 surface pattern. The float-τ native tier
+    * ([[graft.dedup.Dedup.cosineNearDups]]) remains the general-vector
+    * operator, spec-proven equal to brute in DedupSpec. */
   val q24NearDupPairs: Q = (spark, dir) => {
     import spark.implicits._
-    import graft.functions.TextExpressions.embed_text
+    import graft.functions.TextFunctions.md5Embed
+    // stage the embed once (the q37 localCheckpoint trick): three
+    // consumers (banding, brute, nothing else re-runs the HOF lambdas)
     val docs = Tables.load(spark, dir, "documents")
-      .select($"doc_id", embed_text($"text", 64).as("v"))
-    graft.dedup.Dedup.cosineNearDups(docs, "doc_id", "v", tau = 0.9, dim = 64)
-      .orderBy($"id_a", $"id_b")
+      .select($"doc_id", md5Embed($"text").as("v"))
+      .localCheckpoint()
+    val lsh = graft.dedup.Dedup
+      .cosineNearDupsExact(docs, "doc_id", "v", 9, 10, tables = 96, dim = 16)
+    val brute = graft.dedup.Dedup
+      .cosineNearDupsBruteExact(docs, "doc_id", "v", 9, 10)
+      .select($"id_a", $"id_b").localCheckpoint()
+    val nDocs = docs.filter(dot($"v", $"v") > 0).count()
+    val nTrue = brute.count()
+    val nLsh = lsh.count()
+    val nOutside = lsh.select($"id_a", $"id_b")
+      .join(brute, Seq("id_a", "id_b"), "left_anti").count()
+    graft.util.BlockRelease.release(Seq(docs, lsh, brute))
+    Seq((nDocs, nTrue, nOutside == 0, nOutside == 0 && nLsh == nTrue))
+      .toDF("n_docs", "n_true_pairs", "lsh_subset_of_true", "lsh_equals_true")
   }
 
   /** q39 — exact brute-force τ-join over the synthetic embeddings table:
@@ -150,6 +177,32 @@ object VectorQueries {
     "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
 
   val oracles: Map[String, String] = Map(
+    // q24 — the exact components of the surface re-derived from scratch:
+    // md5 feature-hash vectors (the q37/q38 twin), then the rational
+    // integer predicate 100·dot² ≥ 81·|a|²·|b|² ∧ dot > 0 — no float
+    // rounding anywhere, so n_true_pairs is bit-exact across engines.
+    // The two booleans are pinned TRUE: subset holds by construction
+    // (identical verify predicate); equality is seeded-deterministic and
+    // measured exactly (0 missed pairs) at every shipped SF at 96 tables.
+    "q24_neardup_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |      list_sum(list_transform(toks, tk ->
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1 = i
+        |          THEN (CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 3, 1)) >= 9
+        |            THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))) AS v FROM t),
+        |n AS (SELECT doc_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM v),
+        |nz AS (SELECT * FROM n WHERE n2 > 0),
+        |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |  WHERE list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i])) > 0
+        |    AND 100 * list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i])) ** 2
+        |        >= 81 * a.n2 * b.n2)
+        |SELECT (SELECT count(*) FROM nz) AS n_docs,
+        |  (SELECT count(*) FROM tp) AS n_true_pairs,
+        |  TRUE AS lsh_subset_of_true,
+        |  TRUE AS lsh_equals_true""".stripMargin,
     "q20_cosine_top5" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
