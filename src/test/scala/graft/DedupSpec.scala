@@ -143,4 +143,41 @@ class DedupSpec extends SparkSpec with Matchers {
     val expected = all.filter(_._2 <= 7).map { case ((a, b), d) => (a, b, d) }.toSet
     banded shouldBe expected
   }
+
+  test("rational-threshold exact tier: cos = 0.9 boundary decided exactly, LSH == brute at both SFs") {
+    val s = spark
+    import s.implicits._
+    // hand-built integer vectors around the τ = 9/10 boundary:
+    //   (1,1,1,1)·(4,2,2,1) = 9, |a|² = 4, |b|² = 25 → cos = 9/√100 = 0.9
+    //   EXACTLY — must be INCLUDED (≥); a float verify can land either
+    //   side of this after normalize+dot rounding, the integer predicate
+    //   cannot. (1,2,3,4) (cos ≈ 0.9129) in, (1,2,3,5) (≈ 0.8812) out.
+    val fixture = Seq(
+      (1L, Seq(1.0, 1.0, 1.0, 1.0)),
+      (2L, Seq(4.0, 2.0, 2.0, 1.0)), // boundary-exact with 1
+      (3L, Seq(1.0, 2.0, 3.0, 4.0)), // just above τ with 1
+      (4L, Seq(1.0, 2.0, 3.0, 5.0)), // just below τ with 1
+      (5L, Seq(0.0, 0.0, 0.0, 0.0))  // zero vector: no cosine, excluded
+    ).toDF("doc_id", "v")
+    val pairs = Dedup.cosineNearDupsBruteExact(fixture, "doc_id", "v", 9, 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L)) // the boundary-exact pair
+    pairs should contain((1L, 3L))
+    pairs should not contain ((1L, 4L))
+    pairs.flatMap(p => Seq(p._1, p._2)) should not contain 5L
+    // and the q24 contract itself: the 96-table banded tier reproduces the
+    // brute pair set EXACTLY (not ≈) on the real testdata at both spec SFs
+    import graft.functions.TextFunctions.md5Embed
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val docs = Tables.load(spark, d, "documents")
+        .select(col("doc_id"), md5Embed(col("text")).as("v")).localCheckpoint()
+      val truth = Dedup.cosineNearDupsBruteExact(docs, "doc_id", "v", 9, 10)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth should not be empty
+      val lsh = Dedup.cosineNearDupsExact(docs, "doc_id", "v", 9, 10, tables = 96, dim = 16)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.util.BlockRelease.release(docs)
+      lsh shouldBe truth
+    }
+  }
 }
