@@ -65,8 +65,13 @@ object Leiden {
       mapping.select(col("node"), col("comm").as("label"))
     }).localCheckpoint() // node-sized, lineage-free — lets everything below go
     graft.util.BlockRelease.release(
-      Seq(sym0, phase.deg, phase.comm, ref, contractedRef, mapping, contracted))
-    out
+      Seq(phase.deg, phase.comm, ref, contractedRef, mapping, contracted))
+    // incumbent guard (see Louvain.incumbentGuard): the components
+    // partition is connected per community, so the Leiden contract holds
+    // for the substitute too
+    val guarded = Louvain.incumbentGuard(sym0, out, phase.m2, collectThreshold)
+    graft.util.BlockRelease.release(sym0)
+    guarded
   }
 
   /** Distributed Leiden refinement: within each coarse community, nodes

@@ -184,6 +184,50 @@ object Louvain {
     (mapping, contracted, nEdges)
   }
 
+  /** Modularity of a labeling over an already-symmetric edge set (same
+    * double-counted convention as the phase: in_c and tot_c both summed
+    * over directed sym rows, Q = Σ_c [in_c/2m − (tot_c/2m)²]). Two
+    * edge-sized aggregations — the price of knowing what the optimizer
+    * actually achieved. */
+  private[graft] def modularityOf(sym: DataFrame, labels: DataFrame,
+      m2: Double): Double = {
+    val l = labels.select(col("node"), col("label"))
+    val sumIn = sym
+      .join(l.select(col("node").as("src"), col("label").as("cs")), "src")
+      .join(l.select(col("node").as("dst"), col("label").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .agg(coalesce(sum("weight"), lit(0.0))).first().getDouble(0)
+    val sumTot2 = sym.groupBy(col("src").as("node")).agg(sum("weight").as("k"))
+      .join(l, "node")
+      .groupBy(col("label")).agg(sum(col("k")).as("tot"))
+      .agg(coalesce(sum(col("tot") * col("tot")), lit(0.0))).first().getDouble(0)
+    sumIn / m2 - sumTot2 / (m2 * m2)
+  }
+
+  /** Incumbent guard for the pure-distributed tiers: bounded-round
+    * synchronous local moving (hash-parity damping, fixed `distRounds`)
+    * can leave a TORN mid-flight partition on dense graphs — measured
+    * Q < 0 on the near-complete sf0.01 co-engagement graph when the
+    * in-memory finish is gated off (`collectThreshold` below the
+    * super-graph size, exactly the degrade path a 100 TB dense graph
+    * takes). An optimizer must never return a partition worse than a
+    * trivial incumbent it could always have emitted; the canonical one is
+    * one community per CONNECTED COMPONENT — Q = 1 − Σ s_c² ≥ 0, and
+    * every community is connected, so Leiden's contract survives the
+    * substitution. The CC run is only paid on the rare torn path; the
+    * healthy path pays two edge-sized aggregations to price its result. */
+  private[graph] def incumbentGuard(sym: DataFrame, labels: DataFrame,
+      m2: Double, collectThreshold: Long): DataFrame = {
+    if (m2 <= 0.0 || modularityOf(sym, labels, m2) >= 0.0) return labels
+    val comp = GraphAlgos.connectedComponents(
+        sym.select(col("src"), col("dst"), col("weight")),
+        collectThreshold = collectThreshold)
+      .select(col("node"), col("label"))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(labels) // superseded checkpoint
+    comp
+  }
+
   /** Symmetric deduped edge set + its directed edge count + 2m — the
     * shared tier gate: a graph under `collectThreshold` directed edges
     * (≤ ~50 MB of (long,long,double) rows) fits comfortably on one
@@ -193,7 +237,7 @@ object Louvain {
     * Identical tiering to the super-graph finish and to Hdbscan's
     * collect-threshold; the distributed path stays spec-covered via the
     * low-threshold graceful-degradation test. */
-  private[graph] def symWithStats(edges0: DataFrame): (DataFrame, Long, Double) = {
+  private[graft] def symWithStats(edges0: DataFrame): (DataFrame, Long, Double) = {
     val sym = Projection.symmetrize(edges0)
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
       .localCheckpoint()
@@ -236,8 +280,10 @@ object Louvain {
       // without violating the memory bound, so degrade, don't die
       mapping.select(col("node"), col("comm").as("label"))
     }).localCheckpoint() // node-sized, lineage-free — lets everything below go
-    graft.util.BlockRelease.release(Seq(sym, ph.deg, ph.comm, mapping, contracted))
-    out
+    graft.util.BlockRelease.release(Seq(ph.deg, ph.comm, mapping, contracted))
+    val guarded = incumbentGuard(sym, out, ph.m2, collectThreshold)
+    graft.util.BlockRelease.release(sym)
+    guarded
   }
 
   /** Modularity optimization à la GDS (SURVEY.md G7; reference call at
@@ -257,8 +303,10 @@ object Louvain {
       val ph = distributedPhaseSym(sym, rounds, m2)
       val out = ph.comm.select(col("node"), col("comm").as("label"))
         .localCheckpoint()
-      graft.util.BlockRelease.release(Seq(sym, ph.deg, ph.comm))
-      out
+      graft.util.BlockRelease.release(Seq(ph.deg, ph.comm))
+      val guarded = incumbentGuard(sym, out, m2, collectThreshold)
+      graft.util.BlockRelease.release(sym)
+      guarded
     }
   }
 

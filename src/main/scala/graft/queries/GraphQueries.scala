@@ -25,6 +25,16 @@ object GraphQueries {
   private def graph(spark: SparkSession, dir: String): DataFrame =
     Projection.supplierGraph(spark, dir)
 
+  /** Tier gate for the iterative algorithms, env-overridable:
+    * `SPARK_GRAFT_COLLECT_THRESHOLD=0` forces every q40–q45/q48 run through
+    * the DISTRIBUTED formulations, so the scale path is timed and
+    * correctness-checked under the exact driver protocol (Bench/Verify)
+    * instead of only in ScaleBench — the surfaces are invariant-based, so
+    * both tiers must pass the same oracle. Unset → each algorithm's
+    * default collect gate (small-graph exact tier at test SFs). */
+  private def tier(default: Long): Long =
+    sys.env.get("SPARK_GRAFT_COLLECT_THRESHOLD").map(_.toLong).getOrElse(default)
+
   private def labels(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "supplier")
       .select(col("s_suppkey").as("node"), col("s_nationkey").as("label"))
@@ -74,18 +84,20 @@ object GraphQueries {
     * supersteps stay cheap (measured: 9 s vs 339 s for the DataFrame twin
     * at sf0.1 — the DF version wins only on sparse fast-converging
     * graphs). */
-  val q40KCore: Q = (spark, dir) => KCore.run(graph(spark, dir))
+  val q40KCore: Q = (spark, dir) => KCore.run(graph(spark, dir), collectThreshold = tier(2000000L))
 
   /** q41 — label propagation (G4, GraphX built-in). 5 synchronous steps:
     * LPA either converges or enters the known 2-cycle well before that on
     * co-engagement-density graphs, and each Pregel superstep costs a fixed
     * scheduling quantum. */
   val q41LabelProp: Q = (spark, dir) =>
-    GraphAlgos.labelPropagationDF(graph(spark, dir), maxSteps = 5)
+    GraphAlgos.labelPropagationDF(graph(spark, dir), maxSteps = 5,
+      collectThreshold = tier(2000000L))
 
   /** q43 — connected components (min-id labels). */
   val q43ConnectedComponents: Q = (spark, dir) =>
-    GraphAlgos.connectedComponents(graph(spark, dir))
+    GraphAlgos.connectedComponents(graph(spark, dir),
+      collectThreshold = tier(2000000L))
 
   /** Shared surface for the community-detection queries (q44's precedent
     * extended to partitions): labels themselves are tie-break/coarsening-
@@ -138,7 +150,8 @@ object GraphQueries {
     * GraphAlgoSpec). */
   val q42Louvain: Q = (spark, dir) => {
     val g = graph(spark, dir)
-    partitionSurface(g, Louvain.run(g), nationModularity(spark, dir, g))
+    partitionSurface(g, Louvain.run(g, collectThreshold = tier(2000000L)),
+      nationModularity(spark, dir, g))
   }
 
   /** q45 — Leiden community detection (G5): Louvain + refinement phase.
@@ -150,7 +163,7 @@ object GraphQueries {
     * piece; a singleton community is one piece). Pinned true per node. */
   val q45Leiden: Q = (spark, dir) => {
     val g = graph(spark, dir)
-    val lab = graft.graph.Leiden.run(g)
+    val lab = graft.graph.Leiden.run(g, collectThreshold = tier(2000000L))
     val intra = g
       .join(lab.select(col("node").as("src"), col("label").as("ls")), "src")
       .join(lab.select(col("node").as("dst"), col("label").as("ld")), "dst")
@@ -220,7 +233,8 @@ object GraphQueries {
   val q47ModularityOpt: Q = (spark, dir) => {
     val g = graph(spark, dir)
     partitionSurface(g,
-      Louvain.modularityOptimization(g, rounds = 4),
+      Louvain.modularityOptimization(g, rounds = 4,
+        collectThreshold = tier(2000000L)),
       nationModularity(spark, dir, g))
   }
 
@@ -253,7 +267,8 @@ object GraphQueries {
       .select(col("vec_id").as("id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     clusterSurface(
-      graft.graph.Hdbscan.run(pts, minPts = 4, minClusterSize = 4, knnK = 12),
+      graft.graph.Hdbscan.run(pts, minPts = 4, minClusterSize = 4, knnK = 12,
+        collectThreshold = tier(5000000L)),
       minClusterSize = 4)
   }
 
@@ -266,11 +281,13 @@ object GraphQueries {
     * planted fixture) while node totality and the label contracts are
     * hash-oracled via [[clusterSurface]]. */
   val q49Ep2Pipeline: Q = (spark, dir) => {
-    val emb = FastRP.run(graph(spark, dir), dim = 128)
+    val emb = FastRP.run(graph(spark, dir), dim = 128,
+      collectThreshold = tier(2000000L))
     clusterSurface(
       graft.graph.Hdbscan.run(
         emb.select(col("node").as("id"), col("embedding").as("v")),
-        minPts = 4, minClusterSize = 4, knnK = 12),
+        minPts = 4, minClusterSize = 4, knnK = 12,
+        collectThreshold = tier(5000000L)),
       minClusterSize = 4)
   }
 
@@ -282,7 +299,8 @@ object GraphQueries {
     * gate pins it (a dropped node, wrong width or unnormalized vector
     * all shows up as a hash mismatch). */
   val q44FastRP: Q = (spark, dir) => {
-    FastRP.run(graph(spark, dir), dim = 32)
+    FastRP.run(graph(spark, dir), dim = 32,
+        collectThreshold = tier(2000000L))
       .select(col("node"), size(col("embedding")).as("dim"),
         round(VectorFunctions.l2norm(col("embedding")), 4).as("norm"))
   }

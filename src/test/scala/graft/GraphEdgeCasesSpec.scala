@@ -38,4 +38,27 @@ class GraphEdgeCasesSpec extends SparkSpec with Matchers {
     fr.length shouldBe 2
     fr.foreach(_.getSeq[Double](1).length shouldBe 8)
   }
+
+  test("incumbent guard: pure-distributed community tiers never return Q < 0 on a dense graph") {
+    val s = spark
+    import s.implicits._
+    // two 12-cliques joined by one bridge: dense enough that torn
+    // mid-flight partitions (bounded synchronous rounds, parity damping)
+    // go negative without the guard; two planted communities regardless
+    val cliques = for {
+      c <- 0 to 1; i <- 0 until 12; j <- (i + 1) until 12
+    } yield (c * 100L + i, c * 100L + j, 1.0)
+    val edges = (cliques :+ ((0L, 100L, 1.0))).toDF("src", "dst", "weight")
+    val (sym, _, m2) = Louvain.symWithStats(edges)
+    for (lab <- Seq(
+        Leiden.run(edges, collectThreshold = 0L),
+        Louvain.run(edges, collectThreshold = 0L),
+        Louvain.modularityOptimization(edges, collectThreshold = 0L))) {
+      val labels = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      labels.keySet shouldBe cliques.flatMap(e => Seq(e._1, e._2)).toSet // totality
+      Louvain.modularityOf(sym, lab, m2) should be >= 0.0
+      graft.util.BlockRelease.release(lab)
+    }
+    graft.util.BlockRelease.release(sym)
+  }
 }
