@@ -194,7 +194,10 @@ object ScaleBench {
       ((System.nanoTime() - t0) / 1e9, r)
     }
 
-    Seq(5000, 50000).foreach { n =>
+    // SPARK_GRAFT_SCALE_NS=500000 extends the decade-up (r6: third notch)
+    val ns = sys.env.get("SPARK_GRAFT_SCALE_NS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(5000, 50000))
+    ns.foreach { n =>
       val docs = corpus(n).localCheckpoint()
       val emb = docs.select(col("doc_id"),
         graft.functions.TextExpressions.embed_text(col("text"), 64).as("v"))

@@ -156,6 +156,20 @@ object VectorQueries {
       .filter($"sim" >= 0.35)
   }
 
+  /** q67 — EP3 similarity CLI parity: the reference's `post_distance_test`
+    * (project/qdrant/post_distance_test.py:26-45) queries the vector store
+    * once and prints CLOSEST (top-5 by cosine) and FARTHEST (bottom-5)
+    * sections of the same result list. One entry point, one scan, both
+    * sections — the union of q20/q21 tagged with the section name, exactly
+    * the reference's output shape as rows. */
+  val q67PostDistance: Q = (spark, dir) => {
+    import spark.implicits._
+    q20CosineTop5(spark, dir).select(lit("closest").as("section"),
+        $"vec_id", $"label", $"score")
+      .unionByName(q21CosineBottom5(spark, dir)
+        .select(lit("farthest").as("section"), $"vec_id", $"label", $"score"))
+  }
+
   /** q25 — per-vector norm + dimension (X2 sanity surface). */
   val q25Norms: Q = (spark, dir) => {
     import spark.implicits._
@@ -171,7 +185,8 @@ object VectorQueries {
     "q23_variance" -> q23Variance,
     "q24_neardup_pairs" -> q24NearDupPairs,
     "q25_norms" -> q25Norms,
-    "q39_neardup_brute" -> q39NearDupBrute)
+    "q39_neardup_brute" -> q39NearDupBrute,
+    "q67_post_distance" -> q67PostDistance)
 
   private val cosExpr =
     "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
@@ -246,5 +261,16 @@ object VectorQueries {
     "q25_norms" ->
       """SELECT vec_id, len(embedding) AS dim,
         |round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
-        |FROM embeddings""".stripMargin)
+        |FROM embeddings""".stripMargin,
+    "q67_post_distance" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |scored AS (SELECT vec_id, label,
+        |  round(list_inner_product(v, qv) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 4) AS score
+        |  FROM e, q WHERE vec_id <> 0)
+        |SELECT 'closest' AS section, vec_id, label, score FROM
+        |  (SELECT * FROM scored ORDER BY score DESC, vec_id ASC LIMIT 5)
+        |UNION ALL
+        |SELECT 'farthest' AS section, vec_id, label, score FROM
+        |  (SELECT * FROM scored ORDER BY score ASC, vec_id ASC LIMIT 5)""".stripMargin)
 }
