@@ -63,7 +63,7 @@ object Dedup {
     // blocks can be released NOW — leaked corpus×bands checkpoints stack
     // across calls in a long session until memory pressure drags every
     // later job
-    val pairs = banded.as("a").join(banded.as("b"),
+    val pairs = banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -112,28 +112,44 @@ object Dedup {
     * verified with the exact dot product.
     *
     * Recall per pair at similarity s: 1 − (1 − p^bits)^tables with
-    * p = 1 − acos(s)/π. Defaults (bits=12, tables=48) give miss ≈ 3e-4 at
-    * s = 0.9 and ≈ 1.5e-10 at s = 0.97 — true near-duplicates (the use
-    * case) sit at the top of that range. NOT suitable for low thresholds
-    * (τ ≲ 0.6): weakly-similar pairs need tables growing like p^-bits, and
-    * the exact tier (brute τ-join) is the right tool there.
+    * p = 1 − acos(s)/π. At bits=12, tables=48: miss ≈ 3e-4 at s = 0.9 and
+    * ≈ 1.5e-10 at s = 0.97 — true near-duplicates (the use case) sit at
+    * the top of that range. NOT suitable for low thresholds (τ ≲ 0.6):
+    * weakly-similar pairs need tables growing like p^-bits, and the exact
+    * tier (brute τ-join) is the right tool there.
     *
-    * Shape (measured at sf0.1, 5k docs with a ~900-doc dense cluster:
-    * 22.8 s → 4.4 s, and recall went 4783→4784/4784 vs brute):
+    * **Banding resolution AUTO-SCALES with corpus size** (bits/tables = −1,
+    * the default): random-pair bucket collisions cost ~n²·tables·2^-bits
+    * verify evaluations, so FIXED bits turn quadratic one decade above
+    * whatever corpus they were tuned for (measured: 12 bits = 15 s at 50k
+    * docs but 1102 s at 500k — collisions, not signatures, dominate).
+    * bits = max(12, ⌈log2 n⌉ + 2) pins the expected bucket size to O(1)
+    * (collisions ∝ n·tables/4), and tables is re-solved from the recall
+    * law for miss ≤ 3e-4 at s = τ, so recall is corpus-size-invariant.
+    * At 500k/τ=0.9 this picks (21, 207): banding 103M skinny rows
+    * (linear·log), collisions ~1e7 (vs 1.5e9 at fixed 12 bits) —
+    * measured 1102 s → 209 s at 500k, 15.1 → 7.6 s at 50k (with the
+    * skinny-banding restructure below). Explicit bits/tables skip the
+    * count probe and the scaling (the oracle-pinned exact tier passes
+    * fixed values).
+    *
+    * Shape:
     *  - ALL tables' signatures in one codegen pass ([[graft.functions
     *    .HyperplaneSigs]]) — the per-table literal-array composition was
     *    12k+ Catalyst nodes that fell out of whole-stage codegen;
-    *  - banded rows repartitioned BY (t, sig) — a near-dup corpus read
-    *    from few parquet files otherwise runs the whole bucket join in
-    *    one task (localCheckpoint inherits the scan's partitioning);
-    *  - cosine verified INSIDE the bucket join projection and filtered
-    *    to ≥ τ before the pair dedup, so only true near-dup pairs are
-    *    ever shuffled — the staged variant materialized 1800× the output
-    *    (8.6M candidates for 4.8k pairs) through a distinct.
-    * At scale the banding shuffle carries each vector `tables` times;
-    * that is linear in corpus size (the candidate-materializing variant
-    * is collision-quadratic inside dense clusters, which is worse
-    * exactly when near-dups exist).
+    *  - banding is SKINNY — (id, t, s) rows, ~24 B each — because with
+    *    auto-scaled tables the banding is what the self-join sorts;
+    *    carrying the vector through it multiplies shuffle/sort bytes by
+    *    dim·8 (measured 47 s vs 7.6 s at 50k, 54 GB of banded state at
+    *    500k). Repartitioned BY (t, s) so a few-file corpus scan's
+    *    partitioning doesn't serialize the bucket join;
+    *  - candidate id-pairs are DEDUPED before vectors are fetched, then
+    *    one sort-merge verify join computes each candidate's dot product
+    *    exactly once. The round-4 objection to staged candidates (8.6M
+    *    materialized for 4.8k pairs at fixed 12 bits in a dense cluster)
+    *    is dissolved by the auto-scaling: collisions are bounded at
+    *    ~n·tables/4, so the candidate set is collision-sized, not
+    *    dense-cluster-quadratic.
     *
     * @param vecs (id, vector) — vectors need not be pre-normalized
     * @param dim embedding width; callers know it (it's their embed config) —
@@ -142,29 +158,85 @@ object Dedup {
     * @return (id_a, id_b, sim) with id_a < id_b and sim = cosine rounded 4dp
     */
   def cosineNearDups(vecs: DataFrame, idCol: String, vCol: String,
-      tau: Double = 0.9, bits: Int = 12, tables: Int = 48,
+      tau: Double = 0.9, bits: Int = -1, tables: Int = -1,
       dim: Int = -1): DataFrame = {
     import graft.functions.VectorFunctions
     val d = if (dim > 0) dim else vecs.select(size(col(vCol))).first().getInt(0)
+    val (b, t) =
+      if (bits > 0 && tables > 0) (bits, tables)
+      else autoBanding(tau, vecs.count(), bits, tables)
     val n = vecs
       .select(col(idCol).as("id"), VectorFunctions.l2normalize(col(vCol)).as("nv"))
+      .localCheckpoint() // normalize once: banding AND verify read it
     val allSigs = graft.functions.VectorExpressions
-      .hyperplane_sigs(col("nv"), d, "neardup", bits, tables)
-    val banded = n.select(col("id"), col("nv"), posexplode(allSigs).as(Seq("t", "s")))
+      .hyperplane_sigs(col("nv"), d, "neardup", b, t)
+    // SKINNY banding — (id, t, s) only, ~24 B/row: with auto-scaled bits
+    // the banding carries each id `tables` times, and `tables` grows with
+    // ⌈log2 n⌉, so banding bytes are what the self-join sorts/shuffles.
+    // Carrying the vector through the banding (the old verify-in-join
+    // shape) multiplied that by dim·8 B — measured 47 s vs 11 s at 50k
+    // docs, 54 GB of banded state at 500k.
+    val banded = n.select(col("id"), posexplode(allSigs).as(Seq("t", "s")))
       .repartition(col("t"), col("s"))
       .localCheckpoint() // sigs computed once, spread over buckets
-    // verified pairs are output-sized: materialize, then release the
-    // corpus×tables banded blocks instead of leaking them per call
-    val out = banded.as("a").join(banded.as("b"),
+    // hint("merge") on BOTH sides (here and in every banding self-join):
+    // the banded set is corpus×tables-sized BY CONSTRUCTION, never a
+    // broadcast candidate — but localCheckpoint propagates the
+    // PRE-checkpoint size estimate, so a stat-less source (in-memory
+    // range/Dataset, no parquet footers) reads as kilobytes and the
+    // static planner elects a broadcast that only fails when the 14.6 GiB
+    // build side materializes (measured, 500k-doc ScaleBench corpus).
+    // AQE cannot demote it: the build side has no shuffle stage to
+    // re-estimate. SMJ is what accurate stats pick here anyway.
+    //
+    // Candidate id-pairs are deduped BEFORE the vectors are fetched: a
+    // true near-dup pair collides in ~tables·p^bits tables, and the
+    // auto-scaled config bounds random collisions at ~n·tables/4, so the
+    // distinct candidate set is collision-sized, and each candidate's
+    // vectors are joined back exactly once for the verify dot product.
+    val candidates = banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
         col("a.t") === col("b.t") && col("a.s") === col("b.s") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(VectorFunctions.dot(col("a.nv"), col("b.nv")), 4).as("sim"))
-      .filter(col("sim") >= tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // merge-hinted verify joins: neither side may be a broadcast (the
+    // stat-misestimate hazard above) nor a per-partition hash build (the
+    // candidates+vectors intermediate of the second join measured ~7 GB
+    // at 500k docs and blew the per-task memory grant as a hash
+    // relation); sort-merge streams both sides and AQE skew-splits it
+    val withA = candidates.hint("merge")
+      .join(n.select(col("id").as("id_a"), col("nv").as("va")), "id_a")
+    val out = withA.hint("merge")
+      .join(n.select(col("id").as("id_b"), col("nv").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.dot(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= tau)
       .localCheckpoint()
-    graft.util.BlockRelease.release(banded)
+    graft.util.BlockRelease.release(Seq(banded, n))
     out
+  }
+
+  /** The banding-resolution law (see [[cosineNearDups]] scaladoc):
+    * bits = max(12, ⌈log2 n⌉ + 2) holds expected random-collision work at
+    * O(n·tables); tables solved from the per-pair recall law
+    * 1 − (1 − p^bits)^tables ≥ 1 − 3e-4 at s = τ, p = 1 − acos(τ)/π.
+    * At n ≤ ~1k this reproduces the historical fixed config (12, 48) for
+    * τ = 0.9 exactly, so small-corpus behavior (and every spec golden)
+    * is unchanged. Overrides apply independently. */
+  private[graft] def autoBanding(tau: Double, n: Long,
+      bitsOverride: Int = -1, tablesOverride: Int = -1): (Int, Int) = {
+    val b =
+      if (bitsOverride > 0) bitsOverride
+      else math.max(12, math.ceil(
+        math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt + 2)
+    val t =
+      if (tablesOverride > 0) tablesOverride
+      else {
+        val p = 1.0 - math.acos(math.min(tau, 1.0)) / math.Pi
+        val hit = math.pow(p, b)
+        math.max(1, math.ceil(math.log(3e-4) / math.log1p(-hit)).toInt)
+      }
+    (b, t)
   }
 
   /** [[cosineNearDups]] with a RATIONAL-threshold, integer-exact verify —
@@ -200,7 +272,7 @@ object Dedup {
       .repartition(col("t"), col("s"))
       .localCheckpoint()
     val dotAB = VectorFunctions.dot(col("a.v"), col("b.v"))
-    val out = banded.as("a").join(banded.as("b"),
+    val out = banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
         col("a.t") === col("b.t") && col("a.s") === col("b.s") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -322,7 +394,7 @@ object Dedup {
     }
     val banded = fp.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
       posexplode(array(chunkCols: _*)).as(Seq("c", "chunk")))
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -349,7 +421,7 @@ object Dedup {
       .withColumn("chunk",
         expr(s"shiftrightunsigned(sh, c * $width)")
           .bitwiseAND(lit((1L << width) - 1)))
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

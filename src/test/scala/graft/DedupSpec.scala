@@ -144,6 +144,23 @@ class DedupSpec extends SparkSpec with Matchers {
     banded shouldBe expected
   }
 
+  test("auto-banding law: small-n config unchanged, bits track corpus size, recall bound holds") {
+    // historical fixed config reproduced exactly at spec scale — goldens
+    // and measured recalls for small corpora are untouched by the law
+    Dedup.autoBanding(0.9, 500) shouldBe ((12, 48))
+    Dedup.autoBanding(0.9, 5000)._1 shouldBe 15
+    Dedup.autoBanding(0.9, 500000)._1 shouldBe 21
+    // the miss bound is corpus-size-invariant: every returned config
+    // keeps per-pair miss at s = τ under 3e-4 (+ceil slack)
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    for (n <- Seq(100L, 5000L, 500000L, 50000000L, 5000000000L)) {
+      val (b, t) = Dedup.autoBanding(0.9, n)
+      math.pow(1.0 - math.pow(p, b), t) should be <= 3.1e-4
+    }
+    // explicit overrides bypass the law independently
+    Dedup.autoBanding(0.9, 500000, bitsOverride = 12, tablesOverride = 96) shouldBe ((12, 96))
+  }
+
   test("rational-threshold exact tier: cos = 0.9 boundary decided exactly, LSH == brute at both SFs") {
     val s = spark
     import s.implicits._
