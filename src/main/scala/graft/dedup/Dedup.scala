@@ -262,6 +262,15 @@ object Dedup {
     import graft.functions.VectorFunctions
     require(tauNum > 0 && tauDen > 0, "rational τ must be positive")
     val d = if (dim > 0) dim else vecs.select(size(col(vCol))).first().getInt(0)
+    // FAT banding with verify-inside-join — deliberately NOT the float
+    // tier's skinny/dedup-then-verify shape: this tier runs at the oracle
+    // SFs on a DENSE near-dup corpus (sf0.1: 120k true pairs over 5k
+    // docs, ~15 bucket hits per true pair at 96 tables), where filtering
+    // to true pairs BEFORE the distinct keeps the dedup output-sized; a
+    // candidate-first restructure measured 4.5 → 23 s here. The skinny
+    // shape wins in the float tier's regime (huge corpora, collision-
+    // bounded candidates via autoBanding); the two tiers document the
+    // crossover.
     val base = vecs.select(col(idCol).as("id"), col(vCol).as("v"),
         VectorFunctions.dot(col(vCol), col(vCol)).as("n2"))
       .filter(col("n2") > 0)
