@@ -246,9 +246,49 @@ object TextQueries {
       isBench = $"doc_id" % 97 === 0, n = 8)
   }
 
+  /** q68 — Gopher-style REPETITION quality signals (Rae et al. 2021 §A1.1,
+    * the training-corpus filter family alongside q31's ratio heuristics):
+    * per document, the duplicate-token fraction (1 − distinct/total — the
+    * word-level analogue of duplicate-line fraction) and the top-bigram
+    * fraction (occurrences of the most frequent word 2-gram over all
+    * 2-grams — Gopher's "fraction in most common n-gram"). Highly
+    * repetitive documents are the classic low-quality tail these rules
+    * cut.
+    *
+    * Scale shape: token stats are map-side array arithmetic (no shuffle);
+    * the bigram mode rides two partial-aggregated shuffles ∝ bigrams —
+    * the q30/q33 discipline. Only the max COUNT is reported (not the
+    * gram), so ties cost no determinism. Fully SQL-exact → hash oracle. */
+  val q68Repetition: Q = (spark, dir) =>
+    repetitionSignals(docs(spark, dir), "doc_id", "text")
+
+  /** The q68 core, input-generic (spec'd on planted docs). */
+  def repetitionSignals(d: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = d.select(col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+").as("toks"))
+    val stats = t.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"))
+    val grams = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("gram"))
+    val top = grams.groupBy(col("doc_id"), col("gram")).count()
+      .groupBy(col("doc_id"))
+      .agg(max(col("count")).as("top_2gram_count"), sum(col("count")).as("n_2grams"))
+    stats.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"), 4)
+          .as("dup_token_frac"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("top_2gram_count"), lit(0L)).as("top_2gram_count"),
+        round(coalesce(col("top_2gram_count") / col("n_2grams").cast("double"), lit(0.0)), 4)
+          .as("top_2gram_frac"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q65_pii_redact" -> q65PiiRedact,
     "q66_decontaminate" -> q66Decontaminate,
+    "q68_repetition" -> q68Repetition,
     "q30_token_stats" -> q30TokenStats,
     "q31_quality" -> q31Quality,
     "q32_fingerprints" -> q32Fingerprints,
@@ -263,6 +303,24 @@ object TextQueries {
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
   val oracles: Map[String, String] = Map(
+    // q68 — the repetition signals re-derived from scratch: same
+    // whitespace tokenization as q30 (split of '' yields [''] in both
+    // engines), DuckDB's 1-based list indexing mirrored by range(1, len)
+    "q68_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct FROM t),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t WHERE len(toks) >= 2),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_g FROM gc GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens,
+        |  round(1.0 - s.n_distinct / s.n_tokens::DOUBLE, 4) AS dup_token_frac,
+        |  coalesce(top.n_g, 0) AS n_2grams,
+        |  coalesce(top.top_c, 0) AS top_2gram_count,
+        |  round(coalesce(top.top_c / top.n_g::DOUBLE, 0.0), 4) AS top_2gram_frac
+        |FROM s LEFT JOIN top ON s.doc_id = top.doc_id""".stripMargin,
     // q65 — enrichment, counts and the FULL redaction replayed: DuckDB's
     // RE2 and Spark's Java regex agree on the whole pattern subset used
     // (classes, bounded repetition, \b, optional +) and DuckDB's

@@ -108,4 +108,22 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
     // leading space; whitespace-only runs survive as tokens
     toks shouldBe Seq("It", "'s", " 42", " words", ",", " isn", "'t", " it", "?")
   }
+
+  test("repetitionSignals (q68 core): planted repetitive vs clean docs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam"),            // 4 toks, 1 distinct; 3 identical bigrams
+      (2L, "all words here are unique ones"), // 6 toks, 6 distinct; 5 distinct bigrams
+      (3L, "one"),                            // single token: no bigrams
+      (4L, "go go stop go go")                // top bigram "go go" = 2 of 4
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.repetitionSignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    out(1L) shouldBe ((4, 0.75, 3L, 3L, 1.0))
+    out(2L) shouldBe ((6, 0.0, 5L, 1L, 0.2))
+    out(3L) shouldBe ((1, 0.0, 0L, 0L, 0.0))
+    out(4L) shouldBe ((5, 0.6, 4L, 2L, 0.5))
+  }
 }
