@@ -285,10 +285,30 @@ object TextQueries {
           .as("top_2gram_frac"))
   }
 
+  /** q69 — DETERMINISTIC train/validation/test split assignment (the
+    * reproducible-holdout primitive of a training-data pipeline): each
+    * document routes by the first 32 bits of md5("split:" + id) into
+    * percent buckets (98/1/1). Keyed on the ID, not the content, so a
+    * re-crawled or re-cleaned document keeps its split (no eval leakage
+    * across pipeline versions), and engine-independent by construction
+    * (md5 — the q37/q55 twin discipline). At 100 TB this is a pure
+    * map-side projection: no shuffle, no state, no RNG. */
+  val q69SplitAssign: Q = (spark, dir) => {
+    import spark.implicits._
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(100L))
+    docs(spark, dir).select($"doc_id", bucket.as("bucket"),
+      when(bucket < 98, lit("train"))
+        .when(bucket === 98, lit("validation"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q65_pii_redact" -> q65PiiRedact,
     "q66_decontaminate" -> q66Decontaminate,
     "q68_repetition" -> q68Repetition,
+    "q69_split_assign" -> q69SplitAssign,
     "q30_token_stats" -> q30TokenStats,
     "q31_quality" -> q31Quality,
     "q32_fingerprints" -> q32Fingerprints,
@@ -303,6 +323,17 @@ object TextQueries {
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
   val oracles: Map[String, String] = Map(
+    // q69 — the split route re-derived bit-exactly: DuckDB's hex cast
+    // parses the same first-8-hex-chars window conv() reads
+    "q69_split_assign" ->
+      """WITH b AS (SELECT doc_id,
+        |    ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 98 THEN 'train'
+        |       WHEN bucket = 98 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     // q68 — the repetition signals re-derived from scratch: same
     // whitespace tokenization as q30 (split of '' yields [''] in both
     // engines), DuckDB's 1-based list indexing mirrored by range(1, len)

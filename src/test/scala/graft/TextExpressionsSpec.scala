@@ -126,4 +126,20 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
     out(3L) shouldBe ((1, 0.0, 0L, 0L, 0.0))
     out(4L) shouldBe ((5, 0.6, 4L, 2L, 0.5))
   }
+
+  test("q69 split assignment: id-keyed (content-independent), total, ~98/1/1") {
+    val s = spark
+    import s.implicits._
+    val q = graft.queries.TextQueries.defs("q69_split_assign")
+    val out = q(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.size shouldBe 500 // total: every document assigned exactly once
+    val frac = out.values.count(_ == "train").toDouble / out.size
+    frac should (be >= 0.93 and be <= 1.0) // 98% ± binomial noise at n=500
+    // id-keyed: the same ids at a different SF (different text lengths,
+    // same id range) get IDENTICAL splits — re-cleaning can't leak eval
+    val other = q(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    other.foreach { case (id, split) => out(id) shouldBe split }
+  }
 }
