@@ -274,6 +274,18 @@ object Dedup {
     val base = vecs.select(col(idCol).as("id"), col(vCol).as("v"),
         VectorFunctions.dot(col(vCol), col(vCol)).as("n2"))
       .filter(col("n2") > 0)
+    // exactness GUARD, not just a scaladoc bound: the decidability
+    // contract needs every predicate operand exact in doubles, and
+    // |dot| ≤ √(na²·nb²) (Cauchy–Schwarz) makes
+    // max(tauNum², tauDen²)·maxN2² an upper bound for both sides. A
+    // corpus of long-enough documents to break 2^53 must fail LOUDLY
+    // here — silently degrading to float rounding is exactly what this
+    // tier exists to rule out. One cheap max() aggregation per call.
+    val maxN2 = base.agg(coalesce(max(col("n2")), lit(0.0))).first().getDouble(0)
+    val tauSq = math.max(tauNum.toDouble * tauNum, tauDen.toDouble * tauDen)
+    require(tauSq * maxN2 * maxN2 <= math.pow(2, 53),
+      f"cosineNearDupsExact: max |v|² = $maxN2%.0f makes τ²·dot² exceed 2^53 — " +
+      "the integer predicate would round; shorten documents or rescale vectors")
     val allSigs = graft.functions.VectorExpressions
       .hyperplane_sigs(col("v"), d, "neardup", bits, tables)
     val banded = base.select(col("id"), col("v"), col("n2"),

@@ -26,12 +26,16 @@ object GraphQueries {
     Projection.supplierGraph(spark, dir)
 
   /** Tier gate for the iterative algorithms, env-overridable:
-    * `SPARK_GRAFT_COLLECT_THRESHOLD=0` forces every q40–q45/q48 run through
-    * the DISTRIBUTED formulations, so the scale path is timed and
-    * correctness-checked under the exact driver protocol (Bench/Verify)
-    * instead of only in ScaleBench — the surfaces are invariant-based, so
-    * both tiers must pass the same oracle. Unset → each algorithm's
-    * default collect gate (small-graph exact tier at test SFs). */
+    * `SPARK_GRAFT_COLLECT_THRESHOLD=0` forces every q40–q49 run through
+    * the DISTRIBUTED formulations — including HDBSCAN's, whose
+    * small-graph gate is `bruteThreshold` (threaded through the same
+    * override so the LSH-kNN + distributed-MST path actually runs at the
+    * shipped SFs, all of which sit under the 2000-point brute gate) —
+    * so the scale path is timed and correctness-checked under the exact
+    * driver protocol (Bench/Verify) instead of only in ScaleBench; the
+    * surfaces are invariant-based, so both tiers must pass the same
+    * oracle. Unset → each algorithm's default gate (small-graph exact
+    * tier at test SFs). */
   private def tier(default: Long): Long =
     sys.env.get("SPARK_GRAFT_COLLECT_THRESHOLD").map(_.toLong).getOrElse(default)
 
@@ -268,7 +272,7 @@ object GraphQueries {
         transform(col("embedding"), x => x.cast("double")).as("v"))
     clusterSurface(
       graft.graph.Hdbscan.run(pts, minPts = 4, minClusterSize = 4, knnK = 12,
-        collectThreshold = tier(5000000L)),
+        bruteThreshold = tier(2000L), collectThreshold = tier(5000000L)),
       minClusterSize = 4)
   }
 
@@ -287,7 +291,7 @@ object GraphQueries {
       graft.graph.Hdbscan.run(
         emb.select(col("node").as("id"), col("embedding").as("v")),
         minPts = 4, minClusterSize = 4, knnK = 12,
-        collectThreshold = tier(5000000L)),
+        bruteThreshold = tier(2000L), collectThreshold = tier(5000000L)),
       minClusterSize = 4)
   }
 

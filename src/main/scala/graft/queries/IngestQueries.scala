@@ -124,6 +124,23 @@ object IngestQueries {
               touchedHint = hints(1))
           })
           var interrupted = false
+          // the grace DEADLINE is fixed at the FIRST interrupt: repeated
+          // interrupts must not restart the clock (a stop/retry loop
+          // re-interrupting every few minutes would otherwise keep this
+          // thread un-interruptible forever against a wedged merge)
+          var graceDeadlineNanos = 0L
+          def abandon(): Nothing = {
+            Thread.currentThread().interrupt()
+            val e = new java.io.InterruptedIOException(
+              "interrupted, and a merge future did not complete within " +
+              "the 10-minute grace period — abandoning the await")
+            // surface any merge that DID fail before the wedge: its error
+            // is the likely root cause and must not be masked by the
+            // timeout of its sibling
+            Seq(fu, fe).flatMap(_.value).flatMap(_.failed.toOption)
+              .foreach(e.addSuppressed)
+            throw e
+          }
           Seq(fu, fe).foreach { f =>
             var done = false
             while (!done) {
@@ -132,16 +149,21 @@ object IngestQueries {
               // abandoned mid-swap, but a merge wedged during shutdown must
               // not leave this thread permanently un-interruptible
               val limit =
-                if (interrupted) scala.concurrent.duration.Duration(10, "minutes")
-                else Duration.Inf
+                if (!interrupted) Duration.Inf
+                else {
+                  val left = graceDeadlineNanos - System.nanoTime()
+                  if (left <= 0) abandon()
+                  scala.concurrent.duration.Duration(left, "nanoseconds")
+                }
               try { Await.ready(f, limit); done = true }
               catch {
-                case _: InterruptedException => interrupted = true
-                case _: java.util.concurrent.TimeoutException =>
-                  Thread.currentThread().interrupt()
-                  throw new java.io.InterruptedIOException(
-                    "interrupted, and a merge future did not complete within " +
-                    "the 10-minute grace period — abandoning the await")
+                case _: InterruptedException =>
+                  if (!interrupted) {
+                    interrupted = true
+                    graceDeadlineNanos =
+                      System.nanoTime() + java.util.concurrent.TimeUnit.MINUTES.toNanos(10)
+                  }
+                case _: java.util.concurrent.TimeoutException => abandon()
               }
             }
           }

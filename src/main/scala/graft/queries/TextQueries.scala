@@ -264,8 +264,11 @@ object TextQueries {
 
   /** The q68 core, input-generic (spec'd on planted docs). */
   def repetitionSignals(d: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NULL text coalesces to '' BEFORE the split: Spark's size(null) is -1
+    // where DuckDB's len(NULL) is NULL — an unguarded null row would
+    // diverge from any SQL twin (and emit a nonsense -1 token count)
     val t = d.select(col(idCol).as("doc_id"),
-      split(lower(trim(col(textCol))), "\\s+").as("toks"))
+      split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+").as("toks"))
     val stats = t.select(col("doc_id"), size(col("toks")).as("n_tokens"),
       size(array_distinct(col("toks"))).as("n_distinct"))
     val grams = t.filter(size(col("toks")) >= 2)
@@ -339,7 +342,7 @@ object TextQueries {
     // engines), DuckDB's 1-based list indexing mirrored by range(1, len)
     "q68_repetition" ->
       """WITH t AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, len(toks) AS n_tokens,
         |    len(list_distinct(toks)) AS n_distinct FROM t),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),

@@ -164,9 +164,19 @@ object VectorQueries {
     * the reference's output shape as rows. */
   val q67PostDistance: Q = (spark, dir) => {
     import spark.implicits._
-    q20CosineTop5(spark, dir).select(lit("closest").as("section"),
-        $"vec_id", $"label", $"score")
-      .unionByName(q21CosineBottom5(spark, dir)
+    val e = emb(spark, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    // score ONCE (the reference CLI also searches once and slices both
+    // ends); both section heads read the checkpointed blocks, which the
+    // caller releases through the returned plan's leaves
+    val scored = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label",
+        round(cosineUnguarded($"embedding", $"qv"), 4).as("score"))
+      .localCheckpoint()
+    scored.orderBy($"score".desc, $"vec_id".asc).limit(5)
+      .select(lit("closest").as("section"), $"vec_id", $"label", $"score")
+      .unionByName(scored.orderBy($"score".asc, $"vec_id".asc).limit(5)
         .select(lit("farthest").as("section"), $"vec_id", $"label", $"score"))
   }
 

@@ -208,6 +208,12 @@ object Streams {
     val tmpDir = new Path(tablePath + "__tmp")
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // a crashed creation-time auto relayout (below) can orphan its
+    // transient dir; it is never live state, so clear it unconditionally
+    val relayoutDir = new Path(tablePath + "__tmp_relayout")
+    if (fs.exists(relayoutDir) && !fs.delete(relayoutDir, true))
+      throw new java.io.IOException(s"cannot clear stale $relayoutDir")
+
     // ---- crash recovery FIRST: a crash mid-swap leaves pre-merge state
     // staged under __old (whole table or single buckets, live side gone) —
     // restore it before the missing-table/missing-bucket tests below, or
@@ -345,7 +351,7 @@ object Streams {
       val auto = chooseBuckets(
         fs.getContentSummary(tmpDir).getLength, autoTargetBucketBytes)
       if (auto != nBuckets) {
-        val relaid = new Path(tablePath + "__tmp_relayout")
+        val relaid = relayoutDir
         spark.read.parquet(tmpDir.toString)
           .withColumn("__bucket", bucketExpr(col(keyCol), auto))
           .write.partitionBy("__bucket").mode("overwrite")

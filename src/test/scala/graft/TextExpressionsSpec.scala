@@ -116,7 +116,8 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
       (1L, "spam spam spam spam"),            // 4 toks, 1 distinct; 3 identical bigrams
       (2L, "all words here are unique ones"), // 6 toks, 6 distinct; 5 distinct bigrams
       (3L, "one"),                            // single token: no bigrams
-      (4L, "go go stop go go")                // top bigram "go go" = 2 of 4
+      (4L, "go go stop go go"),               // top bigram "go go" = 2 of 4
+      (5L, null.asInstanceOf[String])         // NULL text ≡ '' (1 empty token)
     ).toDF("doc_id", "text")
     val out = graft.queries.TextQueries.repetitionSignals(d, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -125,6 +126,7 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
     out(2L) shouldBe ((6, 0.0, 5L, 1L, 0.2))
     out(3L) shouldBe ((1, 0.0, 0L, 0L, 0.0))
     out(4L) shouldBe ((5, 0.6, 4L, 2L, 0.5))
+    out(5L) shouldBe ((1, 0.0, 0L, 0L, 0.0)) // not (-1, …): the null guard
   }
 
   test("q69 split assignment: id-keyed (content-independent), total, ~98/1/1") {
