@@ -111,13 +111,17 @@ object Bench {
       diagLine(name, gcMillis - gc0, times)
       name -> median(times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver records only the LAST 2000 bytes of stdout+stderr and
+    // json-parses what it finds there — every round through r6 the full
+    // 68-query line overflowed that window and parsed as null. Keep the
+    // one contract line under ~1.2 KB: qNN keys (numbering is unique;
+    // full names are the CORRECTNESS_r*.json keys) and ms precision.
+    // The full-name mapping still goes to stderr for humans.
+    results.foreach { case (k, v) => System.err.println(f"BENCH $k%-28s $v%8.3f s") }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // headline FIRST: the driver's tail capture truncated round 5's line
-    // and lost the total — leading with metric/value keeps a truncated
-    // line parseable down to the headline number
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -351,7 +351,7 @@ object TextQueries {
         |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_g FROM gc GROUP BY doc_id)
         |SELECT s.doc_id, s.n_tokens,
         |  round(1.0 - s.n_distinct / s.n_tokens::DOUBLE, 4) AS dup_token_frac,
-        |  coalesce(top.n_g, 0) AS n_2grams,
+        |  coalesce(top.n_g, 0)::BIGINT AS n_2grams,
         |  coalesce(top.top_c, 0) AS top_2gram_count,
         |  round(coalesce(top.top_c / top.n_g::DOUBLE, 0.0), 4) AS top_2gram_frac
         |FROM s LEFT JOIN top ON s.doc_id = top.doc_id""".stripMargin,

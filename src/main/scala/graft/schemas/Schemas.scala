@@ -15,16 +15,25 @@ object Tables {
 
   /** Parquet scan — columnar, supports predicate pushdown + column pruning.
     *
-    * The `events` table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 rejects outright; we read them as raw nanos longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to µs-precision
-    * TimestampType (the data is µs-resolution, so the `div 1000` is lossless
-    * and matches what DuckDB sees). */
+    * The `events` table's `ts` encoding has varied across driver testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects outright — read
+    * as raw nanos longs via `spark.sql.legacy.parquet.nanosAsLong` and
+    * convert, losslessly at the data's µs resolution), TIMESTAMP(MICROS)
+    * without UTC adjustment (arrives as TIMESTAMP_NTZ — cast to session-TZ
+    * TimestampType, value-preserving under the UTC session both Verify and
+    * Bench pin), or already-adjusted µs. Normalize every variant to µs
+    * TimestampType so downstream queries and the DuckDB oracle see one
+    * shape. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

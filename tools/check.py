@@ -53,6 +53,20 @@ def main(sf_dir, out_dir):
             rel = con.sql(sql)
             duck_cols = rel.columns
             duck_rows = rel.fetchall()
+            # Driver-hash hazard: fetchall() erases physical types (HUGEINT
+            # → python int), but the driver's hash is type-sensitive — a
+            # DuckDB sum() (HUGEINT) vs a Spark bigint column hashes
+            # differently even with equal values (q68 r6 regression). Warn
+            # on any physical-type divergence from the Spark parquet.
+            duck_types = {c.lower(): str(t) for c, t in zip(rel.columns, rel.types)}
+            spark_types = {f.name.lower(): str(f.type) for f in tbl.schema}
+            for c, dt in duck_types.items():
+                st = spark_types.get(c, "?")
+                pairs = {("hugeint", "int64"), ("integer", "int64"),
+                         ("decimal", "double"), ("float", "double")}
+                if any(dt.lower().startswith(a) and st == b for a, b in pairs):
+                    print(f"WARN {name}.{c}: duck {dt} vs spark {st} — "
+                          f"add an explicit ::CAST in the oracle")
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
