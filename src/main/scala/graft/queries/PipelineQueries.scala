@@ -129,15 +129,15 @@ object PipelineQueries {
     val pts = unitEmb(spark, dir)
     val qv = pts.filter(col("id") === 0).select(col("v")).first().getSeq[Double](0)
     val qcol = array(qv.map(lit): _*)
-    // bits=4 × tables=16: wide multi-probe — the testdata embeddings are
-    // STRUCTURELESS random vectors (top-10 cosines sit barely above the
-    // bulk), the worst case for LSH, and the narrow round-4 config
-    // (bits=6, tables=8) measured only 2/10 recall there. Width is the
-    // standard recall/compute knob; the surface's recall_ge_half pin now
-    // holds on the hardest data shape rather than only on clustered
-    // fixtures (AnnSpec's planted case).
+    // bits=4 × tables=6 × 3 query-side probes ≈ the recall of the classic
+    // bits=4 × tables=16 config (r6) at 2.7× fewer INDEX rows — the part
+    // that is corpus-sized. The testdata embeddings are STRUCTURELESS
+    // random vectors (top-10 cosines sit barely above the bulk), the worst
+    // case for LSH; the surface's recall_ge_half pin holds on this hardest
+    // shape at sf0.001/0.01/0.1 (measured r7), as it did for the classic
+    // config it replaces.
     val res = Ann.lshTopK(pts.filter(col("id") =!= 0), "id", "v", qcol, k = 10,
-        bits = 4, tables = 16, dim = qv.length)
+        bits = 4, tables = 6, dim = qv.length, probes = 3)
       .select(col("id"), round(col("score"), 4).as("score"))
     annSurface(pts, res, qcol, k = 10, VectorFunctions.cosineUnguarded)
   }

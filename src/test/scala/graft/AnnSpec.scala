@@ -76,4 +76,43 @@ class AnnSpec extends SparkSpec with Matchers {
     val scores = res.map(_.getDouble(1))
     scores.sorted.reverse shouldBe scores // descending
   }
+
+  test("hyperplane_probes: probes=0 ≡ hyperplane_sigs; flips differ in exactly one bit") {
+    import graft.functions.VectorExpressions.{hyperplane_probes, hyperplane_sigs}
+    val m = 3
+    val rows = pts.limit(64).select(
+      hyperplane_sigs(col("v"), 8, "ann", 6, 5).as("sigs"),
+      hyperplane_probes(col("v"), 8, "ann", 6, 5, 0).as("p0"),
+      hyperplane_probes(col("v"), 8, "ann", 6, 5, m).as("pm")).collect()
+    rows.length shouldBe 64
+    rows.foreach { r =>
+      val sigs = r.getSeq[Long](0); val p0 = r.getSeq[Long](1); val pm = r.getSeq[Long](2)
+      p0 shouldBe sigs // degenerate layout = exact signatures
+      pm.length shouldBe sigs.length * (1 + m)
+      sigs.indices.foreach { t =>
+        val block = pm.slice(t * (1 + m), (t + 1) * (1 + m))
+        block.head shouldBe sigs(t) // stride-leading exact signature
+        // each probe flips exactly one DISTINCT bit of the exact signature
+        val flipped = block.tail.map(_ ^ sigs(t))
+        flipped.foreach(f => java.lang.Long.bitCount(f) shouldBe 1)
+        flipped.distinct.length shouldBe m
+      }
+    }
+  }
+
+  test("query-side multi-probe LSH: recall dominates the classic config at equal tables") {
+    val corpus = pts.filter(col("id") =!= 0)
+    def recall(tables: Int, probes: Int): Double = {
+      val ids = Ann.lshTopK(corpus, "id", "v", qcol, 10,
+        bits = 4, tables = tables, probes = probes).collect().map(_.getLong(0)).toSet
+      exact.intersect(ids).size.toDouble / 10
+    }
+    val classic6 = recall(6, 0)
+    val probed6 = recall(6, 3)
+    // probing only ADDS probed buckets: the candidate set is a superset,
+    // so recall can only improve — and on this structureless corpus the
+    // q27 config's pin must hold where the classic 6-table one falls short
+    probed6 should be >= classic6
+    probed6 should be >= 0.5
+  }
 }
