@@ -307,11 +307,119 @@ object TextQueries {
         .otherwise(lit("test")).as("split"))
   }
 
+  /** q70 — STRATIFIED CORPUS SAMPLING (the mixture-rebalancing primitive of
+    * a training-data pipeline: downsample overrepresented (lang, source)
+    * strata to an expected per-stratum cap, keep small strata whole).
+    * Fully deterministic and engine-independent: the keep rule is
+    * u32(md5("samp:" + id)) < floor(cap·2^32 / n_stratum) — an INTEGER
+    * threshold, so no float boundary exists (the q24 lesson) and any
+    * engine reproduces the kept set bit-for-bit.
+    *
+    * Scale shape: one partial-aggregated count shuffle on ~|strata| keys,
+    * the tiny strata table broadcast back, then a map-side filter — at
+    * 100 TB the corpus is touched twice sequentially, never shuffled by
+    * row. Surface = per-stratum (n_total, threshold, n_kept): totality +
+    * the exact sampling outcome under the hash oracle without shipping
+    * the kept id list. */
+  val q70StratifiedSample: Q = (spark, dir) => {
+    import spark.implicits._
+    val cap = 20L
+    val d = docs(spark, dir)
+    val strata = d.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_total"))
+      // `div`, not `/`: Spark's `/` is DOUBLE division, whose rounding
+      // can cross an integer boundary before a cast truncates — the
+      // threshold must be the exact integer quotient (cap·2^32 // n)
+      .withColumn("threshold",
+        least(lit(1L << 32), expr(s"${cap * (1L << 32)} div n_total")))
+    val u32 = conv(substring(md5(concat(lit("samp:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long")
+    d.join(broadcast(strata), Seq("lang", "source"))
+      .groupBy($"lang", $"source", $"n_total", $"threshold")
+      .agg(sum(when(u32 < $"threshold", 1L).otherwise(0L)).as("n_kept"))
+      .select($"lang", $"source", $"n_total", $"threshold", $"n_kept")
+  }
+
+  /** q71 — SEQUENCE PACKING (context-window assembly, the GPT-style
+    * pre-training prep step): documents are concatenated in deterministic
+    * order and cut into fixed `budget`-token windows; each document's
+    * token span maps to the window range it lands in (documents straddle
+    * window boundaries by construction — that is the packing, not a bug).
+    *
+    * Parallel at 100 TB via HASH LANES: the corpus routes to `lanes`
+    * independent streams by u32(md5(id)) — each lane's running offset is a
+    * window cumsum over doc_id order WITHIN the lane, so the only
+    * serialization is per-lane, and lanes scale with the cluster (the
+    * all-integer surface keeps the oracle exact). A single global order
+    * would put the whole corpus through one window partition — the classic
+    * scale trap this shape exists to avoid. */
+  val q71SequencePack: Q = (spark, dir) => {
+    import spark.implicits._
+    val budget = 512L
+    val lanes = 8L
+    val nTok = size(split(lower(trim(coalesce($"text", lit("")))), "\\s+"))
+      .cast("long")
+    val lane = pmod(conv(substring(md5(concat(lit("lane:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(lanes))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lane").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs(spark, dir)
+      .select($"doc_id", lane.as("lane"), nTok.as("n_tokens"))
+      .withColumn("end_off", sum($"n_tokens").over(w))
+      .select($"doc_id", $"lane", $"n_tokens",
+        ($"end_off" - $"n_tokens").as("start_off"),
+        $"end_off",
+        // `div`, not `/` (Spark `/` is double division; window ids must
+        // be exact integer quotients)
+        expr(s"(end_off - 1) div $budget - (end_off - n_tokens) div $budget + 1")
+          .as("n_windows"))
+  }
+
+  /** q72 — TF-IDF top terms per document: whitespace terms → per-doc tf,
+    * corpus df, top-3 terms per doc, tf·ln(N/df) attached as the score.
+    *
+    * The RANKING is the all-integer (tf desc, df asc, term asc) order —
+    * within equal tf that IS the tf-idf order (rarer term ⇒ higher idf),
+    * and it is cross-engine DECIDABLE. Ranking by the float score itself
+    * would re-create the boundary class that killed the round-5 q24
+    * oracle: distinct (tf, df) pairs with mathematically equal scores
+    * (2·ln5 vs ln25) order differently under two engines' 1-ulp-apart ln,
+    * flipping who makes the top-3 cut. The score column is enrichment
+    * (one ln + one multiply of exact integers, rounded 4dp).
+    *
+    * Scale shape: both aggregations are partial-aggregated shuffles over
+    * the token stream (the q30/q33 discipline); the df table joins back by
+    * term (sort-merge, term-partitioned), and the top-3 is a per-doc
+    * window over a tf-sized — not token-sized — intermediate. */
+  val q72TfIdf: Q = (spark, dir) => {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val n = d.count()
+    val terms = d.select($"doc_id",
+        explode(split(lower(trim(coalesce($"text", lit("")))), "\\s+")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"term".asc)
+    tf.join(df, "term")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      // rk cast long: Spark row_number is int32 where DuckDB's is BIGINT,
+      // and the driver's hash is physical-type-sensitive (the q68 lesson)
+      .select($"doc_id", $"term", $"tf", $"df", $"rk".cast("long").as("rk"),
+        round($"tf" * log(lit(n.toDouble) / $"df"), 4).as("score"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q65_pii_redact" -> q65PiiRedact,
     "q66_decontaminate" -> q66Decontaminate,
     "q68_repetition" -> q68Repetition,
     "q69_split_assign" -> q69SplitAssign,
+    "q70_stratified_sample" -> q70StratifiedSample,
+    "q71_sequence_pack" -> q71SequencePack,
+    "q72_tfidf" -> q72TfIdf,
     "q30_token_stats" -> q30TokenStats,
     "q31_quality" -> q31Quality,
     "q32_fingerprints" -> q32Fingerprints,
@@ -326,6 +434,55 @@ object TextQueries {
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
   val oracles: Map[String, String] = Map(
+    // q70 — the stratified-sampling outcome re-derived bit-exactly: the
+    // integer threshold (BIGINT division, no float) and the same md5-u32
+    // window as q69; every count cast ::BIGINT (DuckDB sum → HUGEINT —
+    // the q68 r6 hash-mismatch class)
+    "q70_stratified_sample" ->
+      """WITH s AS (SELECT lang, source, count(*)::BIGINT AS n_total
+        |    FROM documents GROUP BY lang, source),
+        |t AS (SELECT lang, source, n_total,
+        |    least(4294967296, (20 * 4294967296) // n_total) AS threshold
+        |  FROM s)
+        |SELECT d.lang, d.source, t.n_total, t.threshold,
+        |  sum(CASE WHEN ('0x' || substr(md5('samp:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+        |           < t.threshold THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM documents d JOIN t ON d.lang = t.lang AND d.source = t.source
+        |GROUP BY d.lang, d.source, t.n_total, t.threshold""".stripMargin,
+    // q71 — the lane-parallel packing re-derived: same q30 tokenization,
+    // same md5-u32 lane route, per-lane running sum over doc_id order;
+    // integer window arithmetic only (// is DuckDB integer division)
+    "q71_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substr(md5('lane:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS lane,
+        |    len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lane, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lane ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS end_off
+        |  FROM t)
+        |SELECT doc_id, lane, n_tokens,
+        |  (end_off - n_tokens)::BIGINT AS start_off, end_off,
+        |  ((end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1)::BIGINT AS n_windows
+        |FROM c""".stripMargin,
+    // q72 — tf/df/rank re-derived on the integer ordering; the float
+    // score is one ln + one multiply of exact integers (rounded 4dp),
+    // never consulted for the ordering (see q72TfIdf scaladoc)
+    "q72_tfidf" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+        |  FROM tf JOIN df ON tf.term = df.term)
+        |SELECT r.doc_id, r.term, r.tf, r.df, r.rk::BIGINT AS rk,
+        |  round(r.tf * ln(n.n::DOUBLE / r.df), 4) AS score
+        |FROM r, n WHERE r.rk <= 3""".stripMargin,
     // q69 — the split route re-derived bit-exactly: DuckDB's hex cast
     // parses the same first-8-hex-chars window conv() reads
     "q69_split_assign" ->

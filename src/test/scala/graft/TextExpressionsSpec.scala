@@ -144,4 +144,65 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     other.foreach { case (id, split) => out(id) shouldBe split }
   }
+
+  test("q70 stratified sampling: small strata kept whole, capped strata near cap") {
+    val rows = graft.queries.TextQueries.defs("q70_stratified_sample")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows should not be empty
+    rows.foreach { case (_, _, nTotal, threshold, nKept) =>
+      nKept should be <= nTotal
+      if (nTotal <= 20) { // under the cap: threshold saturates, nothing dropped
+        threshold shouldBe (1L << 32)
+        nKept shouldBe nTotal
+      } else { // capped: E[kept] = cap, binomial spread
+        threshold should be < (1L << 32)
+        nKept.toDouble shouldBe 20.0 +- (4 * math.sqrt(20.0)) // ±4σ
+      }
+    }
+  }
+
+  test("q71 sequence packing: per-lane offsets are a gapless token stream") {
+    val rows = graft.queries.TextQueries.defs("q71_sequence_pack")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    rows.length shouldBe 500 // totality
+    rows.groupBy(_._2).foreach { case (_, lane) =>
+      val byId = lane.sortBy(_._1)
+      byId.head._4 shouldBe 0L // first doc starts the lane's stream
+      byId.sliding(2).foreach {
+        case Array(a, b) => b._4 shouldBe a._5 // next start = prev end: gapless
+        case _ =>
+      }
+      byId.foreach { case (_, _, nTok, start, end, nWin) =>
+        end - start shouldBe nTok
+        nWin shouldBe (end - 1) / 512 - start / 512 + 1 // windows spanned
+        nWin should be >= 1L
+      }
+    }
+  }
+
+  test("q72 tf-idf: rk 1..3 per doc, integer ordering respected, score consistent") {
+    val rows = graft.queries.TextQueries.defs("q72_tfidf")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    val n = 500.0 // sf0.01 corpus size
+    rows.groupBy(_._1).foreach { case (_, doc) =>
+      doc.map(_._5).sorted shouldBe (1L to doc.length).toSeq // dense ranks from 1
+      doc.length should be <= 3
+      // ranking is (tf desc, df asc, term asc) — verify pairwise
+      val byRank = doc.sortBy(_._5)
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi._3 > lo._3 || (hi._3 == lo._3 && hi._4 < lo._4) ||
+            (hi._3 == lo._3 && hi._4 == lo._4 && hi._2 < lo._2))
+        case _ =>
+      }
+      doc.foreach { case (_, _, tf, df, _, score) =>
+        score shouldBe BigDecimal(tf * math.log(n / df))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+  }
 }
