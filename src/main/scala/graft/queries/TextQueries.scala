@@ -412,6 +412,34 @@ object TextQueries {
         round($"tf" * log(lit(n.toDouble) / $"df"), 4).as("score"))
   }
 
+  /** q73 — near-duplicate CLUSTER CANONICALIZATION (the keep-one-per-
+    * cluster resolution step that follows pair finding in every corpus
+    * dedup pipeline): connected components over the q33 n-gram-Jaccard
+    * pair set, canonical = the cluster's min doc_id, every document
+    * labeled (singletons are their own canonical). Emits
+    * (doc_id, canonical_id, cluster_size, kept) — the kept set is what a
+    * pipeline would feed downstream; the surface is total, so a dropped
+    * or doubled document is a row mismatch.
+    *
+    * Scale shape: pair finding is q33's inverted-index join (shuffle ∝
+    * shingles + matches); components run the q43 tier (union-find under
+    * the gate, GraphX pointer-jumping above); the size/kept joins are
+    * label-partitioned aggregations on a corpus-sized, pair-free frame. */
+  val q73DedupClusters: Q = (spark, dir) => {
+    import spark.implicits._
+    val pairs = q33NgramJaccard(spark, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val comp = graft.graph.GraphAlgos.connectedComponents(pairs)
+    graft.util.BlockRelease.release(pairs) // comp is fully materialized
+    val labeled = docs(spark, dir).select($"doc_id")
+      .join(comp.select($"node".as("doc_id"), $"label"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("canonical_id"))
+    val sizes = labeled.groupBy($"canonical_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "canonical_id")
+      .select($"doc_id", $"canonical_id", $"cluster_size",
+        ($"doc_id" === $"canonical_id").as("kept"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q65_pii_redact" -> q65PiiRedact,
     "q66_decontaminate" -> q66Decontaminate,
@@ -420,6 +448,7 @@ object TextQueries {
     "q70_stratified_sample" -> q70StratifiedSample,
     "q71_sequence_pack" -> q71SequencePack,
     "q72_tfidf" -> q72TfIdf,
+    "q73_dedup_clusters" -> q73DedupClusters,
     "q30_token_stats" -> q30TokenStats,
     "q31_quality" -> q31Quality,
     "q32_fingerprints" -> q32Fingerprints,
@@ -483,6 +512,38 @@ object TextQueries {
         |SELECT r.doc_id, r.term, r.tf, r.df, r.rk::BIGINT AS rk,
         |  round(r.tf * ln(n.n::DOUBLE / r.df), 4) AS score
         |FROM r, n WHERE r.rk <= 3""".stripMargin,
+    // q73 — the canonicalization re-derived end-to-end: q33's string-
+    // shingle pair CTE (the hashed-shingle twin it is oracle-equal to),
+    // q43's recursive min-label fixpoint over the symmetrized pairs,
+    // totality via left join (singletons self-canonical)
+    "q73_dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, source,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM t),
+        |ex AS (SELECT doc_id, source, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS c, max(a.n) AS na, max(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.5),
+        |sym AS (SELECT doc_a AS u1, doc_b AS u2 FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT u1 AS node, u1 AS lbl FROM sym
+        |  UNION
+        |  SELECT sym.u2, reach.lbl FROM reach JOIN sym ON reach.node = sym.u1
+        |  WHERE reach.lbl < sym.u2),
+        |comp AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, coalesce(comp.label, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+        |sz AS (SELECT canonical_id, count(*)::BIGINT AS cluster_size
+        |  FROM lab GROUP BY canonical_id)
+        |SELECT lab.doc_id, lab.canonical_id, sz.cluster_size,
+        |  lab.doc_id = lab.canonical_id AS kept
+        |FROM lab JOIN sz ON lab.canonical_id = sz.canonical_id""".stripMargin,
     // q69 — the split route re-derived bit-exactly: DuckDB's hex cast
     // parses the same first-8-hex-chars window conv() reads
     "q69_split_assign" ->

@@ -205,4 +205,21 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
       }
     }
   }
+
+  test("q73 dedup clusters: total, canonical = min member, sizes consistent") {
+    val rows = graft.queries.TextQueries.defs("q73_dedup_clusters")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    rows.length shouldBe 500 // totality: every document labeled once
+    rows.map(_._1).distinct.length shouldBe 500
+    val clusters = rows.groupBy(_._2)
+    clusters.foreach { case (canonical, members) =>
+      canonical shouldBe members.map(_._1).min // canonical = min doc_id
+      members.foreach(_._3 shouldBe members.length.toLong) // size consistent
+      members.count(_._4) shouldBe 1 // exactly one kept per cluster
+      members.find(_._4).get._1 shouldBe canonical
+    }
+    // the corpus has planted near-dups: at least one non-trivial cluster
+    clusters.values.map(_.length).max should be > 1
+  }
 }
