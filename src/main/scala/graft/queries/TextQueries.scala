@@ -398,7 +398,12 @@ object TextQueries {
     val n = d.count()
     val terms = d.select($"doc_id",
         explode(split(lower(trim(coalesce($"text", lit("")))), "\\s+")).as("term"))
+    // checkpoint tf: df derives from it, and without the cut Catalyst
+    // re-scans AND re-explodes the whole token stream for the df branch
+    // (no CSE across aggregates — verified in the r7 plan audit). Blocks
+    // are owned by the result per the BlockRelease caller-side contract.
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id")
