@@ -445,6 +445,58 @@ object TextQueries {
         ($"doc_id" === $"canonical_id").as("kept"))
   }
 
+  /** q75 — FILTER CASCADE (the C4/Gopher-style keep/drop verdict that
+    * integrates the rule family: length bounds, duplicate-token fraction,
+    * punctuation ratio, stopword floor — first failing rule names the
+    * verdict, evaluation order fixed). Pure map-side: every rule reads
+    * one document, no shuffle at any scale. Every float compared to a
+    * threshold is computed with the IDENTICAL op order in both engines
+    * (the q31/q68 fragments), so no keep/drop decision sits on an
+    * engine-dependent boundary. */
+  val q75FilterCascade: Q = (spark, dir) => {
+    import spark.implicits._
+    val toks = split(lower(trim($"text")), "\\s+")
+    val nTok = size(toks).cast("long")
+    val dupFrac = lit(1.0) - size(array_distinct(toks)) / nTok.cast("double")
+    val stop = stopwordRatio($"text")
+    val punct = punctRatio($"text")
+    val verdict = when(nTok < 10, lit("too_short"))
+      .when(nTok > 1000, lit("too_long"))
+      .when(dupFrac > 0.3, lit("dup_tokens"))
+      .when(punct > 0.3, lit("high_punct"))
+      .when(stop < 0.01, lit("low_stopword"))
+      .otherwise(lit("keep"))
+    docs(spark, dir).select($"doc_id", nTok.as("n_tokens"),
+      verdict.as("verdict"), (verdict === "keep").as("kept"))
+  }
+
+  /** q76 — SPLIT-LEAKAGE AUDIT (the eval-hygiene composition: near-dup
+    * cluster members assigned to DIFFERENT holdout splits leak training
+    * content into evaluation — the classic contamination pitfall an
+    * id-keyed split alone cannot prevent). Composes two already-oracled
+    * surfaces: q73's dedup clusters × q69's split assignment; a cluster
+    * spanning >1 split is leaky, and every non-train document inside one
+    * is a contaminated eval document. One summary row, all-integer.
+    *
+    * Scale shape: both inputs are corpus-sized single-pass frames; the
+    * audit is one cluster-keyed partial aggregation + one summary agg —
+    * nothing pairwise. */
+  val q76SplitLeakage: Q = (spark, dir) => {
+    import spark.implicits._
+    val clusters = q73DedupClusters(spark, dir).select($"doc_id", $"canonical_id")
+    val splits = q69SplitAssign(spark, dir).select($"doc_id", $"split")
+    val j = clusters.join(splits, "doc_id")
+    val per = j.groupBy($"canonical_id")
+      .agg(count(lit(1)).as("sz"),
+        countDistinct($"split").as("n_splits"),
+        sum(when($"split" =!= "train", 1L).otherwise(0L)).as("n_eval"))
+    per.agg(
+      count(lit(1)).as("n_clusters"),
+      sum(when($"n_splits" > 1, 1L).otherwise(0L)).as("n_leaky_clusters"),
+      coalesce(sum(when($"n_splits" > 1, $"sz")), lit(0L)).as("n_docs_in_leaky"),
+      coalesce(sum(when($"n_splits" > 1, $"n_eval")), lit(0L)).as("n_eval_docs_leaked"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q65_pii_redact" -> q65PiiRedact,
     "q66_decontaminate" -> q66Decontaminate,
@@ -454,6 +506,8 @@ object TextQueries {
     "q71_sequence_pack" -> q71SequencePack,
     "q72_tfidf" -> q72TfIdf,
     "q73_dedup_clusters" -> q73DedupClusters,
+    "q75_filter_cascade" -> q75FilterCascade,
+    "q76_split_leakage" -> q76SplitLeakage,
     "q30_token_stats" -> q30TokenStats,
     "q31_quality" -> q31Quality,
     "q32_fingerprints" -> q32Fingerprints,
@@ -517,6 +571,69 @@ object TextQueries {
         |SELECT r.doc_id, r.term, r.tf, r.df, r.rk::BIGINT AS rk,
         |  round(r.tf * ln(n.n::DOUBLE / r.df), 4) AS score
         |FROM r, n WHERE r.rk <= 3""".stripMargin,
+    // q75 — the cascade re-derived rule by rule: q31's stop/punct
+    // fragments, q68's dup-fraction op order, thresholds compared on
+    // identically-computed doubles, CASE evaluation order = the engine's
+    // when-chain order
+    "q75_filter_cascade" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         |    regexp_replace(text, '\\s', '', 'g') AS nospace FROM documents),
+         |r AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    1.0 - len(list_distinct(toks)) / len(toks)::DOUBLE AS dup_frac,
+         |    len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE / len(toks) AS stop_ratio,
+         |    CASE WHEN length(nospace) = 0 THEN 0.0
+         |      ELSE (length(nospace) - length(regexp_replace(nospace, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / length(nospace)
+         |    END AS punct_ratio FROM t),
+         |v AS (SELECT doc_id, n_tokens,
+         |    CASE WHEN n_tokens < 10 THEN 'too_short'
+         |         WHEN n_tokens > 1000 THEN 'too_long'
+         |         WHEN dup_frac > 0.3 THEN 'dup_tokens'
+         |         WHEN punct_ratio > 0.3 THEN 'high_punct'
+         |         WHEN stop_ratio < 0.01 THEN 'low_stopword'
+         |         ELSE 'keep' END AS verdict FROM r)
+         |SELECT doc_id, n_tokens, verdict, verdict = 'keep' AS kept FROM v""".stripMargin,
+    // q76 — the leakage audit re-derived end-to-end: q73's cluster CTE ×
+    // q69's split route, per-cluster distinct-split counts, one
+    // all-integer summary row (::BIGINT on every count/sum)
+    "q76_split_leakage" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, source,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM t),
+        |ex AS (SELECT doc_id, source, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS c, max(a.n) AS na, max(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.5),
+        |sym AS (SELECT doc_a AS u1, doc_b AS u2 FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT u1 AS node, u1 AS lbl FROM sym
+        |  UNION
+        |  SELECT sym.u2, reach.lbl FROM reach JOIN sym ON reach.node = sym.u1
+        |  WHERE reach.lbl < sym.u2),
+        |comp AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, coalesce(comp.label, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN b < 98 THEN 'train' WHEN b = 98 THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        |    FROM documents)),
+        |per AS (SELECT lab.canonical_id, count(*)::BIGINT AS sz,
+        |    count(DISTINCT sp.split)::BIGINT AS n_splits,
+        |    sum(CASE WHEN sp.split <> 'train' THEN 1 ELSE 0 END)::BIGINT AS n_eval
+        |  FROM lab JOIN sp ON lab.doc_id = sp.doc_id GROUP BY lab.canonical_id)
+        |SELECT count(*)::BIGINT AS n_clusters,
+        |  sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::BIGINT AS n_leaky_clusters,
+        |  coalesce(sum(CASE WHEN n_splits > 1 THEN sz END), 0)::BIGINT AS n_docs_in_leaky,
+        |  coalesce(sum(CASE WHEN n_splits > 1 THEN n_eval END), 0)::BIGINT AS n_eval_docs_leaked
+        |FROM per""".stripMargin,
     // q73 — the canonicalization re-derived end-to-end: q33's string-
     // shingle pair CTE (the hashed-shingle twin it is oracle-equal to),
     // q43's recursive min-label fixpoint over the symmetrized pairs,

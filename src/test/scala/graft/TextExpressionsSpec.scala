@@ -222,4 +222,40 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
     // the corpus has planted near-dups: at least one non-trivial cluster
     clusters.values.map(_.length).max should be > 1
   }
+
+  test("q75 filter cascade: verdict enum, kept ⟺ keep, rule order respected") {
+    val rows = graft.queries.TextQueries.defs("q75_filter_cascade")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    rows.length shouldBe 500
+    val enum0 = Set("too_short", "too_long", "dup_tokens", "high_punct",
+      "low_stopword", "keep")
+    rows.foreach { case (_, nTok, verdict, kept) =>
+      enum0 should contain(verdict)
+      kept shouldBe (verdict == "keep")
+      if (nTok < 10) verdict shouldBe "too_short" // first rule wins
+      if (verdict == "too_long") nTok should be > 1000L
+    }
+    rows.count(_._4) should be > 0 // the corpus is not all rejected
+  }
+
+  test("q76 split leakage: summary equals recomputation from q73 × q69") {
+    val dir = "/root/testdata/sf0.01"
+    val canon = graft.queries.TextQueries.defs("q73_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val split = graft.queries.TextQueries.defs("q69_split_assign")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val per = canon.groupBy(_._2).map { case (c, ms) =>
+      val splits = ms.keys.map(split).toSeq
+      (c, ms.size, splits.distinct.size, splits.count(_ != "train"))
+    }
+    val expected = (
+      per.size.toLong,
+      per.count(_._3 > 1).toLong,
+      per.filter(_._3 > 1).map(_._2.toLong).sum,
+      per.filter(_._3 > 1).map(_._4.toLong).sum)
+    val got = graft.queries.TextQueries.defs("q76_split_leakage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    got shouldBe expected
+  }
 }
