@@ -434,7 +434,11 @@ object TextQueries {
     import spark.implicits._
     val pairs = q33NgramJaccard(spark, dir)
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
-    val comp = graft.graph.GraphAlgos.connectedComponents(pairs)
+    // honor the forced-tier override (the q40–q49 discipline): the
+    // distributed CC formulation must run under the same oracle
+    val comp = graft.graph.GraphAlgos.connectedComponents(pairs,
+      collectThreshold = sys.env.get("SPARK_GRAFT_COLLECT_THRESHOLD")
+        .map(_.toLong).getOrElse(2000000L))
     graft.util.BlockRelease.release(pairs) // comp is fully materialized
     val labeled = docs(spark, dir).select($"doc_id")
       .join(comp.select($"node".as("doc_id"), $"label"), Seq("doc_id"), "left")
