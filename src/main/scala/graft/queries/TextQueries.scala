@@ -501,6 +501,48 @@ object TextQueries {
       coalesce(sum(when($"n_splits" > 1, $"n_eval")), lit(0L)).as("n_eval_docs_leaked"))
   }
 
+  /** q77 — UNIGRAM SURPRISAL scoring (the model-free twin of perplexity
+    * filtering: documents whose tokens are improbable under the corpus's
+    * own unigram distribution are the gibberish/boilerplate tail; real
+    * pipelines use an LM, this uses the corpus itself — no model in the
+    * container, same shape). Per token, surprisal = −ln(count(term)/
+    * total_tokens); per document, the mean over its tokens.
+    *
+    * DECIDABILITY — the float-aggregation trap and its fix: a cross-row
+    * SUM of doubles has engine- (and partition-)dependent order, so its
+    * last ulps are not reproducible — the one float shape no op-order
+    * mirroring can pin. Each term's surprisal is therefore quantized to
+    * INTEGER MILLI-NATS (round(1000·(ln(N)−ln(c))), one ln per DISTINCT
+    * term, identical in both engines) and the per-doc aggregation sums
+    * integers — associative, order-free, exact. The reported mean is
+    * derived from that exact integer sum.
+    *
+    * Scale shape: unigram counts are one partial-agg shuffle over the
+    * token stream; the vocabulary joins back by term; the per-doc sum is
+    * a second partial-agg shuffle. Nothing pairwise, nothing collected. */
+  val q77UnigramSurprisal: Q = (spark, dir) => {
+    import spark.implicits._
+    val terms = docs(spark, dir).select($"doc_id",
+        explode(split(lower(trim(coalesce($"text", lit("")))), "\\s+")).as("term"))
+      .localCheckpoint() // two aggregations read it; never tokenize twice
+    val totalTokens = terms.count()
+    val vocab = terms.groupBy($"term").agg(count(lit(1)).as("c"))
+      .select($"term",
+        round((log(lit(totalTokens.toDouble)) - log($"c")) * 1000.0, 0)
+          .cast("long").as("mnats"))
+    terms.join(vocab, "term")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"mnats").as("sum_mnats"))
+      // the mean stays INTEGER (micro-nats/token, exact `div`): a float
+      // mean of quantized integers lands on exact .xxxx5 decimal
+      // boundaries by construction (e.g. 40833/12000 = 3.402750), and
+      // DuckDB's round() was measured rounding 3.4027499999999997 UP
+      // where BigDecimal HALF_UP rounds down — the one disagreement in
+      // 5500 rows at the first attempt. Integer division cannot disagree.
+      .select($"doc_id", $"n_tokens", $"sum_mnats",
+        expr("(sum_mnats * 1000) div n_tokens").as("avg_unats"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q65_pii_redact" -> q65PiiRedact,
     "q66_decontaminate" -> q66Decontaminate,
@@ -512,6 +554,7 @@ object TextQueries {
     "q73_dedup_clusters" -> q73DedupClusters,
     "q75_filter_cascade" -> q75FilterCascade,
     "q76_split_leakage" -> q76SplitLeakage,
+    "q77_unigram_surprisal" -> q77UnigramSurprisal,
     "q30_token_stats" -> q30TokenStats,
     "q31_quality" -> q31Quality,
     "q32_fingerprints" -> q32Fingerprints,
@@ -575,6 +618,25 @@ object TextQueries {
         |SELECT r.doc_id, r.term, r.tf, r.df, r.rk::BIGINT AS rk,
         |  round(r.tf * ln(n.n::DOUBLE / r.df), 4) AS score
         |FROM r, n WHERE r.rk <= 3""".stripMargin,
+    // q77 — surprisal re-derived with the SAME per-term quantization:
+    // one ln per distinct term, (ln N − ln c)·1000 rounded to integer
+    // milli-nats, integer sums (order-free) — the cross-row double-sum
+    // trap never opens. 1000.0 is cast ::DOUBLE (DuckDB's bare 1000.0 is
+    // DECIMAL and BIGINT/DECIMAL division would diverge from Spark)
+    "q77_unigram_surprisal" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*)::BIGINT AS total FROM t),
+        |v AS (SELECT term,
+        |    round((ln((SELECT total FROM n)::DOUBLE) - ln(count(*))) * 1000.0)::BIGINT AS mnats
+        |  FROM t GROUP BY term),
+        |d AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(v.mnats)::BIGINT AS sum_mnats
+        |  FROM t JOIN v ON t.term = v.term GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, sum_mnats,
+        |  ((sum_mnats * 1000) // n_tokens)::BIGINT AS avg_unats
+        |FROM d""".stripMargin,
     // q75 — the cascade re-derived rule by rule: q31's stop/punct
     // fragments, q68's dup-fraction op order, thresholds compared on
     // identically-computed doubles, CASE evaluation order = the engine's

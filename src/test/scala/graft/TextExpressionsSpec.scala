@@ -258,4 +258,27 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
     got shouldBe expected
   }
+
+  test("q77 unigram surprisal: equals a from-scratch Scala recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "coalesce(text, '') AS text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+", -1).toSeq)
+      .toMap
+    val all = docs.values.flatten.toSeq
+    val n = all.size.toDouble
+    val counts = all.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    def mnats(t: String): Long =
+      BigDecimal((math.log(n) - math.log(counts(t).toDouble)) * 1000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = graft.queries.TextQueries.defs("q77_unigram_surprisal")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.length shouldBe docs.size // totality
+    rows.foreach { case (id, nTok, sumM, avgU) =>
+      nTok shouldBe docs(id).size.toLong
+      sumM shouldBe docs(id).map(mnats).sum
+      avgU shouldBe (sumM * 1000) / nTok // exact integer mean
+      sumM should be >= 0L // c ≤ N ⇒ every term's surprisal ≥ 0
+    }
+  }
 }
