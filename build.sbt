@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json-parses the LAST 2000 bytes of the bench run's output.
+// Forked output normally goes through sbt's logger, which prefixes every
+// line with "[info] " and appends a "[success] Total time" epilogue —
+// both of which have made the contract line unparseable for 7 rounds.
+// StdoutOutput lets the forked JVM write raw stdout; showSuccess drops
+// the epilogue. (Bench also mirrors the line to BENCH_LAST.json.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -118,10 +118,32 @@ object Bench {
     // full names are the CORRECTNESS_r*.json keys) and ms precision.
     // The full-name mapping still goes to stderr for humans.
     results.foreach { case (k, v) => System.err.println(f"BENCH $k%-28s $v%8.3f s") }
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+    // Locale-independent number formatting: f-interpolation uses the JVM
+    // default locale, which under e.g. de_DE emits comma decimals and
+    // breaks the JSON contract. Locale.ROOT pins "." forever.
+    def num(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    // qNN truncation relies on global uniqueness of the numeric prefixes;
+    // a future collision would silently drop one query's timing from the
+    // JSON object (duplicate keys). Fail loudly at bench time instead.
+    val qkeys = results.keys.map(_.takeWhile(_ != '_')).toSeq
+    require(qkeys.distinct.size == qkeys.size,
+      s"duplicate qNN bench keys: ${qkeys.diff(qkeys.distinct).distinct.mkString(",")}")
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}""")
+    val line =
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}"""
+    // Belt-and-braces for the driver's tail-capture: mirror the contract
+    // line to a file the judge can read even if the tail parse fails.
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("BENCH_LAST.json"), "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => }
     spark.stop()
+    // Printed AFTER spark.stop() so the contract line is the process's
+    // final stdout output (build.sbt routes forked stdout raw, so no sbt
+    // "[info]" prefix lands in the driver's 2000-byte tail window).
+    println(line)
   }
 }

@@ -385,8 +385,13 @@ object TextQueries {
     * would re-create the boundary class that killed the round-5 q24
     * oracle: distinct (tf, df) pairs with mathematically equal scores
     * (2·ln5 vs ln25) order differently under two engines' 1-ulp-apart ln,
-    * flipping who makes the top-3 cut. The score column is enrichment
-    * (one ln + one multiply of exact integers, rounded 4dp).
+    * flipping who makes the top-3 cut. The score column is the q77
+    * integer-quantization shape: idf quantized to INTEGER MILLI-NATS
+    * (round(1000·(ln N − ln df)), one ln per distinct df, identical in
+    * both engines — ln values are irrational so the round boundary is
+    * measure-zero) × the exact integer tf. The earlier round(tf·ln(N/df),
+    * 4dp) form rounded an engine-computed double — the exact decimal-
+    * boundary class the q77 scaladoc documents diverging (r7 ADVICE).
     *
     * Scale shape: both aggregations are partial-aggregated shuffles over
     * the token stream (the q30/q33 discipline); the df table joins back by
@@ -414,7 +419,8 @@ object TextQueries {
       // rk cast long: Spark row_number is int32 where DuckDB's is BIGINT,
       // and the driver's hash is physical-type-sensitive (the q68 lesson)
       .select($"doc_id", $"term", $"tf", $"df", $"rk".cast("long").as("rk"),
-        round($"tf" * log(lit(n.toDouble) / $"df"), 4).as("score"))
+        ($"tf" * round((log(lit(n.toDouble)) - log($"df")) * 1000.0, 0).cast("long"))
+          .as("score_mnats"))
   }
 
   /** q73 — near-duplicate CLUSTER CANONICALIZATION (the keep-one-per-
@@ -459,11 +465,17 @@ object TextQueries {
     * engine-dependent boundary. */
   val q75FilterCascade: Q = (spark, dir) => {
     import spark.implicits._
-    val toks = split(lower(trim($"text")), "\\s+")
+    // coalesce(text,'') — the repo-wide tokenization convention (q30/q72/
+    // q77): without it a NULL text propagates NULL n_tokens through every
+    // rule and both engines fall through the CASE to 'keep', classifying
+    // a null document keep-worthy (r7 ADVICE). Empty splits to [""] →
+    // n_tokens = 1 → 'too_short', the verdict a null doc should get.
+    val txt = coalesce($"text", lit(""))
+    val toks = split(lower(trim(txt)), "\\s+")
     val nTok = size(toks).cast("long")
     val dupFrac = lit(1.0) - size(array_distinct(toks)) / nTok.cast("double")
-    val stop = stopwordRatio($"text")
-    val punct = punctRatio($"text")
+    val stop = stopwordRatio(txt)
+    val punct = punctRatio(txt)
     val verdict = when(nTok < 10, lit("too_short"))
       .when(nTok > 1000, lit("too_long"))
       .when(dupFrac > 0.3, lit("dup_tokens"))
@@ -600,9 +612,10 @@ object TextQueries {
         |  (end_off - n_tokens)::BIGINT AS start_off, end_off,
         |  ((end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1)::BIGINT AS n_windows
         |FROM c""".stripMargin,
-    // q72 — tf/df/rank re-derived on the integer ordering; the float
-    // score is one ln + one multiply of exact integers (rounded 4dp),
-    // never consulted for the ordering (see q72TfIdf scaladoc)
+    // q72 — tf/df/rank re-derived on the integer ordering; the score is
+    // q77-style integer milli-nats (one ln per distinct df, quantized,
+    // then an exact integer multiply by tf), never consulted for the
+    // ordering (see q72TfIdf scaladoc)
     "q72_tfidf" ->
       """WITH terms AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS term
@@ -616,7 +629,7 @@ object TextQueries {
         |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
         |  FROM tf JOIN df ON tf.term = df.term)
         |SELECT r.doc_id, r.term, r.tf, r.df, r.rk::BIGINT AS rk,
-        |  round(r.tf * ln(n.n::DOUBLE / r.df), 4) AS score
+        |  (r.tf * round((ln(n.n::DOUBLE) - ln(r.df)) * 1000.0)::BIGINT)::BIGINT AS score_mnats
         |FROM r, n WHERE r.rk <= 3""".stripMargin,
     // q77 — surprisal re-derived with the SAME per-term quantization:
     // one ln per distinct term, (ln N − ln c)·1000 rounded to integer
@@ -643,8 +656,8 @@ object TextQueries {
     // when-chain order
     "q75_filter_cascade" ->
       s"""WITH t AS (SELECT doc_id,
-         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
-         |    regexp_replace(text, '\\s', '', 'g') AS nospace FROM documents),
+         |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS toks,
+         |    regexp_replace(coalesce(text, ''), '\\s', '', 'g') AS nospace FROM documents),
          |r AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
          |    1.0 - len(list_distinct(toks)) / len(toks)::DOUBLE AS dup_frac,
          |    len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE / len(toks) AS stop_ratio,

@@ -115,7 +115,21 @@ object VectorQueries {
     * measured part (set equality) as decidable booleans — the
     * q42/q45/q47 surface pattern. The float-τ native tier
     * ([[graft.dedup.Dedup.cosineNearDups]]) remains the general-vector
-    * operator, spec-proven equal to brute in DedupSpec. */
+    * operator, spec-proven equal to brute in DedupSpec.
+    *
+    * SCALE GATE (r8, the r7 VERDICT's one `weak` marking on a green
+    * query): the brute true-pair twin is Θ(n²) — correct at sf0.1, the
+    * 100×-scale wall. The equality pin is therefore CORPUS-SIZE GATED,
+    * one code path in both engines: a deterministic md5-keyed doc sample
+    * (u32("s24:"+id) < thr, the q70 fixed-count threshold shape — thr =
+    * 2³² when n_docs ≤ 2000 so the sample IS the corpus and the pin is
+    * the full r7 equality; min(2³², 1500·2³²/n_docs) above, a FIXED
+    * ~1500-doc sample). Brute runs only on the sample — O(target²) =
+    * constant at any corpus size — and the subset/equality booleans pin
+    * the production LSH pair set restricted to sample-internal pairs
+    * against it. n_true_pairs is the sample-scoped count, re-derived by
+    * DuckDB through the identical gate, so the row stays hash-exact at
+    * every SF while total cost tracks the bucketed LSH, sub-quadratic. */
   val q24NearDupPairs: Q = (spark, dir) => {
     import spark.implicits._
     import graft.functions.TextFunctions.md5Embed
@@ -124,19 +138,37 @@ object VectorQueries {
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", md5Embed($"text").as("v"))
       .localCheckpoint()
+    val nz = docs.filter(dot($"v", $"v") > 0)
+    val nDocs = nz.count()
+    val u32Max = 4294967296L
+    val sampleGate = 2000L
+    val sampleTarget = 1500L
+    val thr =
+      if (nDocs <= sampleGate) u32Max
+      else math.min(u32Max, sampleTarget * u32Max / nDocs)
+    val u32 = conv(substring(
+      md5(concat(lit("s24:"), $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long")
+    val sample = nz.filter(u32 < thr)
     val lsh = graft.dedup.Dedup
       .cosineNearDupsExact(docs, "doc_id", "v", 9, 10, tables = 96, dim = 16)
     val brute = graft.dedup.Dedup
-      .cosineNearDupsBruteExact(docs, "doc_id", "v", 9, 10)
+      .cosineNearDupsBruteExact(sample, "doc_id", "v", 9, 10)
       .select($"id_a", $"id_b").localCheckpoint()
-    val nDocs = docs.filter(dot($"v", $"v") > 0).count()
+    // restrict the production pair set to sample-internal pairs (two
+    // broadcast semi-joins — the sample is ≤ ~2k ids by construction);
+    // in full mode the sample is the corpus and this is the identity
+    val sIds = sample.select($"doc_id")
+    val lshS = lsh.select($"id_a", $"id_b")
+      .join(broadcast(sIds.select($"doc_id".as("id_a"))), Seq("id_a"), "left_semi")
+      .join(broadcast(sIds.select($"doc_id".as("id_b"))), Seq("id_b"), "left_semi")
+      .localCheckpoint()
     val nTrue = brute.count()
-    val nLsh = lsh.count()
-    val nOutside = lsh.select($"id_a", $"id_b")
-      .join(brute, Seq("id_a", "id_b"), "left_anti").count()
-    graft.util.BlockRelease.release(Seq(docs, lsh, brute))
-    Seq((nDocs, nTrue, nOutside == 0, nOutside == 0 && nLsh == nTrue))
-      .toDF("n_docs", "n_true_pairs", "lsh_subset_of_true", "lsh_equals_true")
+    val nLsh = lshS.count()
+    val nOutside = lshS.join(brute, Seq("id_a", "id_b"), "left_anti").count()
+    graft.util.BlockRelease.release(Seq(docs, lsh, lshS, brute))
+    val mode = if (nDocs <= sampleGate) "full" else "sampled"
+    Seq((nDocs, mode, nTrue, nOutside == 0, nOutside == 0 && nLsh == nTrue))
+      .toDF("n_docs", "mode", "n_true_pairs", "lsh_subset_of_true", "lsh_equals_true")
   }
 
   /** q39 — exact brute-force τ-join over the synthetic embeddings table:
@@ -199,8 +231,16 @@ object VectorQueries {
     * streaming re-encode of the store. The surface pins the FULL code
     * vector per id via md5 of its canonical string (no cross-engine
     * array-type hashing), the raw scale (a float→double cast with no
-    * arithmetic — bit-exact), and the reconstruction MSE at 6dp (one
-    * sequential fold of doubles — the q44 oracle precedent). */
+    * arithmetic — bit-exact), and the EXACT-INTEGER code-space moments:
+    * sum_sq_codes (Σc_i², the code-space second moment) and n_clipped
+    * (count of saturated |c|=127 codes). An earlier cut reported
+    * round(reconstruction-MSE, 6dp) — a rounded engine-computed double,
+    * the exact decimal-boundary class q77's scaladoc documents diverging
+    * between DuckDB round() and BigDecimal HALF_UP (r7 ADVICE); the
+    * quantization errors here are RATIONAL (dyadic floats / 127), so the
+    * boundary is reachable, not measure-zero. The float MSE assertion
+    * (half-step bound) lives in VectorFunctionsSpec instead, where it is
+    * bound-checked rather than hash-compared. */
   val q74Quantize: Q = (spark, dir) => {
     import spark.implicits._
     val e = emb(spark, dir).select($"vec_id", $"embedding")
@@ -213,13 +253,9 @@ object VectorQueries {
         size($"v").cast("long").as("dim"),
         $"scale",
         md5(concat_ws(",", transform($"codes", c => c.cast("string")))).as("codes_md5"),
-        round(
-          aggregate(
-            zip_with($"v", $"codes", (x, c) => {
-              val err = x - c * $"scale" / lit(127.0)
-              err * err
-            }),
-            lit(0.0), (acc, t) => acc + t) / size($"v"), 6).as("mse"))
+        aggregate($"codes", lit(0L), (acc, c) => acc + c * c).as("sum_sq_codes"),
+        aggregate($"codes", lit(0L),
+          (acc, c) => acc + when(abs(c) === 127L, 1L).otherwise(0L)).as("n_clipped"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -238,10 +274,10 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     // q74 — the quantization re-derived value-exactly: identical op ORDER
-    // everywhere a float is touched (x*127.0/scale, c*scale/127.0, e*e,
-    // sequential sum, /dim — the left-assoc Spark shapes), round-half-away
-    // in both engines, codes pinned whole via md5 of the canonical
-    // comma-joined string, every integer cast ::BIGINT
+    // where a float is touched (x*127.0/scale, round-half-away in both
+    // engines), codes pinned whole via md5 of the canonical comma-joined
+    // string, and the reconstruction surface ALL-INTEGER (Σc², clip
+    // count) — no rounded engine-computed double on the hash path
     "q74_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
@@ -252,17 +288,20 @@ object VectorQueries {
         |    END AS codes FROM s)
         |SELECT vec_id, len(v)::BIGINT AS dim, scale,
         |  md5(array_to_string(codes, ',')) AS codes_md5,
-        |  round(list_sum(list_transform(range(1, len(v) + 1),
-        |      i -> (v[i] - codes[i] * scale / 127.0) * (v[i] - codes[i] * scale / 127.0)))
-        |    / len(v), 6) AS mse
+        |  list_sum(list_transform(codes, c -> c * c))::BIGINT AS sum_sq_codes,
+        |  len(list_filter(codes, c -> abs(c) = 127))::BIGINT AS n_clipped
         |FROM c""".stripMargin,
     // q24 — the exact components of the surface re-derived from scratch:
     // md5 feature-hash vectors (the q37/q38 twin), then the rational
     // integer predicate 100·dot² ≥ 81·|a|²·|b|² ∧ dot > 0 — no float
     // rounding anywhere, so n_true_pairs is bit-exact across engines.
-    // The two booleans are pinned TRUE: subset holds by construction
-    // (identical verify predicate); equality is seeded-deterministic and
-    // measured exactly (0 missed pairs) at every shipped SF at 96 tables.
+    // The brute twin runs through the IDENTICAL corpus-size gate as the
+    // engine (thr = 2³² below 2000 nz docs → sample = corpus = the full
+    // r7 equality pin; fixed-count 1500·2³²//n md5 sample above — all
+    // integer arithmetic, the q70 threshold shape). The two booleans are
+    // pinned TRUE: subset holds by construction (identical verify
+    // predicate); equality is seeded-deterministic and measured exactly
+    // (0 missed pairs) at every shipped SF at 96 tables.
     "q24_neardup_pairs" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
@@ -273,12 +312,19 @@ object VectorQueries {
         |            THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))) AS v FROM t),
         |n AS (SELECT doc_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM v),
         |nz AS (SELECT * FROM n WHERE n2 > 0),
+        |cnt AS (SELECT count(*)::BIGINT AS n FROM nz),
+        |thr AS (SELECT CASE WHEN n <= 2000 THEN 4294967296
+        |               ELSE least(4294967296, (1500 * 4294967296) // n) END AS t
+        |        FROM cnt),
+        |s AS (SELECT nz.* FROM nz, thr
+        |      WHERE ('0x' || substr(md5('s24:' || doc_id::VARCHAR), 1, 8))::BIGINT < thr.t),
         |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
         |  WHERE list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i])) > 0
         |    AND 100 * list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i])) ** 2
         |        >= 81 * a.n2 * b.n2)
-        |SELECT (SELECT count(*) FROM nz) AS n_docs,
+        |SELECT (SELECT n FROM cnt) AS n_docs,
+        |  CASE WHEN (SELECT n FROM cnt) <= 2000 THEN 'full' ELSE 'sampled' END AS mode,
         |  (SELECT count(*) FROM tp) AS n_true_pairs,
         |  TRUE AS lsh_subset_of_true,
         |  TRUE AS lsh_equals_true""".stripMargin,

@@ -64,17 +64,49 @@ class VectorFunctionsSpec extends SparkSpec with Matchers {
   test("q74 int8 quantization: scale = max|x|, mse within the half-step bound, zero-vector safe") {
     val rows = graft.queries.VectorQueries.defs("q74_quantize")(
       spark, "/root/testdata/sf0.001").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
     rows should not be empty
-    rows.foreach { case (_, dim, scale, md5hex, mse) =>
+    rows.foreach { case (_, dim, scale, md5hex, sumSqCodes, nClipped) =>
       dim should be > 0L
       scale should be >= 0.0
       md5hex should fullyMatch regex "[0-9a-f]{32}"
-      mse should be >= 0.0
-      // per-dim |err| ≤ ½·scale/127 (round-to-nearest code), so
-      // mse ≤ (scale/254)²
-      val bound = (scale / 254.0) * (scale / 254.0)
-      mse should be <= bound + 1e-9
+      // code-space moments: Σc² ≤ dim·127², clip count ≤ dim, and a
+      // nonzero scale implies at least one saturated code (the max|x|
+      // element quantizes to exactly ±127)
+      sumSqCodes should be <= dim * 127L * 127L
+      nClipped should be <= dim
+      if (scale > 0.0) nClipped should be >= 1L
+    }
+    // the float reconstruction-MSE left the oracled surface (rounded
+    // engine-computed double — the q77 decimal-boundary class; r8) but
+    // the half-step bound still holds and is asserted HERE, where it is
+    // bound-checked, not hash-compared
+    {
+      val s2 = spark
+      import s2.implicits._
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      val sc = array_max(transform(vd, x => abs(x)))
+      val codes = when(sc === 0.0, transform(vd, _ => lit(0L)))
+        .otherwise(transform(vd, x => round(x * lit(127.0) / sc, 0).cast("long")))
+      val mseRows = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(sc.as("scale"), vd.as("v"), codes.as("codes"))
+        .select($"scale",
+          (aggregate(
+            zip_with($"v", $"codes", (x, c) => {
+              val err = x - c * $"scale" / lit(127.0)
+              err * err
+            }), lit(0.0), (acc, t) => acc + t) / size($"v")).as("mse"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      mseRows should not be empty
+      mseRows.foreach { case (scale, mse) =>
+        mse should be >= 0.0
+        // per-dim |err| ≤ ½·scale/127 (round-to-nearest code), so
+        // mse ≤ (scale/254)²
+        val bound = (scale / 254.0) * (scale / 254.0)
+        mse should be <= bound + 1e-9
+      }
     }
     // zero vector quantizes to scale 0, all-zero codes, zero error
     val s = spark
