@@ -306,6 +306,51 @@ object PipelineQueries {
         round(col("share"), 6).as("share"))
   }
 
+  /** q78 — PERCEPTUAL-HASH IMAGE NEAR-DUP (the multimodal corpus dedup
+    * operator: dHash over real decoded pixels, pigeonhole-banded Hamming
+    * pairs — [[graft.dedup.ImagePhash]]). Fixture = deterministic 9×8
+    * gray PNGs with PLANTED near-dup groups: group g = doc_id/4, pixel k
+    * = first byte of md5("g:k") (the repo's md5-twin discipline — a
+    * structured integer formula measured 38k spurious cross-group pairs
+    * at sf0.1 because quadratic-mod-256 sequences give the 64-bit hash
+    * far less than 64 bits of entropy; md5 pixels make cross-group
+    * Hamming ~Binomial(64,½), P(≤3) ≈ 9e-15), and doc_id%4 = r > 0
+    * perturbs single pixel 10r by +128 — flipping ≤2 dHash bits, so
+    * same-group images are near-dups by construction. Gray PNG is
+    * lossless and gray luminance = the gray value exactly, so DuckDB
+    * re-derives the ENTIRE path — pixel → dHash bits → pigeonhole chunk
+    * join (exact by pigeonhole, not probabilistic) → bit_count verify —
+    * from the formula alone, hash-verifying the real encode→decode→pool→
+    * hash pipeline end-to-end (the q60 precedent, extended from features
+    * to a full dedup operator). Measured at sf0.1: 7,257 pairs, 100%
+    * intra-group, 10.5k candidates from 12.5M possible pairs. */
+  val q78ImagePhash: Q = (spark, dir) => {
+    import spark.implicits._
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      graft.multimodal.ImageIoSettings.ensure() // no disk-backed stream cache
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { d =>
+        val g = d / 4
+        val r = (d % 4).toInt
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var k = 0
+        while (k < 72) {
+          val digest = md.digest(s"$g:$k".getBytes("UTF-8"))
+          var v = digest(0) & 0xff
+          if (r > 0 && k == 10 * r) v = (v + 128) % 256
+          img.setRGB(k % 9, k / 9, (v << 16) | (v << 8) | v)
+          k += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (d, "image", bos.toByteArray)
+      }
+    }.toDF("media_id", "kind", "payload")
+    graft.dedup.ImagePhash.dHashNearDups(media, maxDist = 3)
+  }
+
   val defs: Map[String, Q] = Map(
     "q26_ann_ivf" -> q26AnnIvf,
     "q27_ann_lsh" -> q27AnnLsh,
@@ -313,7 +358,8 @@ object PipelineQueries {
     "q51_frame_sample" -> q51FrameSample,
     "q60_image_features" -> q60ImageFeatures,
     "q61_audio_features" -> q61AudioFeatures,
-    "q62_gif_frames" -> q62GifFrames)
+    "q62_gif_frames" -> q62GifFrames,
+    "q78_image_phash" -> q78ImagePhash)
 
   /** q50/q51 are deterministic byte arithmetic over ASCII stand-in
     * payloads (octet_length == length across the testdata), so the byte
@@ -396,5 +442,39 @@ object PipelineQueries {
         |SELECT g.media_id, g.frame_idx, g.bin,
         |  round(coalesce(h.c, 0)::DOUBLE / 64, 6) AS share
         |FROM g LEFT JOIN h ON g.media_id = h.media_id
-        |  AND g.frame_idx = h.frame_idx AND g.bin = h.bin""".stripMargin)
+        |  AND g.frame_idx = h.frame_idx AND g.bin = h.bin""".stripMargin,
+    // q78 — the whole dHash near-dup path re-derived from the pixel
+    // formula: md5 pixel bytes (engine-identical), dHash bits from
+    // adjacent-pixel comparisons, fp in two 32-bit words (the q35-md5
+    // signed-shift discipline), the SAME pigeonhole chunk join (exact,
+    // not probabilistic — any pair at Hamming ≤ 3 shares ≥1 of 4 16-bit
+    // chunks), bit_count(xor) verify. The engine's PNG encode→ImageIO
+    // decode→box-pool→hash must land on these exact pairs to hash-match.
+    "q78_image_phash" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |px AS (SELECT id, unnest(range(0, 72)) AS k FROM ids),
+        |v AS (SELECT id, k,
+        |    CASE WHEN id % 4 > 0 AND k = 10 * (id % 4)
+        |      THEN (('0x' || substr(md5((id // 4)::VARCHAR || ':' || k::VARCHAR), 1, 2))::BIGINT + 128) % 256
+        |      ELSE ('0x' || substr(md5((id // 4)::VARCHAR || ':' || k::VARCHAR), 1, 2))::BIGINT
+        |    END AS val
+        |  FROM px),
+        |b AS (SELECT a.id, ((a.k // 9) * 8 + (a.k % 9)) AS bit
+        |  FROM v a JOIN v nb ON a.id = nb.id AND nb.k = a.k + 1
+        |  WHERE a.k % 9 < 8 AND nb.val > a.val),
+        |fp AS (SELECT ids.id,
+        |    coalesce(sum(CASE WHEN b.bit < 32 THEN (1::BIGINT << b.bit) ELSE 0 END), 0)::BIGINT AS lo,
+        |    coalesce(sum(CASE WHEN b.bit >= 32 THEN (1::BIGINT << (b.bit - 32)) ELSE 0 END), 0)::BIGINT AS hi
+        |  FROM ids LEFT JOIN b ON ids.id = b.id GROUP BY ids.id),
+        |ch AS (SELECT id, lo, hi, unnest(range(0, 4)) AS c FROM fp),
+        |ch2 AS (SELECT id, lo, hi, c,
+        |    CASE WHEN c < 2 THEN (lo >> (c * 16)) & 65535
+        |         ELSE (hi >> ((c - 2) * 16)) & 65535 END AS chunk FROM ch),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+        |  FROM ch2 a JOIN ch2 b ON a.c = b.c AND a.chunk = b.chunk AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |  (bit_count(xor(la, lb)) + bit_count(xor(ha, hb)))::BIGINT AS dist
+        |FROM cand
+        |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3""".stripMargin)
 }

@@ -82,7 +82,7 @@ class VectorFunctionsSpec extends SparkSpec with Matchers {
     // engine-computed double — the q77 decimal-boundary class; r8) but
     // the half-step bound still holds and is asserted HERE, where it is
     // bound-checked, not hash-compared
-    {
+    locally {
       val s2 = spark
       import s2.implicits._
       val vd = transform(col("embedding"), x => x.cast("double"))
@@ -97,7 +97,8 @@ class VectorFunctionsSpec extends SparkSpec with Matchers {
             zip_with($"v", $"codes", (x, c) => {
               val err = x - c * $"scale" / lit(127.0)
               err * err
-            }), lit(0.0), (acc, t) => acc + t) / size($"v")).as("mse"))
+            }), lit(0.0), (acc, t) => acc + t) /
+            org.apache.spark.sql.functions.size($"v")).as("mse"))
         .collect().map(r => (r.getDouble(0), r.getDouble(1)))
       mseRows should not be empty
       mseRows.foreach { case (scale, mse) =>
