@@ -1,0 +1,102 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style embedding-cluster semantic deduplication (Abbas et al.
+  * 2023, arXiv:2303.09540): partition the corpus into semantically
+  * coherent cells with a coarse quantizer, then prune near-duplicate
+  * pairs WITHIN cells only — never a cross-cell pair, which is the whole
+  * scale story: pairwise cost is Σ|cell|², not n², and each cell's join
+  * is one shuffle partition's local work.
+  *
+  * The operator is generic over the cell assignment:
+  *  - production tier: [[graft.similarity.Ann.kmeansCentroids]] +
+  *    [[graft.similarity.Ann.ivfAssign]] (the q26 IVF cells — nlist
+  *    sized to corpus/target-cell-size at 100 TB, cells persisted
+  *    cell-partitioned on disk); seed-dependent, so spec-verified
+  *    (SemDedupSpec) like every k-means artifact in the repo.
+  *  - cross-engine twin: [[srpCellsMd5]] — sign-random-projection cells
+  *    from md5-derived ±1 hyperplanes over the integer md5Embed vectors;
+  *    every dot is an exact integer, so DuckDB replays the assignment
+  *    bit-for-bit and the whole operator goes under the full hash oracle
+  *    (q79 — the q24/q37 md5-twin discipline).
+  *
+  * The within-cell similarity runs on the q74 int8 CODES (the 4×
+  * bandwidth artifact a 100 TB store serves) with the q24 RATIONAL
+  * predicate made integer-exact: tauDen²·dot² ≥ tauNum²·|ca|²·|cb|² ∧
+  * dot > 0 over integer code vectors ⟺ cosine(codes) ≥ tau exactly —
+  * every operand an exact integer in both engines, no float boundary.
+  *
+  * Keep rule (deterministic, one pass, mirrors greedy SemDeDup): a
+  * document is dropped iff SOME SMALLER-id document in its cell is a
+  * τ-duplicate of it; kept ⟺ no such witness. Pair-based, not
+  * transitive-closure — the q73 CC canonicalization composes on top when
+  * cluster-level resolution is wanted.
+  */
+object SemDedup {
+
+  /** q74 int8 scalar quantization as a reusable column: scale = max|x|,
+    * code_i = round(127·x_i/scale) (round-half-away in both engines),
+    * zero vectors → all-zero codes. */
+  def quantizeCodes(v: Column): Column = {
+    val s = array_max(transform(v, x => abs(x)))
+    when(s === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => round(x * lit(127.0) / s, 0).cast("long")))
+  }
+
+  /** Exact integer dot of two code vectors. */
+  def codeDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, t) => acc + t)
+
+  /** md5-derived ±1 hyperplane coefficients: sign(b, i) = +1 iff the
+    * first hex nibble of md5("seed:b:i") ≥ 8 — the q24-oracle bit
+    * derivation, replayable by any engine with md5. Driver-side literal
+    * (bits×dim values); exact integers. */
+  private def md5Planes(seed: String, bits: Int, dim: Int): IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(bits, dim) { (b, i) =>
+      val d = md.digest(s"$seed:$b:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) >= 8) 1 else -1
+    }
+  }
+
+  /** SRP cell id over an integer-valued vector column: bit b of the cell
+    * = [Σ_i v_i·sign(b,i) > 0] (strict — ties, including the zero
+    * vector, land on 0). 2^bits cells. Exact in doubles: the inputs are
+    * integer-valued, the coefficients ±1. */
+  def srpCellsMd5(v: Column, dim: Int, bits: Int, seed: String): Column =
+    (0 until bits).map { b =>
+      val plane = md5Planes(seed, bits, dim)(b)
+      val dot = aggregate(
+        zip_with(v, array(plane.map(c => lit(c.toDouble)): _*), (x, s) => x * s),
+        lit(0.0), (acc, t) => acc + t)
+      when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Per-cell semantic prune over an assigned frame (idCol, codesCol,
+    * cellCol): emits ONE ROW PER INPUT DOC (total surface) —
+    * (id, cell, n_dups_smaller, kept). Shuffles once on cell for the
+    * pair join and once on id for the witness count; both are
+    * partial-aggregated. Cross-cell pairs are never formed. */
+  def semDeDup(assigned: DataFrame, idCol: String = "doc_id",
+      codesCol: String = "codes", cellCol: String = "cell",
+      tauNum: Long = 9, tauDen: Long = 10): DataFrame = {
+    require(tauNum > 0 && tauDen > 0, "rational τ must be positive")
+    val a = assigned.select(col(idCol).as("id"), col(codesCol).as("codes"),
+      col(cellCol).as("cell"))
+    val dot = codeDot(col("a.codes"), col("b.codes"))
+    val na2 = codeDot(col("a.codes"), col("a.codes"))
+    val nb2 = codeDot(col("b.codes"), col("b.codes"))
+    val dups = a.as("a").join(a.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(dot > 0 &&
+        lit(tauDen * tauDen) * dot * dot >= lit(tauNum * tauNum) * na2 * nb2)
+      .groupBy(col("b.id").as("id"))
+      .agg(count(lit(1)).as("n_dups_smaller"))
+    a.join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
+        (coalesce(col("n_dups_smaller"), lit(0L)) === 0L).as("kept"))
+  }
+}

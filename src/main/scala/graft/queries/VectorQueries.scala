@@ -258,6 +258,34 @@ object VectorQueries {
           (acc, c) => acc + when(abs(c) === 127L, 1L).otherwise(0L)).as("n_clipped"))
   }
 
+  /** q79 — SemDeDup-style EMBEDDING-CLUSTER SEMANTIC DEDUP
+    * ([[graft.dedup.SemDedup]]): coarse-quantize the corpus into cells,
+    * prune τ-duplicate pairs WITHIN cells only (never a cross-cell
+    * pair — pairwise cost Σ|cell|², not n²), keep-smallest-id. This
+    * query runs the CROSS-ENGINE twin end-to-end: md5Embed 16-dim
+    * integer vectors → q74 int8 codes → md5-±1-hyperplane SRP cells
+    * (every dot an exact integer ⇒ DuckDB replays the assignment
+    * bit-for-bit) → integer-rational τ=9/10 prune on the codes. TOTAL
+    * surface: one row per document, (doc_id, cell, n_dups_smaller,
+    * kept) — a dropped, doubled or mis-assigned doc is a hash mismatch
+    * at any SF. The production tier assigns cells with the q26 IVF
+    * k-means instead (seed-dependent ⇒ spec-verified in SemDedupSpec,
+    * same operator body). */
+  val q79SemDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Embed
+    import graft.dedup.SemDedup
+    val assigned = Tables.load(spark, dir, "documents")
+      .select($"doc_id", md5Embed($"text").as("v"))
+      .select($"doc_id",
+        SemDedup.quantizeCodes($"v").as("codes"),
+        SemDedup.srpCellsMd5($"v", dim = 16, bits = 4, seed = "sd").as("cell"))
+      // the pair self-join reads the assignment twice; never re-run the
+      // md5 token lambdas (the q37/q24 checkpoint discipline)
+      .localCheckpoint()
+    SemDedup.semDeDup(assigned)
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_cosine_top5" -> q20CosineTop5,
     "q21_cosine_bottom5" -> q21CosineBottom5,
@@ -267,7 +295,8 @@ object VectorQueries {
     "q25_norms" -> q25Norms,
     "q39_neardup_brute" -> q39NearDupBrute,
     "q67_post_distance" -> q67PostDistance,
-    "q74_quantize" -> q74Quantize)
+    "q74_quantize" -> q74Quantize,
+    "q79_semdedup" -> q79SemDedup)
 
   private val cosExpr =
     "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
@@ -328,6 +357,47 @@ object VectorQueries {
         |  (SELECT count(*) FROM tp) AS n_true_pairs,
         |  TRUE AS lsh_subset_of_true,
         |  TRUE AS lsh_equals_true""".stripMargin,
+    // q79 — the whole SemDeDup twin re-derived: md5Embed vectors (the
+    // q24 fragment), q74 codes, md5-±1 SRP cells (integer dots, strict
+    // > 0), the integer-rational prune (100·dot² ≥ 81·|ca|²·|cb|² in
+    // exact BIGINT/HUGEINT arithmetic), keep-smallest-id via a
+    // witness-count left join. Every count ::BIGINT (the q68 HUGEINT
+    // lesson).
+    "q79_semdedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |      list_sum(list_transform(toks, tk ->
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1 = i
+        |          THEN (CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 3, 1)) >= 9
+        |            THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))) AS v FROM t),
+        |q AS (SELECT doc_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+        |c AS (SELECT doc_id, v,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+        |         ELSE list_transform(v, x -> round(x * 127.0 / scale)::BIGINT)
+        |    END AS codes FROM q),
+        |pl AS (SELECT b, list_transform(range(0, 16), i ->
+        |      CASE WHEN strpos('0123456789abcdef',
+        |          substr(md5('sd:' || b::VARCHAR || ':' || i::VARCHAR), 1, 1)) >= 9
+        |        THEN 1.0 ELSE -1.0 END) AS p
+        |  FROM (SELECT unnest(range(0, 4)) AS b)),
+        |cells AS (SELECT c.doc_id, c.codes,
+        |    sum(CASE WHEN list_sum(list_transform(range(1, 17), i -> c.v[i] * pl.p[i])) > 0
+        |        THEN (1::BIGINT << pl.b) ELSE 0 END)::BIGINT AS cell
+        |  FROM c, pl GROUP BY c.doc_id, c.codes),
+        |p0 AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    list_sum(list_transform(range(1, 17), i -> a.codes[i] * b.codes[i])) AS dt,
+        |    list_sum(list_transform(range(1, 17), i -> a.codes[i] * a.codes[i])) AS na2,
+        |    list_sum(list_transform(range(1, 17), i -> b.codes[i] * b.codes[i])) AS nb2
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.doc_id < b.doc_id),
+        |p AS (SELECT idb AS id FROM p0
+        |  WHERE dt > 0 AND 100 * dt * dt >= 81 * na2 * nb2),
+        |d AS (SELECT id, count(*)::BIGINT AS n_dups_smaller FROM p GROUP BY id)
+        |SELECT cells.doc_id, cells.cell,
+        |  coalesce(d.n_dups_smaller, 0)::BIGINT AS n_dups_smaller,
+        |  d.id IS NULL AS kept
+        |FROM cells LEFT JOIN d ON cells.doc_id = d.id""".stripMargin,
     "q20_cosine_top5" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
