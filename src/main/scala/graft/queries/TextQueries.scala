@@ -555,7 +555,29 @@ object TextQueries {
         expr("(sum_mnats * 1000) div n_tokens").as("avg_unats"))
   }
 
+  /** q80 — BEST-FIT-DECREASING SEQUENCE PACKING
+    * ([[graft.operators.Packing.bestFitPack]]): q71's whole-document
+    * sibling — documents stay intact, each lane packs its docs (sorted
+    * eff desc, id asc) into 512-token bins best-fit-first with an
+    * 8-open-bin streaming bound. Same md5 hash lanes, same all-integer
+    * surface; the ENTIRE placement is deterministic integer arithmetic,
+    * so the DuckDB oracle replays the exact fold as a recursive CTE (one
+    * placement per lane per iteration, parallel id/residual lists as
+    * state) and every (doc → bin) assignment is hash-pinned at every
+    * SF. Waste accounting vs q71 lives in PackingSpec + BENCH_LOCAL. */
+  val q80SequencePackBfd: Q = (spark, dir) => {
+    import spark.implicits._
+    val nTok = size(split(lower(trim(coalesce($"text", lit("")))), "\\s+"))
+      .cast("long")
+    val lane = pmod(conv(substring(md5(concat(lit("lane:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(8L))
+    graft.operators.Packing.bestFitPack(
+      docs(spark, dir).select($"doc_id", lane.as("lane"), nTok.as("n_tokens")),
+      budget = 512L, maxOpen = 8)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q80_sequence_pack_bfd" -> q80SequencePackBfd,
     "q65_pii_redact" -> q65PiiRedact,
     "q66_decontaminate" -> q66Decontaminate,
     "q68_repetition" -> q68Repetition,
@@ -612,6 +634,62 @@ object TextQueries {
         |  (end_off - n_tokens)::BIGINT AS start_off, end_off,
         |  ((end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1)::BIGINT AS n_windows
         |FROM c""".stripMargin,
+    // q80 — the bounded best-fit-decreasing fold replayed EXACTLY as a
+    // recursive CTE: one placement per lane per iteration; state =
+    // parallel (bin id, residual) lists; best = min residual ≥ eff (tie
+    // min id); overflow past 8 open bins closes the min-residual bin.
+    // Every quantity integer → every (doc → bin) assignment hash-exact.
+    "q80_sequence_pack_bfd" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |    ('0x' || substr(md5('lane:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS lane,
+        |    len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, lane, n_tokens, least(n_tokens, 512)::BIGINT AS eff,
+        |    row_number() OVER (PARTITION BY lane
+        |      ORDER BY least(n_tokens, 512) DESC, doc_id ASC) AS rk
+        |  FROM t),
+        |st(iter, lane, ids, res, next_id, doc_id, n_tokens, eff, bin) AS (
+        |  SELECT 0::BIGINT, lane, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), 1::BIGINT,
+        |    NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+        |  FROM (SELECT DISTINCT lane FROM r)
+        |  UNION ALL
+        |  SELECT iter, lane,
+        |    CASE WHEN len(ids1) > 8
+        |      THEN list_transform(list_filter(range(1, len(ids1) + 1), i -> i <> worst_i), i -> ids1[i])
+        |      ELSE ids1 END,
+        |    CASE WHEN len(ids1) > 8
+        |      THEN list_transform(list_filter(range(1, len(res1) + 1), i -> i <> worst_i), i -> res1[i])
+        |      ELSE res1 END,
+        |    next1, doc_id, n_tokens, eff, bin
+        |  FROM (
+        |    SELECT z.*,
+        |      CASE WHEN len(z.ids1) > 8 THEN (
+        |        SELECT i FROM (SELECT unnest(range(1, len(z.ids1) + 1)) AS i) u
+        |        ORDER BY z.res1[i] ASC, z.ids1[i] ASC LIMIT 1) END AS worst_i
+        |    FROM (
+        |      SELECT y.iter, y.lane, y.doc_id, y.n_tokens, y.eff,
+        |        CASE WHEN y.best_i IS NOT NULL THEN y.ids[y.best_i] ELSE y.next_id END AS bin,
+        |        CASE WHEN y.best_i IS NOT NULL THEN y.ids
+        |             ELSE list_append(y.ids, y.next_id) END AS ids1,
+        |        CASE WHEN y.best_i IS NOT NULL
+        |             THEN list_transform(range(1, len(y.res) + 1),
+        |                    i -> CASE WHEN i = y.best_i THEN y.res[i] - y.eff ELSE y.res[i] END)
+        |             ELSE list_append(y.res, 512 - y.eff) END AS res1,
+        |        CASE WHEN y.best_i IS NULL THEN y.next_id + 1 ELSE y.next_id END AS next1
+        |      FROM (
+        |        SELECT s.iter + 1 AS iter, s.lane, s.ids, s.res, s.next_id,
+        |          d.doc_id, d.n_tokens, d.eff,
+        |          (SELECT i FROM (SELECT unnest(range(1, len(s.ids) + 1)) AS i) u
+        |           WHERE s.res[i] >= d.eff
+        |           ORDER BY s.res[i] ASC, s.ids[i] ASC LIMIT 1) AS best_i
+        |        FROM st s JOIN r d ON d.lane = s.lane AND d.rk = s.iter + 1
+        |      ) y
+        |    ) z
+        |  )
+        |)
+        |SELECT doc_id, lane, n_tokens, eff AS eff_tokens, bin
+        |FROM st WHERE doc_id IS NOT NULL""".stripMargin,
     // q72 — tf/df/rank re-derived on the integer ordering; the score is
     // q77-style integer milli-nats (one ln per distinct df, quantized,
     // then an exact integer multiply by tf), never consulted for the
