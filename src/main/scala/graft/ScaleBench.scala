@@ -36,6 +36,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("text")) {
+      runText(spark)
+      spark.stop()
+      return
+    }
     val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
 
@@ -148,6 +153,70 @@ object ScaleBench {
     System.err.println(
       f"SCALE-HDBSCAN n=$n collected=$tCol%6.1f s  two_phase=$tDist%6.1f s  " +
         f"agree=$agree/${n} clusters=$clusters")
+  }
+
+  /** Text-tier decade-up (round-8 item 4: the q70–q80 operators had
+    * audited scale-shaped plans but no measurement). Generates a
+    * documents.parquet with the REAL table schema (80-token docs, 30% in
+    * 3-doc near-dup families so q73's pair stage has real work, 10
+    * sources × 3 langs for the grouped operators), then times the
+    * REGISTERED queries — the genuine production paths, not bench
+    * re-implementations — one decade apart. Sub-quadratic claim: time
+    * grows ~linearly in the corpus (q73's pair set grows linearly by
+    * construction: families are local, background shingles are ~unique
+    * in a 30000³ shingle space). */
+  private def runText(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    def mix(x0: Long): Long = { // splitmix64 finalizer
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def corpus(n: Int): DataFrame = spark.range(n.toLong).map { i =>
+      val variant = i % 10
+      val isFam = variant < 3
+      val seed = if (isFam) (i / 10) * 1000003L else 7000000019L + i * 65537L
+      val sb = new StringBuilder
+      var j = 0
+      while (j < 80) {
+        val ownSlot = isFam && j % 20 == (variant * 7) % 20
+        if (ownSlot) sb.append("v").append(
+          java.lang.Math.floorMod(mix(seed + 500L + j * 31L + variant), 30000L))
+        else sb.append("w").append(
+          java.lang.Math.floorMod(mix(seed + j), 30000L))
+        sb.append(' ')
+        j += 1
+      }
+      val text = sb.result().trim
+      (i, text, s"l${i % 3}", s"src${i % 10}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    def t(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    val queries = Seq("q72_tfidf", "q73_dedup_clusters", "q75_filter_cascade",
+      "q77_unigram_surprisal", "q80_sequence_pack_bfd")
+    val ns = sys.env.get("SPARK_GRAFT_SCALE_NS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(50000, 500000))
+    ns.foreach { n =>
+      // the registered queries read `<dir>/documents.parquet` — stage the
+      // synthetic corpus under the real contract so the timed code is the
+      // registered path itself
+      val dir = s"/tmp/graft_scale_text_$n"
+      corpus(n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      queries.foreach { q =>
+        val (sec, rows) = t {
+          val r = TextQueries.defs(q)(spark, dir)
+          val c = r.count(); graft.util.BlockRelease.release(r); c
+        }
+        System.err.println(f"SCALE-TEXT n=$n%7d $q%-24s $sec%7.1f s  (rows=$rows)")
+      }
+    }
   }
 
   /** Dedup-tier scale evidence (round-5 item 7): q24's SRP-LSH cosine

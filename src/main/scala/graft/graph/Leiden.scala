@@ -109,21 +109,41 @@ object Leiden {
     var round = 0
     var moved = 1L
     while (round < rounds && moved > 0) {
-      val refAgg = ref.join(deg, "node")
-        .groupBy(col("ref"))
-        .agg(count(lit(1)).as("sz"), sum(col("k")).as("tot"))
-      val singles = ref.join(refAgg.select(col("ref"), col("sz")), "ref")
-        .filter(col("sz") === 1).select(col("node"))
-      val cand = intra
-        .join(singles.select(col("node").as("src")), "src", "left_semi")
-        .join(ref.select(col("node").as("dst"), col("ref").as("rnbr")), "dst")
-        .groupBy(col("src").as("node"), col("rnbr"))
-        .agg(sum("weight").as("w_ur"))
-        .join(deg, "node")
-        .join(refAgg.select(col("ref").as("r2"), col("tot")), col("rnbr") === col("r2"))
-        .filter(col("rnbr") =!= col("node")) // its own singleton group is no target
-        .withColumn("gain", col("w_ur") - col("k") * col("tot") / lit(m2))
-        .filter(col("gain") > 0.0) // positive-gain, connected merges only
+      // ROUND-1 FAST PATH (r8 profiling item): with ref = identity, every
+      // refined group is a singleton of size 1 and tot(ref) = k(ref), so
+      // refAgg/singles/the edge-sized SEMI-JOIN all compute trivialities —
+      // rnbr IS dst and w_ur IS the (already-aggregated) edge weight. The
+      // first round is the expensive one (every node participates), and
+      // this collapses its 6-join shape to intra ⋈ deg ⋈ deg. Rounds > 1
+      // run the general shape. Measured at the k=10 ScaleBench cell
+      // (4.54M edges): 49.6 → ~36 s, identical output (the general-shape
+      // round-1 result is reproduced exactly — same gain formula, same
+      // tie-break — see LeidenSpec round-1 equality).
+      val cand = if (round == 0) {
+        intra
+          .select(col("src").as("node"), col("dst").as("rnbr"), col("weight").as("w_ur"))
+          .join(deg, "node")
+          .join(deg.select(col("node").as("rnbr"), col("k").as("tot")), "rnbr")
+          .filter(col("rnbr") =!= col("node"))
+          .withColumn("gain", col("w_ur") - col("k") * col("tot") / lit(m2))
+          .filter(col("gain") > 0.0)
+      } else {
+        val refAgg = ref.join(deg, "node")
+          .groupBy(col("ref"))
+          .agg(count(lit(1)).as("sz"), sum(col("k")).as("tot"))
+        val singles = ref.join(refAgg.select(col("ref"), col("sz")), "ref")
+          .filter(col("sz") === 1).select(col("node"))
+        intra
+          .join(singles.select(col("node").as("src")), "src", "left_semi")
+          .join(ref.select(col("node").as("dst"), col("ref").as("rnbr")), "dst")
+          .groupBy(col("src").as("node"), col("rnbr"))
+          .agg(sum("weight").as("w_ur"))
+          .join(deg, "node")
+          .join(refAgg.select(col("ref").as("r2"), col("tot")), col("rnbr") === col("r2"))
+          .filter(col("rnbr") =!= col("node")) // its own singleton group is no target
+          .withColumn("gain", col("w_ur") - col("k") * col("tot") / lit(m2))
+          .filter(col("gain") > 0.0) // positive-gain, connected merges only
+      }
       val best = cand
         .groupBy(col("node"))
         .agg(max(struct(col("gain"), (lit(0L) - col("rnbr")).as("negr"))).as("b"))
