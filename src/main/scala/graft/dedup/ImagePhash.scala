@@ -135,7 +135,12 @@ object ImagePhash {
     val chunks = maxDist + 1
     require(64 % chunks == 0, s"maxDist + 1 = $chunks must divide 64")
     val width = 64 / chunks
-    val fp = dHashFrame(media, idCol, payloadCol)
+    // checkpoint: the banding self-join reads the hash frame on BOTH
+    // sides, and without the cut each side re-runs the full image decode
+    // (verified in the r8 plan audit: two complete decode pipelines under
+    // the SortMergeJoin). Blocks are owned by the result per the
+    // BlockRelease caller-side contract.
+    val fp = dHashFrame(media, idCol, payloadCol).localCheckpoint()
     val banded = fp.select(col("media_id"), col("fp"),
         explode(sequence(lit(0), lit(chunks - 1))).as("c"))
       .withColumn("chunk",

@@ -83,15 +83,18 @@ object SemDedup {
       codesCol: String = "codes", cellCol: String = "cell",
       tauNum: Long = 9, tauDen: Long = 10): DataFrame = {
     require(tauNum > 0 && tauDen > 0, "rational τ must be positive")
+    // |codes|² computed ONCE PER DOC before the join (the r8 plan audit
+    // found the per-pair form re-running the norm fold on both sides of
+    // every candidate)
     val a = assigned.select(col(idCol).as("id"), col(codesCol).as("codes"),
-      col(cellCol).as("cell"))
+      col(cellCol).as("cell"),
+      codeDot(col(codesCol), col(codesCol)).as("n2"))
     val dot = codeDot(col("a.codes"), col("b.codes"))
-    val na2 = codeDot(col("a.codes"), col("a.codes"))
-    val nb2 = codeDot(col("b.codes"), col("b.codes"))
     val dups = a.as("a").join(a.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(dot > 0 &&
-        lit(tauDen * tauDen) * dot * dot >= lit(tauNum * tauNum) * na2 * nb2)
+        lit(tauDen * tauDen) * dot * dot >=
+          lit(tauNum * tauNum) * col("a.n2") * col("b.n2"))
       .groupBy(col("b.id").as("id"))
       .agg(count(lit(1)).as("n_dups_smaller"))
     a.join(dups, Seq("id"), "left")

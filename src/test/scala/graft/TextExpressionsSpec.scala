@@ -186,7 +186,7 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
     val rows = graft.queries.TextQueries.defs("q72_tfidf")(
       spark, "/root/testdata/sf0.01").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getDouble(5)))
+        r.getLong(5)))
     val n = 500.0 // sf0.01 corpus size
     rows.groupBy(_._1).foreach { case (_, doc) =>
       doc.map(_._5).sorted shouldBe (1L to doc.length).toSeq // dense ranks from 1
@@ -199,9 +199,11 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
             (hi._3 == lo._3 && hi._4 == lo._4 && hi._2 < lo._2))
         case _ =>
       }
-      doc.foreach { case (_, _, tf, df, _, score) =>
-        score shouldBe BigDecimal(tf * math.log(n / df))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // r8 integer surface: score_mnats = tf × round(1000·(ln N − ln df))
+      // — idf quantized once per distinct df, then an exact int multiply
+      doc.foreach { case (_, _, tf, df, _, scoreMnats) =>
+        scoreMnats shouldBe tf * BigDecimal((math.log(n) - math.log(df.toDouble)) * 1000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }
     }
   }
