@@ -102,4 +102,41 @@ object SemDedup {
         coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
         (coalesce(col("n_dups_smaller"), lit(0L)) === 0L).as("kept"))
   }
+
+  /** SEMANTIC benchmark decontamination — the embedding twin of
+    * [[Dedup.flagContaminated]] (which catches verbatim 8-gram overlap;
+    * this catches paraphrased/reworded eval leakage the n-gram test
+    * misses): a corpus document is contaminated when SOME benchmark
+    * document sits within cosine τ of it in code space, under the same
+    * integer-exact rational predicate as [[semDeDup]].
+    *
+    * Scale shape: the benchmark side of a decontamination is SMALL (eval
+    * sets, not corpora) — it BROADCASTS, and the corpus side is scanned
+    * ONCE map-side with zero shuffle (the per-doc aggregation is against
+    * the broadcast build, so the one groupBy is corpus-sized and
+    * partial-aggregated). Never corpus × corpus; for a benchmark too big
+    * to broadcast, the q24 banded machinery is the bipartite tier.
+    * Output is TOTAL over non-benchmark docs: (id, n_bench_close,
+    * contaminated) — the q66 surface shape, semantically.
+    * Zero-code docs (dot = 0 fails dot > 0) never flag, both engines. */
+  def flagSemanticContaminated(corpus: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", codesCol: String = "codes",
+      tauNum: Long = 9, tauDen: Long = 10): DataFrame = {
+    require(tauNum > 0 && tauDen > 0, "rational τ must be positive")
+    val c = corpus.select(col(idCol).as("id"), col(codesCol).as("codes"),
+      codeDot(col(codesCol), col(codesCol)).as("n2"))
+    val b = bench.select(col(idCol).as("bid"), col(codesCol).as("bcodes"),
+      codeDot(col(codesCol), col(codesCol)).as("bn2"))
+    val dot = codeDot(col("codes"), col("bcodes"))
+    val hits = c.join(broadcast(b),
+        dot > 0 &&
+          lit(tauDen * tauDen) * dot * dot >= lit(tauNum * tauNum) * col("n2") * col("bn2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bench_close"))
+    c.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bench_close"), lit(0L)).as("n_bench_close"),
+        (coalesce(col("n_bench_close"), lit(0L)) > 0L).as("contaminated"))
+  }
 }

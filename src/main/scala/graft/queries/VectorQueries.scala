@@ -286,7 +286,30 @@ object VectorQueries {
     SemDedup.semDeDup(assigned)
   }
 
+  /** q81 — SEMANTIC DECONTAMINATION
+    * ([[graft.dedup.SemDedup.flagSemanticContaminated]]): the embedding
+    * twin of q66 — flags corpus documents whose int8 code vector sits
+    * within cosine 9/10 of SOME benchmark document (doc_id % 97 = 0,
+    * q66's held-out-set convention), catching paraphrased eval leakage
+    * the verbatim 8-gram test cannot. Broadcast benchmark, map-side
+    * corpus scan, integer-exact predicate ⇒ full hash oracle; output
+    * total over non-benchmark docs, the q66 surface shape. */
+  val q81SemanticDecontam: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Embed
+    import graft.dedup.SemDedup
+    val coded = Tables.load(spark, dir, "documents")
+      .select($"doc_id", md5Embed($"text").as("v"))
+      .select($"doc_id", SemDedup.quantizeCodes($"v").as("codes"))
+      // both sides derive from one embed pass (the q24/q79 discipline)
+      .localCheckpoint()
+    SemDedup.flagSemanticContaminated(
+      coded.filter($"doc_id" % 97 =!= 0),
+      coded.filter($"doc_id" % 97 === 0))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q81_semantic_decontam" -> q81SemanticDecontam,
     "q20_cosine_top5" -> q20CosineTop5,
     "q21_cosine_bottom5" -> q21CosineBottom5,
     "q22_centroids" -> q22Centroids,
@@ -302,6 +325,36 @@ object VectorQueries {
     "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
 
   val oracles: Map[String, String] = Map(
+    // q81 — the semantic-decontamination twin re-derived: md5Embed →
+    // q74 codes (the q79 fragments), bench = doc_id % 97 = 0, the
+    // integer-rational τ=9/10 predicate per (corpus, bench) pair, LEFT
+    // JOIN back for totality over non-bench docs. Every count ::BIGINT.
+    "q81_semantic_decontam" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |      list_sum(list_transform(toks, tk ->
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1 = i
+        |          THEN (CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 3, 1)) >= 9
+        |            THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))) AS v FROM t),
+        |q AS (SELECT doc_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+        |         ELSE list_transform(v, x -> round(x * 127.0 / scale)::BIGINT)
+        |    END AS codes FROM q),
+        |n AS (SELECT doc_id, codes,
+        |    list_sum(list_transform(range(1, 17), i -> codes[i] * codes[i])) AS n2 FROM c),
+        |b AS (SELECT * FROM n WHERE doc_id % 97 = 0),
+        |r AS (SELECT * FROM n WHERE doc_id % 97 <> 0),
+        |p0 AS (SELECT r.doc_id, list_sum(list_transform(range(1, 17),
+        |      i -> r.codes[i] * b.codes[i])) AS dt, r.n2 AS na2, b.n2 AS nb2
+        |  FROM r, b),
+        |h AS (SELECT doc_id, count(*)::BIGINT AS n_bench_close FROM p0
+        |  WHERE dt > 0 AND 100 * dt * dt >= 81 * na2 * nb2 GROUP BY doc_id)
+        |SELECT r.doc_id, coalesce(h.n_bench_close, 0)::BIGINT AS n_bench_close,
+        |  coalesce(h.n_bench_close, 0) > 0 AS contaminated
+        |FROM r LEFT JOIN h ON r.doc_id = h.doc_id""".stripMargin,
     // q74 — the quantization re-derived value-exactly: identical op ORDER
     // where a float is touched (x*127.0/scale, round-half-away in both
     // engines), codes pinned whole via md5 of the canonical comma-joined

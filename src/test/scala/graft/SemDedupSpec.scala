@@ -68,6 +68,30 @@ class SemDedupSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("flagSemanticContaminated: planted leak flagged, orthogonal clean, totality over corpus") {
+    val s = spark
+    import s.implicits._
+    // bench: two directions; corpus: an exact copy of bench 1 (leaked),
+    // a near copy (still ≥ 9/10), an orthogonal doc, a zero-code doc
+    val bench = Seq(
+      (100L, Seq(10L, 0L, 0L, 0L)),
+      (101L, Seq(0L, 10L, 0L, 0L)))
+      .toDF("doc_id", "codes")
+    val corpus = Seq(
+      (1L, Seq(10L, 0L, 0L, 0L)),   // verbatim-equivalent embedding → flagged
+      (2L, Seq(10L, 1L, 0L, 0L)),   // cos = 10/√101 ≈ 0.995 → flagged
+      (3L, Seq(0L, 0L, 10L, 0L)),   // orthogonal to both → clean
+      (4L, Seq(0L, 0L, 0L, 0L)))    // zero codes: dot = 0 → never flags
+      .toDF("doc_id", "codes")
+    val out = SemDedup.flagSemanticContaminated(corpus, bench)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)  // total over the corpus side
+    out(1L) shouldBe ((1L, true))
+    out(2L) shouldBe ((1L, true))
+    out(3L) shouldBe ((0L, false))
+    out(4L) shouldBe ((0L, false))
+  }
+
   test("srpCellsMd5: deterministic, in range, zero vector lands in cell 0") {
     val s = spark
     import s.implicits._
