@@ -576,7 +576,49 @@ object TextQueries {
       budget = 512L, maxOpen = 8)
   }
 
+  /** q82 — CORPUS-WIDE SPAN DEDUP (the C4 §2.2 step, adapted: C4 removes
+    * all-but-one occurrence of any repeated three-sentence span across
+    * the whole corpus — the boilerplate/header/disclaimer scrub. These
+    * docs are flat token streams, so the span unit is a fixed 5-token
+    * window). Every span occurrence except the FIRST (min (doc_id,
+    * span_idx)) of its md5 group is removed; surface per doc (TOTAL):
+    * n_spans, n_dup_spans removed, and md5 of the surviving text — a
+    * wrongly kept or dropped span anywhere in the corpus flips a hash.
+    *
+    * Distinct from the rest of the dedup family: q32 is whole-doc exact,
+    * q33/35/36/24 are whole-doc near-dup, q68 is WITHIN-doc repetition —
+    * this is CROSS-doc sub-document redundancy removal.
+    *
+    * Scale shape: spans explode map-side; the keep/remove decision is
+    * ONE corpus-wide window over span-hash partitions (shuffle ∝ spans,
+    * the q30/q33 token-stream discipline); reconstruction is a per-doc
+    * partial aggregation. Nothing pairwise. */
+  val q82SpanDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 5
+    val toks = split(lower(trim(coalesce($"text", lit("")))), "\\s+")
+    val spans = docs(spark, dir)
+      .select($"doc_id", toks.as("toks"))
+      .select($"doc_id", posexplode(
+        // `div`, not `/` (Spark `/` is double division — the q71 lesson)
+        transform(sequence(lit(0), expr(s"(size(toks) + ${k - 1}) div $k - 1")),
+          i => array_join(slice($"toks", i * k + 1, lit(k)), " "))))
+      .select($"doc_id", $"pos".cast("long").as("span_idx"), md5($"col").as("h"), $"col".as("span"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id".asc, $"span_idx".asc)
+    val marked = spans.withColumn("rn", row_number().over(w))
+    marked.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+      md5(array_join(
+        transform(
+          array_sort(collect_list(when($"rn" === 1, struct($"span_idx", $"span")))),
+          x => x.getField("span")),
+        " ")).as("kept_md5"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q82_span_dedup" -> q82SpanDedup,
     "q80_sequence_pack_bfd" -> q80SequencePackBfd,
     "q65_pii_redact" -> q65PiiRedact,
     "q66_decontaminate" -> q66Decontaminate,
@@ -634,6 +676,26 @@ object TextQueries {
         |  (end_off - n_tokens)::BIGINT AS start_off, end_off,
         |  ((end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1)::BIGINT AS n_windows
         |FROM c""".stripMargin,
+    // q82 — the span-dedup re-derived: same 5-token spans, one
+    // corpus-wide window over md5(span) partitions with the identical
+    // (doc_id, span_idx) first-occurrence order, per-doc reconstruction
+    // via ordered string_agg over kept spans. Every count ::BIGINT.
+    "q82_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, toks,
+        |    unnest(range(0, (len(toks) + 4) // 5)) AS i FROM t),
+        |s AS (SELECT doc_id, i AS span_idx,
+        |    array_to_string(toks[(i*5+1):(i*5+5)], ' ') AS span FROM s0),
+        |m AS (SELECT doc_id, span_idx, span,
+        |    row_number() OVER (PARTITION BY md5(span)
+        |      ORDER BY doc_id ASC, span_idx ASC) AS rn FROM s)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+        |  md5(coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (rn = 1), ''))
+        |    AS kept_md5
+        |FROM m GROUP BY doc_id""".stripMargin,
     // q80 — the bounded best-fit-decreasing fold replayed EXACTLY as a
     // recursive CTE: one placement per lane per iteration; state =
     // parallel (bin id, residual) lists; best = min residual ≥ eff (tie

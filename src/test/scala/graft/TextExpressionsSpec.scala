@@ -283,4 +283,40 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
       sumM should be >= 0L // c ≤ N ⇒ every term's surprisal ≥ 0
     }
   }
+
+  test("q82 span dedup: planted boilerplate removed everywhere but first, totality, md5 exact") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions.col
+    // boilerplate = one exact 5-token span shared by docs 1, 2, 3 at
+    // different positions; doc 4 is clean; doc 5 repeats the span TWICE
+    val bp = "one two three four five"
+    val planted = Seq(
+      (1L, s"$bp alpha beta gamma delta epsilon"),
+      (2L, s"zeta eta theta iota kappa $bp"),
+      (3L, s"$bp zeta eta theta iota kappa"),
+      (4L, "unique tokens only in this document yes"),
+      (5L, s"$bp $bp"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q82spec").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.defs("q82_span_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L)  // total
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 holds the first occurrence (min doc_id, span_idx) → keeps all
+    out(1L) shouldBe ((2L, 0L, md5hex(s"$bp alpha beta gamma delta epsilon")))
+    // doc 2's copy sits at span_idx 1 → removed
+    out(2L) shouldBe ((2L, 1L, md5hex("zeta eta theta iota kappa")))
+    // doc 3: bp duplicates doc 1's, AND its "zeta…" span duplicates doc
+    // 2's first span — both removed, empty survivor
+    out(3L) shouldBe ((2L, 2L, md5hex("")))
+    // clean doc untouched (2 spans: 5 + 3 tokens)
+    out(4L)._2 shouldBe 0L
+    out(4L)._3 shouldBe md5hex("unique tokens only in this document yes")
+    // doc 5: BOTH its copies are non-first occurrences → empty survivor
+    out(5L) shouldBe ((2L, 2L, md5hex("")))
+  }
 }
