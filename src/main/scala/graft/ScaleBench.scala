@@ -41,6 +41,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("r8ops")) {
+      runR8Ops(spark)
+      spark.stop()
+      return
+    }
     val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
 
@@ -200,7 +205,7 @@ object ScaleBench {
     }
 
     val queries = Seq("q72_tfidf", "q73_dedup_clusters", "q75_filter_cascade",
-      "q77_unigram_surprisal", "q80_sequence_pack_bfd")
+      "q77_unigram_surprisal", "q80_sequence_pack_bfd", "q82_span_dedup")
     val ns = sys.env.get("SPARK_GRAFT_SCALE_NS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(50000, 500000))
     ns.foreach { n =>
@@ -216,6 +221,95 @@ object ScaleBench {
         }
         System.err.println(f"SCALE-TEXT n=$n%7d $q%-24s $sec%7.1f s  (rows=$rows)")
       }
+    }
+  }
+
+  /** Round-8 operator decade-up: SemDeDup, semantic decontamination and
+    * image pHash at 1× and 10×. The scale-critical knob SemDeDup's
+    * oracled fixture pins (bits = 4 ⇒ 16 cells at every SF — fine at
+    * 5k docs, quadratic-per-cell if the corpus grows under fixed cells)
+    * is scaled here the way production would: CELLS ∝ CORPUS
+    * (bits = log2(n/target), target ≈ 400 docs/cell), which is exactly
+    * the kmeans tier's nlist sizing rule. Decontam keeps the broadcast
+    * contract (bench = n/97 — eval-set-sized). pHash replays the q78
+    * planted-group fixture at media scale (real PNG encode + decode per
+    * image, both measured). */
+  private def runR8Ops(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.dedup.{ImagePhash, SemDedup}
+    import graft.functions.TextFunctions.md5Embed
+    def t(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val ns = sys.env.get("SPARK_GRAFT_SCALE_NS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(50000, 500000))
+    ns.foreach { n =>
+      // text-embedding side: reuse the staged text-mode corpus contract
+      val dir = s"/tmp/graft_scale_text_$n"
+      if (!new java.io.File(s"$dir/documents.parquet").exists())
+        System.err.println(s"SCALE-R8OPS n=$n SKIPPED (run text mode first to stage $dir)")
+      else {
+        val coded = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), md5Embed(col("text")).as("v"))
+          .select(col("doc_id"), col("v"), SemDedup.quantizeCodes(col("v")).as("codes"))
+          .localCheckpoint()
+        val bits = math.max(4,
+          (math.log(n / 400.0) / math.log(2.0)).ceil.toInt)
+        // NOTE: do NOT BlockRelease the per-operator results here — their
+        // plan leaves include `coded`'s checkpoint, and releasing through
+        // them frees the blocks the NEXT operator still reads (measured:
+        // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the decontam pass). The
+        // one shared checkpoint is released once, after both consumers.
+        val (tSem, nSem) = t {
+          val assigned = coded.select(col("doc_id"), col("codes"),
+            SemDedup.srpCellsMd5(col("v"), dim = 16, bits = bits, seed = "sd").as("cell"))
+          SemDedup.semDeDup(assigned).filter(!col("kept")).count()
+        }
+        System.err.println(
+          f"SCALE-R8OPS n=$n%7d semdedup(bits=$bits%2d) $tSem%7.1f s  (dropped=$nSem)")
+        // FIXED-size benchmark (doc_id < 50k ∧ %97 — ~515 docs at every
+        // corpus size): the operator's deployment contract is a
+        // broadcast-sized eval set, so the scale claim is linear-in-
+        // corpus at constant bench. (A bench growing ∝ n measures the
+        // fixture, not the operator: n·(n/97) pairs — 50× on the first
+        // r8 decade run, as expected of a bipartite brute.)
+        val (tDec, nDec) = t {
+          SemDedup.flagSemanticContaminated(
+              coded.filter(col("doc_id") % 97 =!= 0 || col("doc_id") >= 50000),
+              coded.filter(col("doc_id") % 97 === 0 && col("doc_id") < 50000))
+            .filter(col("contaminated")).count()
+        }
+        System.err.println(
+          f"SCALE-R8OPS n=$n%7d semantic_decontam   $tDec%7.1f s  (flagged=$nDec, bench fixed)")
+        graft.util.BlockRelease.release(coded)
+      }
+      // image side: the q78 planted-group fixture at media scale
+      val (tImg, nImg) = t {
+        val media = spark.range(n.toLong).map { d =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val g = d / 4
+          val r = (d % 4).toInt
+          val img = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var k = 0
+          while (k < 72) {
+            val digest = md.digest(s"$g:$k".getBytes("UTF-8"))
+            var v = digest(0) & 0xff
+            if (r > 0 && k == 10 * r) v = (v + 128) % 256
+            img.setRGB(k % 9, k / 9, (v << 16) | (v << 8) | v)
+            k += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (d, bos.toByteArray)
+        }.toDF("media_id", "payload")
+        val r = ImagePhash.dHashNearDups(media, maxDist = 3)
+        val c = r.count(); graft.util.BlockRelease.release(r); c
+      }
+      System.err.println(
+        f"SCALE-R8OPS n=$n%7d image_phash         $tImg%7.1f s  (pairs=$nImg)")
     }
   }
 

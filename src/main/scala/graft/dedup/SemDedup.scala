@@ -85,16 +85,24 @@ object SemDedup {
     require(tauNum > 0 && tauDen > 0, "rational τ must be positive")
     // |codes|² computed ONCE PER DOC before the join (the r8 plan audit
     // found the per-pair form re-running the norm fold on both sides of
-    // every candidate)
+    // every candidate). The per-pair dot runs through the CODEGEN'D
+    // DotProduct kernel on a double copy of the codes — the interpreted
+    // aggregate/zip_with lambda measured 50× slower at the 500k
+    // ScaleBench cell (per-pair HOF evaluation dominates). EXACT despite
+    // the doubles: every operand is an integer (|dot| ≤ dim·127²,
+    // 100·dot² ≤ 6.7e12, 81·|ca|²·|cb|² ≤ 5.4e12 — all < 2⁵³), so the
+    // double arithmetic and comparisons are value-identical to the
+    // integer form the oracle replays.
     val a = assigned.select(col(idCol).as("id"), col(codesCol).as("codes"),
       col(cellCol).as("cell"),
+      transform(col(codesCol), c => c.cast("double")).as("codesd"),
       codeDot(col(codesCol), col(codesCol)).as("n2"))
-    val dot = codeDot(col("a.codes"), col("b.codes"))
+    val dot = graft.functions.VectorFunctions.dot(col("a.codesd"), col("b.codesd"))
     val dups = a.as("a").join(a.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .filter(dot > 0 &&
-        lit(tauDen * tauDen) * dot * dot >=
-          lit(tauNum * tauNum) * col("a.n2") * col("b.n2"))
+      .filter(dot > 0.0 &&
+        lit((tauDen * tauDen).toDouble) * dot * dot >=
+          lit((tauNum * tauNum).toDouble) * col("a.n2") * col("b.n2"))
       .groupBy(col("b.id").as("id"))
       .agg(count(lit(1)).as("n_dups_smaller"))
     a.join(dups, Seq("id"), "left")
@@ -123,14 +131,19 @@ object SemDedup {
       idCol: String = "doc_id", codesCol: String = "codes",
       tauNum: Long = 9, tauDen: Long = 10): DataFrame = {
     require(tauNum > 0 && tauDen > 0, "rational τ must be positive")
-    val c = corpus.select(col(idCol).as("id"), col(codesCol).as("codes"),
+    // codegen'd double dot, exact over integer-valued operands — see
+    // [[semDeDup]]'s kernel note (same bounds, same argument)
+    val c = corpus.select(col(idCol).as("id"),
+      transform(col(codesCol), x => x.cast("double")).as("codesd"),
       codeDot(col(codesCol), col(codesCol)).as("n2"))
-    val b = bench.select(col(idCol).as("bid"), col(codesCol).as("bcodes"),
+    val b = bench.select(col(idCol).as("bid"),
+      transform(col(codesCol), x => x.cast("double")).as("bcodesd"),
       codeDot(col(codesCol), col(codesCol)).as("bn2"))
-    val dot = codeDot(col("codes"), col("bcodes"))
+    val dot = graft.functions.VectorFunctions.dot(col("codesd"), col("bcodesd"))
     val hits = c.join(broadcast(b),
-        dot > 0 &&
-          lit(tauDen * tauDen) * dot * dot >= lit(tauNum * tauNum) * col("n2") * col("bn2"))
+        dot > 0.0 &&
+          lit((tauDen * tauDen).toDouble) * dot * dot >=
+            lit((tauNum * tauNum).toDouble) * col("n2") * col("bn2"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bench_close"))
     c.select(col("id"))

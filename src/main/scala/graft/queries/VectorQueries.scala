@@ -270,7 +270,11 @@ object VectorQueries {
     * kept) — a dropped, doubled or mis-assigned doc is a hash mismatch
     * at any SF. The production tier assigns cells with the q26 IVF
     * k-means instead (seed-dependent ⇒ spec-verified in SemDedupSpec,
-    * same operator body). */
+    * same operator body). CELL-COUNT SCALING: bits=4 (16 cells) is
+    * sized for the oracle SFs; per-cell work is quadratic in cell size,
+    * so at corpus scale cells must grow ∝ corpus (bits = log2(n/target),
+    * the kmeans tier's nlist rule) — measured sub-linear at the
+    * ScaleBench r8ops decade (BENCH_LOCAL_r8 §6). */
   val q79SemDedup: Q = (spark, dir) => {
     import spark.implicits._
     import graft.functions.TextFunctions.md5Embed
