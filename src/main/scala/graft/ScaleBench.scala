@@ -46,6 +46,16 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("r9ops")) {
+      runR9Ops(spark)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("stream")) {
+      runStream(spark)
+      spark.stop()
+      return
+    }
     val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
 
@@ -255,8 +265,8 @@ object ScaleBench {
           .select(col("doc_id"), md5Embed(col("text")).as("v"))
           .select(col("doc_id"), col("v"), SemDedup.quantizeCodes(col("v")).as("codes"))
           .localCheckpoint()
-        val bits = math.max(4,
-          (math.log(n / 400.0) / math.log(2.0)).ceil.toInt)
+        // the SAME integer nlist rule the registered q79 now uses (r9)
+        val bits = SemDedup.nlistBits(n.toLong)
         // NOTE: do NOT BlockRelease the per-operator results here — their
         // plan leaves include `coded`'s checkpoint, and releasing through
         // them frees the blocks the NEXT operator still reads (measured:
@@ -310,6 +320,130 @@ object ScaleBench {
       }
       System.err.println(
         f"SCALE-R8OPS n=$n%7d image_phash         $tImg%7.1f s  (pairs=$nImg)")
+    }
+  }
+
+  /** Round-9 decade-up: the two surfaces the r8 VERDICT re-opened, both
+    * timed ON THE REGISTERED PATH (VectorQueries.defs), not bench
+    * re-implementations.
+    *
+    *  - q79 SemDeDup with the corpus-derived nlist bits (the registered
+    *    query now computes bits = nlistBits(n) itself — at 50k that is
+    *    bits=7/128 cells, at 500k bits=11/2048 cells): the fixture-trap
+    *    fix measured end-to-end, expected ~linear across the decade.
+    *  - q39 brute τ-join behind the r9 corpus-size gate: above 1500
+    *    vectors the registered path samples a FIXED ~1200-vector md5
+    *    subset, so the decade-up (2k → 20k vectors) should read ~FLAT —
+    *    O(target²) constant pair work + a linear scan, the shape that
+    *    closes the last `weak` marking.
+    */
+  private def runR9Ops(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.queries.VectorQueries
+    def t(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def mix(x0: Long): Long = { // splitmix64 finalizer
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // q79 on the staged text-mode corpora (run text mode first)
+    val ns = sys.env.get("SPARK_GRAFT_SCALE_NS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(50000, 500000))
+    ns.foreach { n =>
+      val dir = s"/tmp/graft_scale_text_$n"
+      if (!new java.io.File(s"$dir/documents.parquet").exists())
+        System.err.println(s"SCALE-R9OPS n=$n q79 SKIPPED (run text mode first to stage $dir)")
+      else {
+        val (sec, dropped) = t {
+          val r = VectorQueries.defs("q79_semdedup")(spark, dir)
+          val c = r.filter(!col("kept")).count()
+          graft.util.BlockRelease.release(r); c
+        }
+        val bits = graft.dedup.SemDedup.nlistBits(n.toLong)
+        System.err.println(
+          f"SCALE-R9OPS n=$n%7d q79_registered(bits=$bits%2d) $sec%7.1f s  (dropped=$dropped)")
+      }
+    }
+    // q39 on staged embeddings tables (real schema: vec_id/embedding/label)
+    Seq(2000, 20000).foreach { n =>
+      val dir = s"/tmp/graft_scale_vec_$n"
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+        spark.range(n.toLong).map { i =>
+          (i, Seq.tabulate(64)(d =>
+            (mix(i * 64L + d).toDouble / Long.MaxValue).toFloat), (i % 7).toInt)
+        }.toDF("vec_id", "embedding", "label")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val (sec, pairs) = t {
+        val r = VectorQueries.defs("q39_neardup_brute")(spark, dir)
+        val c = r.count(); graft.util.BlockRelease.release(r); c
+      }
+      System.err.println(
+        f"SCALE-R9OPS n=$n%7d q39_gated           $sec%7.1f s  (pairs=$pairs)")
+    }
+  }
+
+  /** Streaming decade-up (round-9 item 5: the one operator family with no
+    * scale notch). Runs the REGISTERED q59 EP1 ingest — topic production,
+    * two AvailableNow drains, the ST2 replay assertion, state summaries —
+    * against sf0.1's tables (1×: 165k user-topic events + 5k posts) and a
+    * staged 10× replica set (1.65M + 50k). Each cell runs the query TWICE
+    * and times the second: the first call produces the (cached, pure-
+    * function-of-source) topics, so the timed run is ingest-only, and the
+    * per-cell state dirs are cleared by the query itself each run. Also
+    * reports converged state-store bytes (the growth claim: state ∝
+    * distinct keys, not events). */
+  private def runStream(spark: SparkSession): Unit = {
+    import graft.queries.IngestQueries
+    def t[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val ks = sys.env.get("SPARK_GRAFT_SCALE_KS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 10))
+    ks.foreach { k =>
+      val src = "/root/testdata/sf0.1"
+      val dir =
+        if (k == 1) src
+        else {
+          val d = s"/tmp/graft_scale_stream_${k}x"
+          // replicate with shifted keys: distinct users/edges/vectors all
+          // grow ~k× (the state tables must absorb k× keys, not k× copies)
+          Seq("customer", "orders", "documents").foreach { tbl =>
+            if (!new java.io.File(s"$d/$tbl.parquet").exists()) {
+              val base = Tables.load(spark, src, tbl)
+              val rep = (0 until k).map { i =>
+                tbl match {
+                  case "customer" => base
+                    .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+                  case "orders" => base
+                    .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+                    .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+                  case _ => base
+                    .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+                }
+              }.reduce(_ unionByName _)
+              rep.write.mode("overwrite").parquet(s"$d/$tbl.parquet")
+            }
+          }
+          d
+        }
+      val q = IngestQueries.defs("q59_ep1_ingest")
+      q(spark, dir).collect() // produce topics + warm; not timed
+      val (sec, rows) = t(q(spark, dir).collect())
+      val sf = new java.io.File(dir).getName
+      val statePath = new org.apache.hadoop.fs.Path(s"/tmp/graft_ep1/$sf/state")
+      val bytes = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(statePath).getLength
+      val summary = rows.map(r =>
+        s"${r.getString(0)}=${r.getLong(1)}/${r.getLong(2)}").mkString(" ")
+      System.err.println(
+        f"SCALE-STREAM k=$k%2d ingest+replay $sec%7.1f s  state=${bytes / 1048576.0}%7.1f MB  ($summary)")
     }
   }
 

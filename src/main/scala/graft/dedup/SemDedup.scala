@@ -64,15 +64,50 @@ object SemDedup {
   /** SRP cell id over an integer-valued vector column: bit b of the cell
     * = [Σ_i v_i·sign(b,i) > 0] (strict — ties, including the zero
     * vector, land on 0). 2^bits cells. Exact in doubles: the inputs are
-    * integer-valued, the coefficients ±1. */
-  def srpCellsMd5(v: Column, dim: Int, bits: Int, seed: String): Column =
+    * integer-valued, the coefficients ±1. The plane table is tabulated
+    * ONCE (r9, ADVICE fix: the per-bit md5Planes call was O(bits²·dim)
+    * driver digests — harmless at bits=4, quadratic at the ScaleBench
+    * bits≈11 cells). */
+  def srpCellsMd5(v: Column, dim: Int, bits: Int, seed: String): Column = {
+    val planes = md5Planes(seed, bits, dim)
     (0 until bits).map { b =>
-      val plane = md5Planes(seed, bits, dim)(b)
       val dot = aggregate(
-        zip_with(v, array(plane.map(c => lit(c.toDouble)): _*), (x, s) => x * s),
+        zip_with(v, array(planes(b).map(c => lit(c.toDouble)): _*), (x, s) => x * s),
         lit(0.0), (acc, t) => acc + t)
       when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** The production cell-count rule (the q26 IVF nlist sizing): the
+    * smallest bits ≥ 4 with 2^bits ≥ n/targetCellSize, i.e. cells grow ∝
+    * corpus so per-cell pairwise work stays O(target²)·n/target = O(n).
+    * Pure integer arithmetic (no float log2 ceil boundary) so any engine
+    * replays it exactly — q79's oracle derives the identical value from
+    * its own count. */
+  def nlistBits(n: Long, targetCellSize: Long = 400L): Int = {
+    require(targetCellSize > 0, "target cell size must be positive")
+    var b = 4
+    while (b < 40 && (targetCellSize << b) < n) b += 1
+    b
+  }
+
+  /** Integer-exactness guard for the codegen double-dot predicate: with
+    * int8 codes (|c_i| ≤ 127) both predicate sides stay < 2⁵³ — exact in
+    * doubles — only while dim ≤ 2⁵³ᐟ²/(max(τnum,τden)·127²). At τ=9/10
+    * that is dim ≤ 588; beyond it the comparison silently degrades to
+    * approximate (r9 ADVICE). Costs one size() comparison per row; the
+    * guard IS the n2 computation so column pruning cannot drop it. */
+  private def guardedNorm2(codes: Column, tauNum: Long, tauDen: Long): Column = {
+    val tmax = math.max(tauNum, tauDen).toDouble
+    val dimBound = math.floor(math.sqrt(9007199254740992.0) / (tmax * 127.0 * 127.0)).toLong
+    when(size(codes) > dimBound,
+      raise_error(concat(
+        lit(s"graft.SemDedup: code dim "), size(codes).cast("string"),
+        lit(s" exceeds the int8 double-exactness bound $dimBound for tau=" +
+          s"$tauNum/$tauDen; reduce dim or use an exact-decimal predicate")))
+        .cast("long"))
+      .otherwise(codeDot(codes, codes))
+  }
 
   /** Per-cell semantic prune over an assigned frame (idCol, codesCol,
     * cellCol): emits ONE ROW PER INPUT DOC (total surface) —
@@ -96,7 +131,7 @@ object SemDedup {
     val a = assigned.select(col(idCol).as("id"), col(codesCol).as("codes"),
       col(cellCol).as("cell"),
       transform(col(codesCol), c => c.cast("double")).as("codesd"),
-      codeDot(col(codesCol), col(codesCol)).as("n2"))
+      guardedNorm2(col(codesCol), tauNum, tauDen).as("n2"))
     val dot = graft.functions.VectorFunctions.dot(col("a.codesd"), col("b.codesd"))
     val dups = a.as("a").join(a.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -135,10 +170,10 @@ object SemDedup {
     // [[semDeDup]]'s kernel note (same bounds, same argument)
     val c = corpus.select(col(idCol).as("id"),
       transform(col(codesCol), x => x.cast("double")).as("codesd"),
-      codeDot(col(codesCol), col(codesCol)).as("n2"))
+      guardedNorm2(col(codesCol), tauNum, tauDen).as("n2"))
     val b = bench.select(col(idCol).as("bid"),
       transform(col(codesCol), x => x.cast("double")).as("bcodesd"),
-      codeDot(col(codesCol), col(codesCol)).as("bn2"))
+      guardedNorm2(col(codesCol), tauNum, tauDen).as("bn2"))
     val dot = graft.functions.VectorFunctions.dot(col("codesd"), col("bcodesd"))
     val hits = c.join(broadcast(b),
         dot > 0.0 &&

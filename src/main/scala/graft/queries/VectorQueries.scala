@@ -177,11 +177,35 @@ object VectorQueries {
     * the pair set is a constant fraction of n² (the sf0.01 distribution
     * maxes out at sim 0.51), so no sub-quadratic method exists and the
     * brute tier IS the right tool — near-dup workloads at τ ≥ 0.9 take the
-    * q24 LSH path instead. */
+    * q24 LSH path instead.
+    *
+    * SCALE GATE (r9, the r8 VERDICT's last `weak` surface): an all-pairs
+    * τ-join is Θ(n²) by construction, so the REGISTERED surface is
+    * corpus-size gated exactly like q24 — one code path in both engines.
+    * Below `sampleGate` vectors the brute join runs on the whole table
+    * (sf0.001/sf0.01 — the full r8 answer, unchanged). Above it, a
+    * deterministic md5-keyed sample (u32("s39:"+vec_id) < thr, thr =
+    * sampleTarget·2³²/n — the q70/q24 fixed-count threshold shape, all
+    * integer arithmetic) caps the joined side at ~sampleTarget vectors,
+    * so cost is O(target²) = CONSTANT at any corpus size while remaining
+    * an exact τ-join over a uniform corpus sample. sf0.1 (2000 vectors)
+    * deliberately lands in sampled mode so the hash oracle exercises the
+    * gate itself, not just the full branch. Unsampled exactness at scale
+    * is q24's job (LSH + rational verify, sub-quadratic). */
   val q39NearDupBrute: Q = (spark, dir) => {
     import spark.implicits._
     val e = emb(spark, dir).select($"vec_id", $"embedding")
-    val n = e.select($"vec_id", l2normalize($"embedding").as("nv"))
+    val nVecs = e.count()
+    val u32Max = 4294967296L
+    val sampleGate = 1500L
+    val sampleTarget = 1200L
+    val thr =
+      if (nVecs <= sampleGate) u32Max
+      else math.min(u32Max, sampleTarget * u32Max / nVecs)
+    val u32 = conv(substring(
+      md5(concat(lit("s39:"), $"vec_id".cast("string"))), 1, 8), 16, 10).cast("long")
+    val n = e.filter(u32 < thr)
+      .select($"vec_id", l2normalize($"embedding").as("nv"))
     n.as("a").join(n.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
         round(dot($"a.nv", $"b.nv"), 4).as("sim"))
@@ -270,23 +294,33 @@ object VectorQueries {
     * kept) — a dropped, doubled or mis-assigned doc is a hash mismatch
     * at any SF. The production tier assigns cells with the q26 IVF
     * k-means instead (seed-dependent ⇒ spec-verified in SemDedupSpec,
-    * same operator body). CELL-COUNT SCALING: bits=4 (16 cells) is
-    * sized for the oracle SFs; per-cell work is quadratic in cell size,
-    * so at corpus scale cells must grow ∝ corpus (bits = log2(n/target),
-    * the kmeans tier's nlist rule) — measured sub-linear at the
-    * ScaleBench r8ops decade (BENCH_LOCAL_r8 §6). */
+    * same operator body). CELL-COUNT SCALING (r9, the r8 VERDICT's
+    * fixture-trap fix): bits is NOT a fixture constant any more — both
+    * engines derive it from the corpus count via the production nlist
+    * rule [[graft.dedup.SemDedup.nlistBits]] (smallest bits ≥ 4 with
+    * 2^bits·400 ≥ n — pure integer arithmetic, replayed by the DuckDB
+    * oracle from its own count(*)). At the shipped SFs the rule lands
+    * on bits=4; at the ScaleBench 500k cell it lands on bits=11 (2048
+    * cells) — the SAME registered code path, so nobody can green-light
+    * a fixed-cell config by accident. Per-cell work stays O(target²)
+    * per cell × n/target cells = O(n). */
   val q79SemDedup: Q = (spark, dir) => {
     import spark.implicits._
     import graft.functions.TextFunctions.md5Embed
     import graft.dedup.SemDedup
-    val assigned = Tables.load(spark, dir, "documents")
+    // stage the embed once: the count below and the assignment both
+    // read it (the q37/q24 checkpoint discipline)
+    val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", md5Embed($"text").as("v"))
+      .localCheckpoint()
+    val bits = SemDedup.nlistBits(docs.count())
+    val assigned = docs
       .select($"doc_id",
         SemDedup.quantizeCodes($"v").as("codes"),
-        SemDedup.srpCellsMd5($"v", dim = 16, bits = 4, seed = "sd").as("cell"))
-      // the pair self-join reads the assignment twice; never re-run the
-      // md5 token lambdas (the q37/q24 checkpoint discipline)
+        SemDedup.srpCellsMd5($"v", dim = 16, bits = bits, seed = "sd").as("cell"))
+      // the pair self-join reads the assignment twice
       .localCheckpoint()
+    graft.util.BlockRelease.release(docs)
     SemDedup.semDeDup(assigned)
   }
 
@@ -419,7 +453,10 @@ object VectorQueries {
     // > 0), the integer-rational prune (100·dot² ≥ 81·|ca|²·|cb|² in
     // exact BIGINT/HUGEINT arithmetic), keep-smallest-id via a
     // witness-count left join. Every count ::BIGINT (the q68 HUGEINT
-    // lesson).
+    // lesson). bits derived from count(*) through the IDENTICAL integer
+    // nlist rule as the engine (min b in [4,40] with 400·2^b ≥ n) —
+    // the r9 fixture-trap fix: the oracle now exercises the production
+    // cell sizing, not a pinned constant.
     "q79_semdedup" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
@@ -434,11 +471,15 @@ object VectorQueries {
         |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
         |         ELSE list_transform(v, x -> round(x * 127.0 / scale)::BIGINT)
         |    END AS codes FROM q),
+        |cnt AS (SELECT count(*)::BIGINT AS n FROM t),
+        |bits AS (SELECT min(b)::BIGINT AS bits
+        |  FROM (SELECT unnest(range(4, 41)) AS b), cnt
+        |  WHERE (400::BIGINT << b) >= n OR b = 40),
         |pl AS (SELECT b, list_transform(range(0, 16), i ->
         |      CASE WHEN strpos('0123456789abcdef',
         |          substr(md5('sd:' || b::VARCHAR || ':' || i::VARCHAR), 1, 1)) >= 9
         |        THEN 1.0 ELSE -1.0 END) AS p
-        |  FROM (SELECT unnest(range(0, 4)) AS b)),
+        |  FROM (SELECT unnest(range(0, 64)) AS b), bits WHERE b < bits.bits),
         |cells AS (SELECT c.doc_id, c.codes,
         |    sum(CASE WHEN list_sum(list_transform(range(1, 17), i -> c.v[i] * pl.p[i])) > 0
         |        THEN (1::BIGINT << pl.b) ELSE 0 END)::BIGINT AS cell
@@ -487,10 +528,21 @@ object VectorQueries {
         |SELECT e.label, round(avg(list_distance(e.v, c.centroid) ** 2), 4) AS variance,
         |  count(*) AS n
         |FROM e JOIN c ON e.label = c.label GROUP BY e.label ORDER BY e.label""".stripMargin,
+    // q39 — the brute τ-join through the IDENTICAL corpus-size gate as
+    // the engine (thr = 2³² at ≤1500 vectors → full brute; fixed-count
+    // 1200·2³²//n md5 sample above — integer arithmetic, the q24 gate
+    // shape), then the same normalize/round/filter pipeline.
     "q39_neardup_brute" ->
-      """WITH n AS (SELECT vec_id,
-        |  list_transform(embedding::DOUBLE[], x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
-        |  FROM embeddings)
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |cnt AS (SELECT count(*)::BIGINT AS n FROM e),
+        |thr AS (SELECT CASE WHEN n <= 1500 THEN 4294967296
+        |               ELSE least(4294967296, (1200 * 4294967296) // n) END AS t
+        |        FROM cnt),
+        |s AS (SELECT e.* FROM e, thr
+        |      WHERE ('0x' || substr(md5('s39:' || vec_id::VARCHAR), 1, 8))::BIGINT < thr.t),
+        |n AS (SELECT vec_id,
+        |  list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS v
+        |  FROM s)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_inner_product(a.v, b.v), 4) AS sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id

@@ -92,6 +92,32 @@ class SemDedupSpec extends SparkSpec with Matchers {
     out(4L) shouldBe ((0L, false))
   }
 
+  test("nlistBits: the integer nlist rule (cells grow with corpus, floor 4, cap 40)") {
+    SemDedup.nlistBits(0L) shouldBe 4
+    SemDedup.nlistBits(500L) shouldBe 4       // every shipped SF lands on 4
+    SemDedup.nlistBits(5000L) shouldBe 4      // 400·16 = 6400 ≥ 5000
+    SemDedup.nlistBits(6401L) shouldBe 5      // first count past the 4-bit cap
+    SemDedup.nlistBits(50000L) shouldBe 7     // 400·128 = 51200
+    SemDedup.nlistBits(500000L) shouldBe 11   // 400·2048 = 819200
+    SemDedup.nlistBits(400L << 11) shouldBe 11 // exact power-of-two boundary
+    SemDedup.nlistBits((400L << 11) + 1) shouldBe 12
+    SemDedup.nlistBits(Long.MaxValue / 2) shouldBe 40 // cap, no overflow
+  }
+
+  test("dim guard: codes past the int8 double-exactness bound raise, 588-dim passes") {
+    val s = spark
+    import s.implicits._
+    // bound at τ=9/10 is ⌊√2⁵³/(10·127²)⌋ = 588: a 588-dim max-magnitude
+    // code vector is still exact; 589 dims must refuse loudly rather than
+    // silently go approximate (r9 ADVICE)
+    val ok = Seq((1L, Seq.fill(588)(127L), 0L), (2L, Seq.fill(588)(127L), 0L))
+      .toDF("doc_id", "codes", "cell")
+    SemDedup.semDeDup(ok).collect().length shouldBe 2
+    val over = Seq((1L, Seq.fill(589)(127L), 0L)).toDF("doc_id", "codes", "cell")
+    val e = intercept[Exception] { SemDedup.semDeDup(over).collect() }
+    e.getMessage should include("exactness bound")
+  }
+
   test("srpCellsMd5: deterministic, in range, zero vector lands in cell 0") {
     val s = spark
     import s.implicits._
