@@ -7,9 +7,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is timed SPARK_GRAFT_RUNS times (default 3) and the per-query
   * MEDIAN is reported — single runs on a contended host can vary 3×+, and
-  * medians keep one noisy run from reading as a regression. `value` is the
-  * sum of medians. SPARK_GRAFT_ONLY=q41_label_prop,q44_fastrp restricts the
-  * run (local profiling loop).
+  * medians keep one noisy run from reading as a regression. Runs are
+  * INTERLEAVED round-robin (all queries once, then again, …) so a host
+  * contention burst degrades at most one run of many queries — which the
+  * per-query median then discards — instead of all runs of one query,
+  * which it can't (the r8 q15/q35 incidents). `value` is the sum of
+  * medians. SPARK_GRAFT_ONLY=q41_label_prop,q44_fastrp restricts the run
+  * (local profiling loop).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -84,11 +88,22 @@ object Bench {
         f""""t_min":$tmin%.3f,"t_max":$tmax%.3f}""")
     }
 
+    // INTERLEAVED protocol (r9, VERDICT item 4): run 1 of EVERY query,
+    // then run 2, then run 3 — a host contention burst (BENCH_LOCAL_r8 §5
+    // recorded one spanning all three consecutive runs of a single query,
+    // 88.7 s vs a 1.3 s norm, which a per-query median cannot defend)
+    // now lands on at most ONE run of each query and the median discards
+    // it. Deterministic name order inside each round so cross-round
+    // comparisons see the same neighbors.
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = queries.map { case (name, fn) =>
-      val gc0 = gcMillis
-      val times = (1 to runs).map { _ =>
+      .toSeq.sortBy(_._1)
+    val gcByQuery = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val timesByQuery =
+      collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
+    (1 to runs).foreach { run =>
+      queries.foreach { case (name, fn) =>
+        val gc0 = gcMillis
         val t0 = System.nanoTime()
         // caller-side result release (the BlockReleaseSweepSpec contract):
         // operators returning checkpointed outputs hand ownership to the
@@ -101,14 +116,24 @@ object Bench {
           r.count()
         } catch { case _: Throwable => }
         finally if (r != null) graft.util.BlockRelease.release(r)
-        (System.nanoTime() - t0) / 1e9
+        timesByQuery(name) :+= (System.nanoTime() - t0) / 1e9
+        gcByQuery(name) += gcMillis - gc0
+        // between-query hygiene: terminated streaming queries (q58/q59
+        // start fresh queries every run) otherwise accumulate in the
+        // StreamingQueryManager for the life of the session, pinning
+        // their progress buffers and last-batch plans
+        spark.streams.resetTerminated()
       }
-      // between-query hygiene: terminated streaming queries (q58/q59 start
-      // fresh queries every run) otherwise accumulate in the
-      // StreamingQueryManager for the life of the session, pinning their
-      // progress buffers and last-batch plans
-      spark.streams.resetTerminated()
-      diagLine(name, gcMillis - gc0, times)
+      val roundTotal = queries.map { case (n, _) => timesByQuery(n)(run - 1) }.sum
+      System.err.println(f"BENCH-ROUND $run/$runs sweep_total $roundTotal%8.2f s")
+    }
+    val results = queries.map { case (name, _) =>
+      val times = timesByQuery(name)
+      // per-run spread: a query whose max/min ratio stays high across an
+      // INTERLEAVED sweep is genuinely bimodal, not burst-afflicted
+      System.err.println(
+        f"BENCH-SPREAD $name%-28s ${times.map(t => f"$t%.3f").mkString(" ")}%s")
+      diagLine(name, gcByQuery(name), times)
       name -> median(times)
     }
     // The driver records only the LAST 2000 bytes of stdout+stderr and
@@ -126,12 +151,12 @@ object Bench {
     // qNN truncation relies on global uniqueness of the numeric prefixes;
     // a future collision would silently drop one query's timing from the
     // JSON object (duplicate keys). Fail loudly at bench time instead.
-    val qkeys = results.keys.map(_.takeWhile(_ != '_')).toSeq
+    val qkeys = results.map(_._1.takeWhile(_ != '_'))
     require(qkeys.distinct.size == qkeys.size,
       s"duplicate qNN bench keys: ${qkeys.diff(qkeys.distinct).distinct.mkString(",")}")
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}"""
     // Belt-and-braces for the driver's tail-capture: mirror the contract
