@@ -215,7 +215,8 @@ object ScaleBench {
     }
 
     val queries = Seq("q72_tfidf", "q73_dedup_clusters", "q75_filter_cascade",
-      "q77_unigram_surprisal", "q80_sequence_pack_bfd", "q82_span_dedup")
+      "q77_unigram_surprisal", "q80_sequence_pack_bfd", "q82_span_dedup",
+      "q83_longrepeat_dedup")
     val ns = sys.env.get("SPARK_GRAFT_SCALE_NS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(50000, 500000))
     ns.foreach { n =>

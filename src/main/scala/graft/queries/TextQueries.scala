@@ -617,7 +617,81 @@ object TextQueries {
         " ")).as("kept_md5"))
   }
 
+  /** q83 — VARIABLE-LENGTH LONG-REPEAT SPAN DEDUP (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" §3 —
+    * the production boilerplate scrub q82 approximates with disjoint
+    * fixed windows: remove every occurrence-after-the-first of any
+    * repeated token run of length ≥ k, at ANY offset and ANY length).
+    *
+    * Banded fixed-k seed + extend-and-merge (the r8 VERDICT's recipe;
+    * suffix arrays don't distribute, overlapping k-gram seeds do):
+    *
+    *  1. SEED: every OVERLAPPING k-token window (start s ∈ [0, n−k]),
+    *     hashed — a repeat of length L ≥ k is exactly a run of L−k+1
+    *     consecutive repeated windows, so no repeat ≥ k can escape.
+    *  2. FLAG: one corpus-wide ordered window over the hash — any
+    *     occurrence with row_number > 1 (order (doc_id, s): the
+    *     canonical first occurrence keeps its text, the Lee et al.
+    *     all-but-one rule) marks its k tokens for removal.
+    *  3. EXTEND-AND-MERGE: per doc, flagged [s, s+k) intervals merge
+    *     into maximal disjoint spans (running-max window + group-id
+    *     prefix sum — overlapping seeds of one long repeat collapse to
+    *     ONE interval, which is what makes the removed region exactly
+    *     the maximal repeat, not a k-aligned approximation).
+    *  4. RECONSTRUCT: merged intervals explode to covered positions
+    *     (disjoint ⇒ ≤ n_tokens rows), anti-marked against the token
+    *     stream, per-doc ordered rebuild.
+    *
+    * Surface per doc (TOTAL): n_tokens, n_removed, kept_md5 — one
+    * wrongly kept/removed token anywhere flips a hash. Scale shape:
+    * every stage shuffles ∝ windows ≈ tokens (seed window, doc-local
+    * merge, position join); nothing pairwise, no suffix structure. */
+  val q83LongRepeatDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 8
+    val toksCol = split(lower(trim(coalesce($"text", lit("")))), "\\s+")
+    // two consumers (seed windows, token reconstruction): stage the
+    // tokenization once (the q37/q24 checkpoint discipline)
+    val base = docs(spark, dir)
+      .select($"doc_id", toksCol.as("toks")).localCheckpoint()
+    val starts = when(size($"toks") >= k,
+      sequence(lit(0), size($"toks") - k)).otherwise(array())
+    val wins = base.select($"doc_id", explode(
+        transform(starts, s =>
+          struct(s.cast("long").as("s"),
+            md5(array_join(slice($"toks", s + 1, lit(k)), " ")).as("h"))))
+        .as("w"))
+      .select($"doc_id", $"w.s".as("s"), $"w.h".as("h"))
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id".asc, $"s".asc)
+    val rem = wins.withColumn("rn", row_number().over(ow))
+      .filter($"rn" > 1).select($"doc_id", $"s")
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"s".asc)
+    val iv = rem
+      .withColumn("pme", max($"s" + lit(k.toLong))
+        .over(dw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(when($"pme".isNull || $"s" >= $"pme", 1L).otherwise(0L))
+        .over(dw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"s").as("a"), (max($"s") + lit(k.toLong)).as("b"))
+    val cov = iv.select($"doc_id", explode(sequence($"a", $"b" - 1)).as("p"))
+      .withColumn("covered", lit(1))
+    base.select($"doc_id", posexplode($"toks"))
+      .select($"doc_id", $"pos".cast("long").as("p"), $"col".as("tok"))
+      .join(cov, Seq("doc_id", "p"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"covered".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when($"covered".isNull, struct($"p", $"tok")))),
+            x => x.getField("tok")),
+          " ")).as("kept_md5"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q83_longrepeat_dedup" -> q83LongRepeatDedup,
     "q82_span_dedup" -> q82SpanDedup,
     "q80_sequence_pack_bfd" -> q80SequencePackBfd,
     "q65_pii_redact" -> q65PiiRedact,
@@ -676,6 +750,40 @@ object TextQueries {
         |  (end_off - n_tokens)::BIGINT AS start_off, end_off,
         |  ((end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1)::BIGINT AS n_windows
         |FROM c""".stripMargin,
+    // q83 — the long-repeat scrub re-derived stage-by-stage: same
+    // overlapping 8-token seed windows, same corpus-wide (doc_id, s)
+    // first-occurrence order, the identical running-max interval merge
+    // (window + prefix-sum group ids), coverage exploded from MERGED
+    // intervals, ordered per-doc rebuild. Every count ::BIGINT.
+    "q83_longrepeat_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |w0 AS (SELECT doc_id, toks, unnest(range(0, greatest(n - 7, 0))) AS s FROM n),
+        |w AS (SELECT doc_id, s, md5(array_to_string(toks[(s+1):(s+8)], ' ')) AS h FROM w0),
+        |r AS (SELECT doc_id, s FROM (SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn FROM w)
+        |  WHERE rn > 1),
+        |g AS (SELECT doc_id, s,
+        |    max(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM r),
+        |g2 AS (SELECT doc_id, s,
+        |    sum(CASE WHEN pme IS NULL OR s >= pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM g),
+        |iv AS (SELECT doc_id, grp, min(s) AS a, max(s) + 8 AS b
+        |  FROM g2 GROUP BY doc_id, grp),
+        |cov AS (SELECT doc_id, unnest(range(a, b)) AS p FROM iv),
+        |tok AS (SELECT doc_id, i AS p, toks[i + 1] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(0, n)) AS i FROM n))
+        |SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  md5(coalesce(string_agg(tok.tok, ' ' ORDER BY tok.p)
+        |    FILTER (cov.p IS NULL), '')) AS kept_md5
+        |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |GROUP BY tok.doc_id""".stripMargin,
     // q82 — the span-dedup re-derived: same 5-token spans, one
     // corpus-wide window over md5(span) partitions with the identical
     // (doc_id, span_idx) first-occurrence order, per-doc reconstruction

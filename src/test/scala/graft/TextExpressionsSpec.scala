@@ -319,4 +319,37 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
     // doc 5: BOTH its copies are non-first occurrences → empty survivor
     out(5L) shouldBe ((2L, 2L, md5hex("")))
   }
+
+  test("q83 long-repeat dedup: variable-length repeats removed at any offset, first kept, merge exact") {
+    val s2 = spark
+    import s2.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // a 12-token repeat (> k=8, NOT k-aligned) planted at offset 0 of doc
+    // 1 and offset 3 of doc 2 — q82's disjoint fixed windows cannot see
+    // a shifted repeat like this, which is exactly what q83 exists for
+    val rep = (1 to 12).map(i => s"r$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"$rep tail1 tail2 tail3"),
+      (2L, s"pre1 pre2 pre3 $rep post1 post2"),
+      (3L, "all unique tokens in this one here so no window repeats"),
+      // 7-token repeat of doc 3's head — BELOW k: must survive untouched
+      (4L, "all unique tokens in this one here plus own suffix material"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q83spec").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.defs("q83_longrepeat_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)   // total
+    // doc 1 holds the first occurrence of every repeated window → intact
+    out(1L) shouldBe ((15L, 0L, md5hex(s"$rep tail1 tail2 tail3")))
+    // doc 2: the overlapping seeds (starts 3..7) merge into ONE interval
+    // covering exactly the 12 repeat tokens — pre/post survive
+    out(2L) shouldBe ((17L, 12L, md5hex("pre1 pre2 pre3 post1 post2")))
+    // sub-k overlap (7 tokens) seeds nothing
+    out(3L)._2 shouldBe 0L
+    out(4L)._2 shouldBe 0L
+    out(4L)._3 shouldBe md5hex("all unique tokens in this one here plus own suffix material")
+  }
 }
