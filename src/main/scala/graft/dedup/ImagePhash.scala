@@ -129,23 +129,39 @@ object ImagePhash {
 
   /** Image near-dup pairs with Hamming(dHash) ≤ maxDist: real decode →
     * dHash → pigeonhole chunk join → exact bit_count verify. Output
-    * (id_a, id_b, dist), canonical id_a < id_b orientation. */
+    * (id_a, id_b, dist), canonical id_a < id_b orientation.
+    *
+    * Any maxDist ∈ [0, 63] is legal (r9, ADVICE fix: the original
+    * equal-width split required (maxDist+1) | 64). Pigeonhole needs
+    * maxDist+1 chunks, not EQUAL ones: the 64 bits split floor/ceil —
+    * the first (64 mod chunks) chunks carry ⌈64/chunks⌉ bits, the rest
+    * ⌊64/chunks⌋ — and any pair within Hamming maxDist still agrees
+    * exactly on ≥1 chunk. */
   def dHashNearDups(media: DataFrame, maxDist: Int = 3,
       idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
     val chunks = maxDist + 1
-    require(64 % chunks == 0, s"maxDist + 1 = $chunks must divide 64")
-    val width = 64 / chunks
+    require(maxDist >= 0 && maxDist < 64,
+      s"maxDist must be in [0, 63], got $maxDist")
+    val base = 64 / chunks
+    val rem = 64 % chunks
     // checkpoint: the banding self-join reads the hash frame on BOTH
     // sides, and without the cut each side re-runs the full image decode
     // (verified in the r8 plan audit: two complete decode pipelines under
     // the SortMergeJoin). Blocks are owned by the result per the
     // BlockRelease caller-side contract.
     val fp = dHashFrame(media, idCol, payloadCol).localCheckpoint()
+    // chunk c covers bits [c·base + min(c, rem), +width) where width =
+    // base + (1 if c < rem). maxDist = 0 (one 64-bit chunk) short-circuits
+    // to fp itself — a 64-bit mask can't be built via shiftleft (Java
+    // shifts are mod 64).
+    val chunkCol =
+      if (chunks == 1) col("fp")
+      else
+        expr(s"shiftrightunsigned(fp, c * $base + least(c, $rem)) & " +
+          s"(shiftleft(1L, $base + if(c < $rem, 1, 0)) - 1)")
     val banded = fp.select(col("media_id"), col("fp"),
         explode(sequence(lit(0), lit(chunks - 1))).as("c"))
-      .withColumn("chunk",
-        expr(s"shiftrightunsigned(fp, c * $width)")
-          .bitwiseAND(lit((1L << width) - 1)))
+      .withColumn("chunk", chunkCol)
     banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") < col("b.media_id"))

@@ -21,11 +21,11 @@ object ChartSink {
     * driver memory. */
   val MaxRows = 10000
 
-  /** Render a vertical bar chart of (labelCol, valueCol) to `path`.
+  /** Render a vertical bar chart of (labelCol, valueCol) to SVG markup.
     * Deterministic output: bars in the DataFrame's row order, fixed
     * geometry, values formatted with 4 significant decimals. */
-  def barChartSvg(df: DataFrame, labelCol: String, valueCol: String,
-      title: String, path: String, width: Int = 800, height: Int = 400): Unit = {
+  def barChartSvgString(df: DataFrame, labelCol: String, valueCol: String,
+      title: String, width: Int = 800, height: Int = 400): String = {
     val limited = df.select(labelCol, valueCol).limit(MaxRows + 1).collect()
     require(limited.length <= MaxRows,
       s"chart input exceeds $MaxRows rows — pass the aggregated metric " +
@@ -39,7 +39,13 @@ object ChartSink {
       }
       (label, v)
     }
-    val svg = render(rows, title, width, height)
+    render(rows, title, width, height)
+  }
+
+  /** [[barChartSvgString]] written to `path` (any Hadoop-visible FS). */
+  def barChartSvg(df: DataFrame, labelCol: String, valueCol: String,
+      title: String, path: String, width: Int = 800, height: Int = 400): Unit = {
+    val svg = barChartSvgString(df, labelCol, valueCol, title, width, height)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

@@ -111,5 +111,18 @@ class ImagePhashSpec extends SparkSpec with Matchers {
     } yield (i, j, d.toLong)).toSet
     banded shouldBe brute
     brute should not be empty
+
+    // non-dividing maxDist (r9 ADVICE: uneven floor/ceil chunks) — same
+    // pigeonhole completeness at maxDist = 4 (five chunks: 13,13,13,13,12
+    // bits) and at maxDist = 2 (three chunks: 22,21,21)
+    for (md4 <- Seq(2, 4)) {
+      val b2 = ImagePhash.dHashNearDups(media, maxDist = md4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val t2 = (for {
+        i <- fps.keys; j <- fps.keys if i < j
+        d = java.lang.Long.bitCount(fps(i) ^ fps(j)) if d <= md4
+      } yield (i, j, d.toLong)).toSet
+      b2 shouldBe t2
+    }
   }
 }
