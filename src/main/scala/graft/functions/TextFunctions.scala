@@ -54,6 +54,28 @@ object TextFunctions {
     size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks)
   }
 
+  /** The registered q85 blocklist — a small deterministic term set with
+    * real hits in the synthetic corpus (a stand-in for the C4 badwords
+    * list, which is an external asset this zero-egress build can't
+    * ship). */
+  val defaultBlocklist: Seq[String] = Seq("slow", "dup", "skew", "spill")
+
+  /** Token-level blocklist hit count — the C4-style badwords scrub
+    * (Raffel et al. 2020 filter any document containing a listed term).
+    * MAP-ONLY: the term set folds into the plan as a literal (the
+    * in-expression twin of a broadcast); for six-figure phrase lists the
+    * production tier is an explode + broadcast semi-join on the token —
+    * still shuffle-free on the corpus side. Counts OCCURRENCES (each
+    * repeated hit counts), over the same whitespace tokenizer as every
+    * text operator here. */
+  def blocklistHits(text: Column, terms: Seq[String] = defaultBlocklist): Column =
+    size(filter(tokens(text), t => t.isin(terms: _*)))
+
+  /** Distinct blocklist terms present (the "how many different bad terms"
+    * severity signal). */
+  def blocklistDistinctHits(text: Column, terms: Seq[String] = defaultBlocklist): Column =
+    size(filter(array_distinct(tokens(text)), t => t.isin(terms: _*)))
+
   /** Fraction of non-space characters that are punctuation. */
   def punctRatio(text: Column): Column = {
     val nospace = regexp_replace(text, "\\s", "")

@@ -690,7 +690,26 @@ object TextQueries {
           " ")).as("kept_md5"))
   }
 
+  /** q85 — BLOCKLIST / BADWORDS SCRUB (the C4 cleanup rule, Raffel et
+    * al. 2020 §2.2: drop any document containing a term from a
+    * blocklist; here
+    * [[graft.functions.TextFunctions.defaultBlocklist]]). The registered
+    * surface keeps the TOTAL shape (every doc, hit counts + verdict) so
+    * the oracle pins both kept and dropped sides. MAP-ONLY — the term
+    * set is a plan literal, no shuffle, no UDF; the six-figure-phrase
+    * production tier is documented at
+    * [[graft.functions.TextFunctions.blocklistHits]]. */
+  val q85Blocklist: Q = (spark, dir) => {
+    import spark.implicits._
+    docs(spark, dir).select(
+      $"doc_id",
+      blocklistHits($"text").cast("long").as("n_hits"),
+      blocklistDistinctHits($"text").cast("long").as("n_distinct_hits"),
+      (blocklistHits($"text") > 0).as("blocked"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q85_blocklist" -> q85Blocklist,
     "q83_longrepeat_dedup" -> q83LongRepeatDedup,
     "q82_span_dedup" -> q82SpanDedup,
     "q80_sequence_pack_bfd" -> q80SequencePackBfd,
@@ -719,6 +738,20 @@ object TextQueries {
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
   val oracles: Map[String, String] = Map(
+    // q85 — the badwords scrub re-derived: same whitespace tokenizer,
+    // same four-term list, occurrence + distinct counts, verdict =
+    // any hit. Every count ::BIGINT.
+    "q85_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(toks, tk ->
+        |    list_contains(['slow', 'dup', 'skew', 'spill'], tk)))::BIGINT AS n_hits,
+        |  len(list_filter(list_distinct(toks), tk ->
+        |    list_contains(['slow', 'dup', 'skew', 'spill'], tk)))::BIGINT AS n_distinct_hits,
+        |  len(list_filter(toks, tk ->
+        |    list_contains(['slow', 'dup', 'skew', 'spill'], tk))) > 0 AS blocked
+        |FROM t""".stripMargin,
     // q70 — the stratified-sampling outcome re-derived bit-exactly: the
     // integer threshold (BIGINT division, no float) and the same md5-u32
     // window as q69; every count cast ::BIGINT (DuckDB sum → HUGEINT —

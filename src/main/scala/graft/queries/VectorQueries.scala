@@ -165,10 +165,25 @@ object VectorQueries {
     val nTrue = brute.count()
     val nLsh = lshS.count()
     val nOutside = lshS.join(brute, Seq("id_a", "id_b"), "left_anti").count()
+    // CORPUS-WIDE verify invariant (r9 ADVICE: in sampled mode the
+    // subset pin only sees sample-internal pairs — an LSH regression
+    // emitting spurious pairs among non-sample docs would be invisible).
+    // Re-join EVERY emitted pair to its vectors and re-evaluate the
+    // rational predicate from scratch (independent of the dot/n2 the
+    // banding carried) — linear in |pairs|, never pairwise.
+    val vecsById = nz.select($"doc_id", $"v", dot($"v", $"v").as("n2"))
+    val nUnverified = lsh.select($"id_a", $"id_b")
+      .join(broadcast(vecsById.select($"doc_id".as("id_a"), $"v".as("va"), $"n2".as("na2"))), Seq("id_a"))
+      .join(broadcast(vecsById.select($"doc_id".as("id_b"), $"v".as("vb"), $"n2".as("nb2"))), Seq("id_b"))
+      .select(dot($"va", $"vb").as("d"), $"na2", $"nb2")
+      .filter(!($"d" > 0 && lit(100L) * $"d" * $"d" >= lit(81L) * $"na2" * $"nb2"))
+      .count()
     graft.util.BlockRelease.release(Seq(docs, lsh, lshS, brute))
     val mode = if (nDocs <= sampleGate) "full" else "sampled"
-    Seq((nDocs, mode, nTrue, nOutside == 0, nOutside == 0 && nLsh == nTrue))
-      .toDF("n_docs", "mode", "n_true_pairs", "lsh_subset_of_true", "lsh_equals_true")
+    Seq((nDocs, mode, nTrue, nOutside == 0, nOutside == 0 && nLsh == nTrue,
+        nUnverified == 0L))
+      .toDF("n_docs", "mode", "n_true_pairs", "lsh_subset_of_true",
+        "lsh_equals_true", "lsh_all_verified")
   }
 
   /** q39 — exact brute-force τ-join over the synthetic embeddings table:
@@ -346,8 +361,40 @@ object VectorQueries {
       coded.filter($"doc_id" % 97 === 0))
   }
 
+  /** q84 — PRODUCT QUANTIZATION ([[graft.similarity.Pq]]; Jégou et al.
+    * 2011): encode the md5Embed corpus with the md5-derived integer
+    * codebook twin (m=4 subspaces × ks=8 entries × subDim=4 over the
+    * 16-dim vectors) and report, per doc, the code word, the squared
+    * reconstruction error, and the ADC distance to a fixed md5-derived
+    * query vector — the storage + query artifacts of an IVF-PQ index.
+    * Everything is MAP-ONLY (codebooks are plan literals; encode, decode
+    * and the ADC lookup table are codegen'd column expressions — zero
+    * shuffle, zero UDF) and every operand is an exact integer in doubles
+    * (md5Embed values ⊂ ℤ, codebook entries ∈ [−4,4] ⊂ ℤ), so argmin
+    * tie-breaks (first minimum ⟺ smallest j) and both distance sums
+    * replay bit-for-bat in DuckDB → full hash oracle. The production
+    * tier ([[graft.similarity.Pq.fitCodebooks]], per-subspace k-means)
+    * is seed-dependent and spec-verified in PqSpec — the q79 tiering. */
+  val q84Pq: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Embed
+    import graft.similarity.Pq
+    val cbs = Pq.md5Codebooks(m = 4, ks = 8, subDim = 4)
+    val qv = Pq.md5Query(16)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", md5Embed($"text").as("v"))
+      .select($"doc_id", Pq.encode($"v", cbs).as("codes"),
+        Pq.reconstructionError2($"v", cbs).cast("long").as("recon_err2"))
+      .select($"doc_id",
+        element_at($"codes", 1).as("c0"), element_at($"codes", 2).as("c1"),
+        element_at($"codes", 3).as("c2"), element_at($"codes", 4).as("c3"),
+        $"recon_err2",
+        Pq.adc($"codes", qv, cbs).cast("long").as("adc_dist2"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q81_semantic_decontam" -> q81SemanticDecontam,
+    "q84_pq_codes" -> q84Pq,
     "q20_cosine_top5" -> q20CosineTop5,
     "q21_cosine_bottom5" -> q21CosineBottom5,
     "q22_centroids" -> q22Centroids,
@@ -363,6 +410,53 @@ object VectorQueries {
     "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
 
   val oracles: Map[String, String] = Map(
+    // q84 — the whole PQ twin re-derived: md5Embed vectors (the q24
+    // fragment), md5-nibble codebooks (4 subspaces × 8 entries × 4 dims,
+    // value = nibble % 9 − 4), argmin with smallest-j tie-break
+    // (min(j) over rows achieving the per-(doc,s) min — the engine's
+    // array_position-first-minimum), reconstruction error = Σ_s chosen
+    // d², ADC vs the md5Query vector. Integer-valued doubles throughout,
+    // so every equality and sum is exact in both engines.
+    "q84_pq_codes" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |      list_sum(list_transform(toks, tk ->
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1 = i
+        |          THEN (CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 3, 1)) >= 9
+        |            THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))) AS v FROM t),
+        |cbe AS (SELECT t1.s, t2.j, t3.d,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5('pq:' || t1.s || ':' || t2.j || ':' || t3.d), 1, 1)) - 1)
+        |      % 9 - 4)::DOUBLE AS val
+        |  FROM range(0, 4) t1(s), range(0, 8) t2(j), range(0, 4) t3(d)),
+        |cb AS (SELECT s, j, list(val ORDER BY d) AS e FROM cbe GROUP BY s, j),
+        |qv AS (SELECT list(((strpos('0123456789abcdef',
+        |        substr(md5('pqq:' || i), 1, 1)) - 1) % 9 - 4)::DOUBLE ORDER BY i) AS q
+        |  FROM range(0, 16) t(i)),
+        |dists AS (SELECT v.doc_id, cb.s, cb.j, cb.e,
+        |    list_sum(list_transform(range(0, 4), d ->
+        |      (v.v[cb.s * 4 + d + 1] - cb.e[d + 1]) *
+        |      (v.v[cb.s * 4 + d + 1] - cb.e[d + 1]))) AS d2
+        |  FROM v, cb),
+        |best AS (SELECT doc_id, s, min(d2) AS mind FROM dists GROUP BY doc_id, s),
+        |chosen AS (SELECT d.doc_id, d.s, min(d.j) AS code, any_value(b.mind) AS d2
+        |  FROM dists d JOIN best b
+        |    ON d.doc_id = b.doc_id AND d.s = b.s AND d.d2 = b.mind
+        |  GROUP BY d.doc_id, d.s),
+        |adc AS (SELECT c.doc_id, c.s, c.code, c.d2,
+        |    list_sum(list_transform(range(0, 4), d ->
+        |      (qv.q[c.s * 4 + d + 1] - cb.e[d + 1]) *
+        |      (qv.q[c.s * 4 + d + 1] - cb.e[d + 1]))) AS a2
+        |  FROM chosen c JOIN cb ON cb.s = c.s AND cb.j = c.code, qv)
+        |SELECT doc_id,
+        |  max(CASE WHEN s = 0 THEN code END)::INT AS c0,
+        |  max(CASE WHEN s = 1 THEN code END)::INT AS c1,
+        |  max(CASE WHEN s = 2 THEN code END)::INT AS c2,
+        |  max(CASE WHEN s = 3 THEN code END)::INT AS c3,
+        |  sum(d2)::BIGINT AS recon_err2,
+        |  sum(a2)::BIGINT AS adc_dist2
+        |FROM adc GROUP BY doc_id""".stripMargin,
     // q81 — the semantic-decontamination twin re-derived: md5Embed →
     // q74 codes (the q79 fragments), bench = doc_id % 97 = 0, the
     // integer-rational τ=9/10 predicate per (corpus, bench) pair, LEFT
@@ -447,7 +541,8 @@ object VectorQueries {
         |  CASE WHEN (SELECT n FROM cnt) <= 2000 THEN 'full' ELSE 'sampled' END AS mode,
         |  (SELECT count(*) FROM tp) AS n_true_pairs,
         |  TRUE AS lsh_subset_of_true,
-        |  TRUE AS lsh_equals_true""".stripMargin,
+        |  TRUE AS lsh_equals_true,
+        |  TRUE AS lsh_all_verified""".stripMargin,
     // q79 — the whole SemDeDup twin re-derived: md5Embed vectors (the
     // q24 fragment), q74 codes, md5-±1 SRP cells (integer dots, strict
     // > 0), the integer-rational prune (100·dot² ≥ 81·|ca|²·|cb|² in
