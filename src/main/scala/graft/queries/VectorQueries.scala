@@ -392,9 +392,53 @@ object VectorQueries {
         Pq.adc($"codes", qv, cbs).cast("long").as("adc_dist2"))
   }
 
+  /** q86 — IVF-PQ TOP-K: the composed 100 TB ANN serving path (coarse
+    * IVF cell prune → in-cell ADC scan → top-k), built from the q79 SRP
+    * cells (production tier: the q26 kmeans-IVF cells, cell-partitioned
+    * on disk so the prune is PARTITION PRUNING at the scan) and the q84
+    * PQ codes (production: the int8 code store — D floats never read at
+    * query time). The query's cell is computed once driver-side through
+    * the SAME expression the corpus side uses; the scan filters to that
+    * cell, ranks by ADC, and takes top-10 with doc_id tie-break — one
+    * TakeOrderedAndProject, no shuffle before it. Cell count follows the
+    * production nlist rule from the corpus count (the q79 fixture-trap
+    * fix), so the oracle exercises real cell sizing at every SF.
+    * Integer-exact end to end (md5Embed ⊂ ℤ, ±1 planes, integer
+    * codebooks) → full hash oracle; multi-probe (neighboring cells by
+    * Hamming distance on the SRP bits) is the recall knob at production
+    * scale, documented at [[graft.functions.VectorExpressions]]. */
+  val q86IvfPq: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Embed
+    import graft.dedup.SemDedup
+    import graft.similarity.Pq
+    val n = Tables.load(spark, dir, "documents").count()
+    val bits = SemDedup.nlistBits(n)
+    val cbs = Pq.md5Codebooks(m = 4, ks = 8, subDim = 4)
+    val qv = Pq.md5Query(16)
+    val qcell = spark.range(1)
+      .select(SemDedup.srpCellsMd5(typedlit(qv), dim = 16, bits = bits, seed = "sd").as("c"))
+      .first().getLong(0)
+    // multi-probe: the query's cell + every Hamming-1 neighbor (flip one
+    // SRP bit) — the standard IVF recall knob; probes are driver-side
+    // literals, so the scan-side filter (⇒ partition prune on a
+    // cell-partitioned store) stays an IN over bits+1 constants
+    val probes = qcell +: (0 until bits).map(b => qcell ^ (1L << b))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", md5Embed($"text").as("v"))
+      .select($"doc_id",
+        SemDedup.srpCellsMd5($"v", dim = 16, bits = bits, seed = "sd").as("cell"),
+        Pq.encode($"v", cbs).as("codes"))
+      .filter($"cell".isin(probes: _*))
+      .select($"doc_id", $"cell", Pq.adc($"codes", qv, cbs).cast("long").as("adc_dist2"))
+      .orderBy($"adc_dist2", $"doc_id")
+      .limit(10)
+  }
+
   val defs: Map[String, Q] = Map(
     "q81_semantic_decontam" -> q81SemanticDecontam,
     "q84_pq_codes" -> q84Pq,
+    "q86_ivfpq_topk" -> q86IvfPq,
     "q20_cosine_top5" -> q20CosineTop5,
     "q21_cosine_bottom5" -> q21CosineBottom5,
     "q22_centroids" -> q22Centroids,
@@ -457,6 +501,70 @@ object VectorQueries {
         |  sum(d2)::BIGINT AS recon_err2,
         |  sum(a2)::BIGINT AS adc_dist2
         |FROM adc GROUP BY doc_id""".stripMargin,
+    // q86 — the IVF-PQ serving path re-derived: md5Embed vectors, the
+    // q79 nlist-rule bits + md5-±1 SRP cells (corpus AND query through
+    // the same planes), the q84 codebooks/argmin/ADC restricted to the
+    // query's cell, top-10 by (adc, doc_id). Top-k is a deterministic
+    // SET (doc_id tie-break), so the sorted-row hash matches.
+    "q86_ivfpq_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |      list_sum(list_transform(toks, tk ->
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1 = i
+        |          THEN (CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 3, 1)) >= 9
+        |            THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))) AS v FROM t),
+        |cnt AS (SELECT count(*)::BIGINT AS n FROM t),
+        |bits AS (SELECT min(b)::BIGINT AS bits
+        |  FROM (SELECT unnest(range(4, 41)) AS b), cnt
+        |  WHERE (400::BIGINT << b) >= n OR b = 40),
+        |pl AS (SELECT b, list_transform(range(0, 16), i ->
+        |      CASE WHEN strpos('0123456789abcdef',
+        |          substr(md5('sd:' || b::VARCHAR || ':' || i::VARCHAR), 1, 1)) >= 9
+        |        THEN 1.0 ELSE -1.0 END) AS p
+        |  FROM (SELECT unnest(range(0, 64)) AS b), bits WHERE b < bits.bits),
+        |qv AS (SELECT list(((strpos('0123456789abcdef',
+        |        substr(md5('pqq:' || i), 1, 1)) - 1) % 9 - 4)::DOUBLE ORDER BY i) AS q
+        |  FROM range(0, 16) t(i)),
+        |qcell AS (SELECT sum(CASE
+        |      WHEN list_sum(list_transform(range(1, 17), i -> qv.q[i] * pl.p[i])) > 0
+        |      THEN (1::BIGINT << pl.b) ELSE 0 END)::BIGINT AS cell FROM qv, pl),
+        |probes AS (SELECT cell FROM qcell
+        |  UNION ALL
+        |  SELECT xor(qcell.cell, 1::BIGINT << b)::BIGINT AS cell
+        |  FROM qcell, (SELECT unnest(range(0, 64)) AS b), bits
+        |  WHERE b < bits.bits),
+        |cells AS (SELECT v.doc_id, v.v,
+        |    sum(CASE WHEN list_sum(list_transform(range(1, 17), i -> v.v[i] * pl.p[i])) > 0
+        |        THEN (1::BIGINT << pl.b) ELSE 0 END)::BIGINT AS cell
+        |  FROM v, pl GROUP BY v.doc_id, v.v),
+        |cand AS (SELECT c.doc_id, c.v, c.cell FROM cells c
+        |  WHERE c.cell IN (SELECT cell FROM probes)),
+        |cbe AS (SELECT t1.s, t2.j, t3.d,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5('pq:' || t1.s || ':' || t2.j || ':' || t3.d), 1, 1)) - 1)
+        |      % 9 - 4)::DOUBLE AS val
+        |  FROM range(0, 4) t1(s), range(0, 8) t2(j), range(0, 4) t3(d)),
+        |cb AS (SELECT s, j, list(val ORDER BY d) AS e FROM cbe GROUP BY s, j),
+        |dists AS (SELECT cand.doc_id, cb.s, cb.j, cb.e,
+        |    list_sum(list_transform(range(0, 4), d ->
+        |      (cand.v[cb.s * 4 + d + 1] - cb.e[d + 1]) *
+        |      (cand.v[cb.s * 4 + d + 1] - cb.e[d + 1]))) AS d2
+        |  FROM cand, cb),
+        |best AS (SELECT doc_id, s, min(d2) AS mind FROM dists GROUP BY doc_id, s),
+        |chosen AS (SELECT d.doc_id, d.s, min(d.j) AS code
+        |  FROM dists d JOIN best b
+        |    ON d.doc_id = b.doc_id AND d.s = b.s AND d.d2 = b.mind
+        |  GROUP BY d.doc_id, d.s),
+        |a AS (SELECT c.doc_id, sum(
+        |    list_sum(list_transform(range(0, 4), d ->
+        |      (qv.q[c.s * 4 + d + 1] - cb.e[d + 1]) *
+        |      (qv.q[c.s * 4 + d + 1] - cb.e[d + 1])))) AS adc2
+        |  FROM chosen c JOIN cb ON cb.s = c.s AND cb.j = c.code, qv
+        |  GROUP BY c.doc_id)
+        |SELECT cand.doc_id, cand.cell, a.adc2::BIGINT AS adc_dist2
+        |FROM cand JOIN a ON a.doc_id = cand.doc_id
+        |ORDER BY a.adc2, cand.doc_id LIMIT 10""".stripMargin,
     // q81 — the semantic-decontamination twin re-derived: md5Embed →
     // q74 codes (the q79 fragments), bench = doc_id % 97 = 0, the
     // integer-rational τ=9/10 predicate per (corpus, bench) pair, LEFT
