@@ -424,8 +424,14 @@ object VectorQueries {
     // literals, so the scan-side filter (⇒ partition prune on a
     // cell-partitioned store) stays an IN over bits+1 constants
     val probes = qcell +: (0 until bits).map(b => qcell ^ (1L << b))
+    // checkpoint the embed: without the cut, predicate pushdown inlines
+    // the O(tokens) md5Embed fold into the cell filter once PER SRP BIT
+    // (caught in the PLANS_r9 audit — the plan showed the full aggregate
+    // duplicated inside the Filter condition). Blocks are owned by the
+    // result per the BlockRelease caller-side contract.
     Tables.load(spark, dir, "documents")
       .select($"doc_id", md5Embed($"text").as("v"))
+      .localCheckpoint()
       .select($"doc_id",
         SemDedup.srpCellsMd5($"v", dim = 16, bits = bits, seed = "sd").as("cell"),
         Pq.encode($"v", cbs).as("codes"))
