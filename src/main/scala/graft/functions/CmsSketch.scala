@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) over a token stream —
+  * the MERGEABLE-SUMMARY tier for frequency queries at 100 TB, where the
+  * exact token groupBy's key space (vocabulary ∝ corpus) no longer fits
+  * a reducer but a d×w counter grid always does.
+  *
+  * The Spark shape IS the sketch algebra: the `groupBy(r, b).count`
+  * partial aggregation builds one LOCAL sketch per partition (≤ d·w
+  * summary rows each — the map-side combine is the CMS merge, counters
+  * add), the exchange moves only those fixed-size summaries (shuffle
+  * ∝ partitions·d·w, NOT tokens), and the final aggregation is the
+  * cluster-wide merge. Estimates then read d cells per probe token:
+  * est(t) = min_r grid(r, h_r(t)) ≥ true(t) always (admissibility), with
+  * overestimate ≤ ε·N at w = ⌈e/ε⌉ w.p. 1−(1/2)^d.
+  *
+  * Hashing is md5-derived (`u32(md5("cms:r:" + token)) mod w`) so any
+  * engine replays the grid bit-for-bit — the sketch itself goes under
+  * the q55/KMV-style EXACT oracle (deterministic given the hash family),
+  * not just an error-bound pin. Reference analog: the reference keeps
+  * exact counts in Postgres (A2-style aggregates, postgres/community.py)
+  * — tractable at its scale; this is the operator that replaces them
+  * when the vocabulary itself is shuffle-hostile.
+  */
+object CmsSketch {
+
+  /** u32 bucket of a token under hash row r (md5-replayable). */
+  private def bucket(r: Int, tok: Column, w: Int): Column =
+    conv(substring(md5(concat(lit(s"cms:$r:"), tok)), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** Build the d×w counter grid from a 1-column token frame
+    * (`tokCol`: one row per token OCCURRENCE). Returns (r, b, c) —
+    * ≤ d·w rows. */
+  def sketch(toks: DataFrame, tokCol: String, d: Int = 3, w: Int = 512): DataFrame = {
+    require(d > 0 && w > 0, "sketch dims must be positive")
+    toks.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(r, col(tokCol), w).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the grid for every token in `probes` (a 1-column frame
+    * of DISTINCT tokens): (token, est_count). The GRID broadcasts (≤ d·w
+    * rows by construction — that fixed size is the whole point of the
+    * sketch); absent (r, b) cells read 0. */
+  def estimates(grid: DataFrame, probes: DataFrame, tokCol: String,
+      d: Int = 3, w: Int = 512): DataFrame = {
+    val pb = probes.select(col(tokCol).as("token"))
+      .select(col("token"), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("token"), w).as("b"))): _*)).as("rb"))
+      .select(col("token"), col("rb.r").as("r"), col("rb.b").as("b"))
+    pb.join(broadcast(grid), Seq("r", "b"), "left")
+      .select(col("token"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(col("token"))
+      .agg(min(col("c")).as("est_count"))
+  }
+}

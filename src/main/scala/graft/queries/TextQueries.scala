@@ -708,7 +708,42 @@ object TextQueries {
       (blocklistHits($"text") > 0).as("blocked"))
   }
 
+  /** q87 — COUNT-MIN-SKETCH frequency estimates
+    * ([[graft.functions.CmsSketch]]): the mergeable-summary tier for
+    * token frequencies when the exact vocabulary groupBy stops being
+    * shuffle-friendly (100 TB vocab ∝ corpus; the d×w grid is constant).
+    * Partial aggregation IS the per-partition sketch; the exchange moves
+    * ≤ d·w summary rows per partition, never tokens. Probed for 12 fixed
+    * tokens (10 present incl. collision-prone high-frequency ones + 2
+    * absent) against the EXACT count of the same probes, with the CMS
+    * admissibility guarantee (est ≥ true, always) as a decidable
+    * column. md5-derived hash rows ⇒ the grid and every estimate replay
+    * bit-for-bit in DuckDB — a fully EXACT oracle over an approximate
+    * operator (the q55/KMV discipline). */
+  val q87Cms: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.CmsSketch
+    val probes = Seq("filter", "batch", "scan", "hash", "customer", "merge",
+      "stream", "slow", "the", "spark", "zebraquux", "notoken")
+    val toks = docs(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      // two consumers (grid, exact truth): tokenize once
+      .localCheckpoint()
+    val grid = CmsSketch.sketch(toks, "tok")
+    val est = CmsSketch.estimates(grid, probes.toDF("token"), "token")
+    val truth = toks.filter($"tok".isin(probes: _*))
+      .groupBy($"tok".as("token")).agg(count(lit(1)).as("true_count"))
+    val r = est.join(truth, Seq("token"), "left")
+      .select($"token", $"est_count",
+        coalesce($"true_count", lit(0L)).as("true_count"),
+        ($"est_count" >= coalesce($"true_count", lit(0L))).as("admissible"))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(toks)
+    r
+  }
+
   val defs: Map[String, Q] = Map(
+    "q87_cms_counts" -> q87Cms,
     "q85_blocklist" -> q85Blocklist,
     "q83_longrepeat_dedup" -> q83LongRepeatDedup,
     "q82_span_dedup" -> q82SpanDedup,
@@ -738,6 +773,32 @@ object TextQueries {
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
   val oracles: Map[String, String] = Map(
+    // q87 — the CMS grid re-derived: same tokenizer, same md5 u32 mod-w
+    // buckets per hash row, grid = exact (r, b) occurrence counts, probe
+    // estimate = min over rows with absent cells read as 0, exact truth
+    // for the same probes. Every count ::BIGINT.
+    "q87_cms_counts" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |tok AS (SELECT unnest(toks) AS tok FROM t),
+        |pairs AS (SELECT rr.r,
+        |    ('0x' || substr(md5('cms:' || rr.r || ':' || tok.tok), 1, 8))::BIGINT % 512 AS b
+        |  FROM tok, range(0, 3) rr(r)),
+        |grid AS (SELECT r, b, count(*)::BIGINT AS c FROM pairs GROUP BY r, b),
+        |probes AS (SELECT unnest(['filter', 'batch', 'scan', 'hash', 'customer',
+        |    'merge', 'stream', 'slow', 'the', 'spark', 'zebraquux', 'notoken']) AS token),
+        |pb AS (SELECT probes.token, rr.r,
+        |    ('0x' || substr(md5('cms:' || rr.r || ':' || probes.token), 1, 8))::BIGINT % 512 AS b
+        |  FROM probes, range(0, 3) rr(r)),
+        |est AS (SELECT token, min(coalesce(grid.c, 0))::BIGINT AS est_count
+        |  FROM pb LEFT JOIN grid ON pb.r = grid.r AND pb.b = grid.b
+        |  GROUP BY token),
+        |tr AS (SELECT tok AS token, count(*)::BIGINT AS true_count FROM tok
+        |  WHERE tok IN (SELECT token FROM probes) GROUP BY tok)
+        |SELECT est.token, est.est_count,
+        |  coalesce(tr.true_count, 0)::BIGINT AS true_count,
+        |  est.est_count >= coalesce(tr.true_count, 0) AS admissible
+        |FROM est LEFT JOIN tr ON est.token = tr.token""".stripMargin,
     // q85 — the badwords scrub re-derived: same whitespace tokenizer,
     // same four-term list, occurrence + distinct counts, verdict =
     // any hit. Every count ::BIGINT.

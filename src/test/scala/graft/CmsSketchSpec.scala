@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.CmsSketch
+
+/** Count-min sketch (q87's operator): admissibility, mergeability (the
+  * property that makes it THE 100 TB frequency summary), and the
+  * degenerate-width bound. */
+class CmsSketchSpec extends SparkSpec with Matchers {
+
+  private def tokFrame(words: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    words.toDF("tok")
+  }
+
+  test("estimates are admissible (est >= true) and exact absent collisions") {
+    val s = spark
+    import s.implicits._
+    val words = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val toks = tokFrame(words)
+    val grid = CmsSketch.sketch(toks, "tok")
+    val est = CmsSketch.estimates(grid, Seq("alpha", "beta", "gamma", "absent").toDF("t"), "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est("alpha") should be >= 7L
+    est("beta") should be >= 3L
+    est("gamma") should be >= 1L
+    est("absent") should be >= 0L
+    // w=512 over 3 distinct tokens: collisions need a 3-row agreement —
+    // with these fixed md5 hashes there are none, so estimates are exact
+    est("alpha") shouldBe 7L
+    est("beta") shouldBe 3L
+    est("gamma") shouldBe 1L
+    est("absent") shouldBe 0L
+  }
+
+  test("sketch is mergeable: grid(A union B) = cellwise sum of grid(A) + grid(B)") {
+    val a = tokFrame(Seq("x", "x", "y", "z"))
+    val b = tokFrame(Seq("y", "z", "z", "w"))
+    val merged = CmsSketch.sketch(tokFrame(Seq("x", "x", "y", "z", "y", "z", "z", "w")), "tok")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val summed = (CmsSketch.sketch(a, "tok").collect() ++ CmsSketch.sketch(b, "tok").collect())
+      .groupBy(r => (r.getInt(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    merged shouldBe summed
+  }
+
+  test("w=1 degenerates to the total count for every probe — the epsilon*N bound's edge") {
+    val s = spark
+    import s.implicits._
+    val toks = tokFrame(Seq("a", "b", "c", "c"))
+    val grid = CmsSketch.sketch(toks, "tok", d = 2, w = 1)
+    val est = CmsSketch.estimates(grid, Seq("a", "nope").toDF("t"), "t", d = 2, w = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est("a") shouldBe 4L
+    est("nope") shouldBe 4L // everything collides into the one cell
+  }
+}
