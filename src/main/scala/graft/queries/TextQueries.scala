@@ -742,7 +742,111 @@ object TextQueries {
     r
   }
 
+  /** q88 — HYPERLOGLOG distinct-count sketch
+    * ([[graft.functions.HllSketch]]): the third leg of the
+    * mergeable-summary tier (KMV q55 = distinct sample, CMS q87 =
+    * frequency grid, HLL = cardinality registers). At 100 TB the exact
+    * vocabulary COUNT(DISTINCT) shuffles every term; the 512-register
+    * table is a fixed-size summary whose map-side combine (per-partition
+    * max per bucket) IS the sketch merge. md5-derived 60-bit hash and an
+    * INTEGER harmonic denominator (Σ 2^(52−M[b]), exact in BIGINT) make
+    * the whole surface — registers, denominator, the single-division
+    * estimate, the milli-relative error vs the exact count — replay
+    * bit-for-bit in DuckDB: a fully EXACT oracle over an approximate
+    * operator. */
+  val q88Hll: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.HllSketch
+    val toks = docs(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      // two consumers (registers, exact truth): tokenize once
+      .localCheckpoint()
+    val s = HllSketch.summary(HllSketch.registers(toks, "tok"))
+    val truth = toks.agg(countDistinct($"tok").as("true_distinct"))
+    val r = s.crossJoin(truth)
+      .select($"m", $"v_zero", $"s_harm", $"est_hll", $"true_distinct",
+        expr("CAST((1000 * abs(est_hll - true_distinct)) DIV true_distinct AS BIGINT)")
+          .as("err_milli"),
+        $"lc_range")
+      .localCheckpoint()
+    graft.util.BlockRelease.release(toks)
+    r
+  }
+
+  /** q89 — DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by the log-likelihood ratio of a TARGET unigram
+    * model (here the `lang='en'` slice — domain selection) vs the RAW
+    * corpus model, both over HASHED n-gram features so the model is a
+    * FIXED-SIZE table (4096 buckets) instead of an open vocabulary —
+    * which is the whole 100 TB point: the model broadcasts (≤4096 rows),
+    * docs are scored map-side, and the only shuffles are the two
+    * token-stream partial aggregations (bucket counts, per-doc sums).
+    * Laplace-smoothed: λ(b) = ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)).
+    *
+    * DECIDABILITY: per-bucket λ is quantized to integer milli-nats (one
+    * ln per DISTINCT bucket, identical op order in both engines — the
+    * q77 discipline) and per-doc aggregation sums integers, so the
+    * cross-row float-sum trap never opens. */
+  val q89Dsir: Q = (spark, dir) => {
+    import spark.implicits._
+    val B = 4096
+    val tokd = docs(spark, dir)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+      .select($"doc_id", $"lang",
+        (conv(substring(md5(concat(lit("dsir:"), $"tok")), 1, 8), 16, 10)
+          .cast("long") % B).as("b"))
+      // four consumers (raw counts, target counts, totals, scoring):
+      // tokenize+hash once
+      .localCheckpoint()
+    val raw = tokd.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = tokd.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("ct"))
+    val nt = tokd.filter($"lang" === "en").agg(count(lit(1)).as("nt"))
+    val nr = tokd.agg(count(lit(1)).as("nr"))
+    val dict = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select($"b",
+        round((log(coalesce($"ct", lit(0L)) + 1) - log($"nt" + B)
+          - log($"cr" + 1) + log($"nr" + B)) * 1000).cast("long").as("mnats"))
+    val r = tokd.join(broadcast(dict), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"mnats").as("sum_mnats"))
+      .select($"doc_id", $"n_tokens", $"sum_mnats",
+        ($"sum_mnats" > 0).as("selected"))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(tokd)
+    r
+  }
+
+  /** q90 — SLIDING-WINDOW CHUNKING with overlap (the RAG / context-window
+    * sequence-prep operator: fixed 64-token chunks, 16-token overlap,
+    * stride 48; a trailing fragment wholly contained in the previous
+    * chunk's tail is suppressed). Map-only over the document stream —
+    * explode(sequence(...)) fans each doc into its chunk index range, the
+    * chunk text is a slice of the ONE tokenization, and the output is
+    * keyed (doc_id, chunk_id) with an md5 content surface so every chunk
+    * boundary replays exactly. No shuffle at all: chunking at 100 TB is
+    * embarrassingly parallel and the plan must say so. */
+  val q90ChunkOverlap: Q = (spark, dir) => {
+    import spark.implicits._
+    val C = 64; val O = 16; val S = C - O
+    docs(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").as("n"))
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0L), floor(($"n" - 1) / S))).as("k"))
+      .select($"doc_id", $"toks", $"n", $"k", ($"k" * S).as("start"))
+      .filter($"start" === 0 || ($"n" - $"start") > O)
+      .select($"doc_id", $"k".as("chunk_id"), $"start".as("start_tok"),
+        least(lit(C.toLong), $"n" - $"start").as("chunk_len"),
+        md5(concat_ws(" ", slice($"toks", ($"start" + 1).cast("int"), lit(C))))
+          .as("chunk_md5"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q90_chunk_overlap" -> q90ChunkOverlap,
+    "q89_dsir_weights" -> q89Dsir,
+    "q88_hll_distinct" -> q88Hll,
     "q87_cms_counts" -> q87Cms,
     "q85_blocklist" -> q85Blocklist,
     "q83_longrepeat_dedup" -> q83LongRepeatDedup,
@@ -773,6 +877,71 @@ object TextQueries {
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
   val oracles: Map[String, String] = Map(
+    // q89 — the hashed-feature log-ratio model re-derived: same md5 u32
+    // mod-4096 buckets, same Laplace smoothing, ONE ln per distinct
+    // bucket quantized to integer milli-nats (identical op order), then
+    // integer per-doc sums — the q77 float-sum discipline.
+    "q89_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tb AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5('dsir:' || tok), 1, 8))::BIGINT % 4096 AS b FROM t),
+        |raw AS (SELECT b, count(*)::BIGINT AS cr FROM tb GROUP BY b),
+        |tgt AS (SELECT b, count(*)::BIGINT AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+        |nt AS (SELECT count(*)::BIGINT AS nt FROM tb WHERE lang = 'en'),
+        |nr AS (SELECT count(*)::BIGINT AS nr FROM tb),
+        |dict AS (SELECT raw.b,
+        |    round((ln(coalesce(ct, 0) + 1) - ln(nt + 4096)
+        |      - ln(cr + 1) + ln(nr + 4096)) * 1000)::BIGINT AS mnats
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, nt, nr)
+        |SELECT tb.doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(mnats)::BIGINT AS sum_mnats,
+        |  sum(mnats) > 0 AS selected
+        |FROM tb JOIN dict ON tb.b = dict.b
+        |GROUP BY tb.doc_id""".stripMargin,
+    // q90 — the chunk grid re-derived: same tokenizer, same
+    // stride/overlap arithmetic in integers, same contained-tail
+    // suppression, chunk text sliced from the same token array and
+    // md5'd. list_slice clips at the array end exactly like Spark slice.
+    "q90_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |k AS (SELECT doc_id, toks, n, unnest(range(0, (n - 1) // 48 + 1)) AS k FROM n),
+        |c AS (SELECT doc_id, toks, n, k, k * 48 AS start FROM k)
+        |SELECT doc_id, k::BIGINT AS chunk_id, start::BIGINT AS start_tok,
+        |  least(64, n - start)::BIGINT AS chunk_len,
+        |  md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5
+        |FROM c WHERE start = 0 OR n - start > 16""".stripMargin,
+    // q88 — the HLL registers re-derived: same md5 u60 hash, 9 bucket
+    // bits + 51 rank bits, rank from bin()-bitlength (pure integer/string
+    // ops), integer harmonic denominator, and the estimate folded from
+    // the IDENTICAL double-literal expression (single IEEE division —
+    // the only float op on the surface).
+    "q88_hll_distinct" ->
+      """WITH t AS (SELECT
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |tok AS (SELECT unnest(toks) AS tok FROM t),
+        |h AS (SELECT ('0x' || substr(md5('hll:' || tok), 1, 15))::BIGINT AS h FROM tok),
+        |rb AS (SELECT h >> 51 AS b,
+        |    CASE WHEN (h & ((1::BIGINT << 51) - 1)) = 0 THEN 52
+        |         ELSE 52 - length(bin(h & ((1::BIGINT << 51) - 1))) END AS rank
+        |  FROM h),
+        |regs AS (SELECT b, max(rank) AS reg FROM rb GROUP BY b),
+        |s AS (SELECT count(*)::BIGINT AS n_present,
+        |    sum(1::BIGINT << (52 - reg))::BIGINT AS s_present FROM regs),
+        |su AS (SELECT 512::BIGINT AS m, (512 - n_present)::BIGINT AS v_zero,
+        |    (s_present + (512 - n_present) * (1::BIGINT << 52))::BIGINT AS s_harm FROM s),
+        |e AS (SELECT m, v_zero, s_harm,
+        |    floor((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 *
+        |      4503599627370496.0 / CAST(s_harm AS DOUBLE))::BIGINT AS est_hll
+        |  FROM su),
+        |tr AS (SELECT count(DISTINCT tok)::BIGINT AS true_distinct FROM tok)
+        |SELECT m, v_zero, s_harm, est_hll, true_distinct,
+        |  ((1000 * abs(est_hll - true_distinct)) // true_distinct)::BIGINT AS err_milli,
+        |  v_zero > 0 AS lc_range
+        |FROM e, tr""".stripMargin,
     // q87 — the CMS grid re-derived: same tokenizer, same md5 u32 mod-w
     // buckets per hash row, grid = exact (r, b) occurrence counts, probe
     // estimate = min over rows with absent cells read as 0, exact truth
