@@ -216,7 +216,8 @@ object ScaleBench {
 
     val queries = Seq("q72_tfidf", "q73_dedup_clusters", "q75_filter_cascade",
       "q77_unigram_surprisal", "q80_sequence_pack_bfd", "q82_span_dedup",
-      "q83_longrepeat_dedup")
+      "q83_longrepeat_dedup", "q88_hll_distinct", "q89_dsir_weights",
+      "q90_chunk_overlap")
     val ns = sys.env.get("SPARK_GRAFT_SCALE_NS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(50000, 500000))
     ns.foreach { n =>
@@ -385,6 +386,26 @@ object ScaleBench {
       }
       System.err.println(
         f"SCALE-R9OPS n=$n%7d q39_gated           $sec%7.1f s  (pairs=$pairs)")
+    }
+    // q91/q92 on replicated lineitem (1x and 10x sf0.1 = 600k / 6M rows;
+    // orderkeys shifted per replica so q92's row-key hash space grows too)
+    import graft.queries.RelationalQueries
+    Seq(1, 10).foreach { k =>
+      val dir = s"/tmp/graft_scale_li_$k"
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+        (0 until k).map(i =>
+            li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+          .reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      }
+      Seq("q91_zorder_layout", "q92_kmv_quantiles").foreach { q =>
+        val (sec, rows) = t {
+          val r = RelationalQueries.defs(q)(spark, dir)
+          val c = r.count(); graft.util.BlockRelease.release(r); c
+        }
+        System.err.println(f"SCALE-R9OPS k=$k%2d $q%-20s $sec%7.1f s  (rows=$rows)")
+      }
     }
   }
 

@@ -406,7 +406,57 @@ object RelationalQueries {
       .orderBy($"month")
   }
 
+  /** q91 — Z-ORDER LAYOUT audit ([[graft.operators.ZOrderLayout]]): the
+    * multi-dim clustering key for 100 TB file skipping. Both lineitem
+    * keys quantize to 8 bits (integer `DIV` — never floor-of-float),
+    * interleave into a 16-bit Morton z (codegen'd masked shifts), and the
+    * query bins on `z >> 8` — i.e. drops 4 low bits per dim — so EVERY
+    * bin is provably a ≤16×16 rectangle in the 256×256 quantized grid.
+    * The per-bin (min, max) extents on BOTH dims are the oracled surface:
+    * they are exactly the parquet min/max stats a z-ordered file layout
+    * would carry, and their boundedness IS the two-sided pruning
+    * property. One partial-agg exchange; the layout writer itself
+    * (`layoutByZ`: range exchange + in-partition sort) is spec-covered. */
+  val q91ZOrder: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.operators.ZOrderLayout
+    val li = Tables.load(spark, dir, "lineitem")
+    val mx = li.agg(max($"l_partkey").as("maxp"), max($"l_suppkey").as("maxs"))
+    li.select($"l_partkey", $"l_suppkey")
+      .crossJoin(broadcast(mx))
+      .select(
+        expr("CAST(l_partkey * 256 DIV (maxp + 1) AS BIGINT)").as("px"),
+        expr("CAST(l_suppkey * 256 DIV (maxs + 1) AS BIGINT)").as("py"))
+      .select($"px", $"py", ZOrderLayout.zValue($"px", $"py", 8).as("z"))
+      .groupBy(shiftright($"z", 8).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min($"px").as("px_min"), max($"px").as("px_max"),
+        min($"py").as("py_min"), max($"py").as("py_max"))
+      .select($"bin", $"n", $"px_min", $"px_max", $"py_min", $"py_max",
+        (($"px_max" - $"px_min" + 1) * ($"py_max" - $"py_min" + 1)).as("extent"))
+  }
+
+  /** q92 — KMV-SAMPLE QUANTILE SKETCH ([[graft.functions.KmvQuantile]]):
+    * median/p-tiles of l_extendedprice without the global sort — the k
+    * smallest md5 row-key hashes are a uniform sample harvested by ONE
+    * TakeOrderedAndProject (per-partition heads, no data shuffle), and
+    * the sketch answers every percentile from those k rows. Estimates
+    * are VALUES FROM THE DATA selected by integer rank arithmetic — no
+    * float op anywhere, so the whole surface replays exactly. */
+  val q92KmvQuantiles: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.KmvQuantile
+    val keyed = Tables.load(spark, dir, "lineitem")
+      .select($"l_extendedprice",
+        conv(substring(md5(concat(lit("kq:"), $"l_orderkey", lit(":"),
+          $"l_linenumber")), 1, 15), 16, 10).cast("long").as("h"))
+    KmvQuantile.quantiles(keyed, "h", "l_extendedprice",
+      k = 1024, pcts = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q91_zorder_layout" -> q91ZOrder,
+    "q92_kmv_quantiles" -> q92KmvQuantiles,
     "q19_rollup" -> q19Rollup,
     "q28_asof_join" -> q28AsOf,
     "q29_asof_planned" -> q29AsOfPlanned,
@@ -431,7 +481,46 @@ object RelationalQueries {
     "q13_degrees" -> q13Degrees,
     "q14_set_ops" -> q14SetOps)
 
+  /** q91's Morton interleave as literal SQL (generated — the same sum of
+    * masked shifts the Spark side builds as Columns). */
+  private val zInterleaveSql: String = (0 until 8).map(i =>
+    s"(((px >> $i) & 1) << ${2 * i}) + (((py >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    // q91 — the z-curve re-derived: same integer quantization (// is
+    // floor division ≡ Spark DIV on non-negatives), same literal
+    // masked-shift interleave, same >>8 tile binning. The per-bin
+    // extents ARE the pruning property being oracled.
+    "q91_zorder_layout" ->
+      s"""WITH mx AS (SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs FROM lineitem),
+         |q AS (SELECT (l_partkey * 256 // (maxp + 1))::BIGINT AS px,
+         |    (l_suppkey * 256 // (maxs + 1))::BIGINT AS py FROM lineitem, mx),
+         |z AS (SELECT px, py, ($zInterleaveSql)::BIGINT AS z FROM q),
+         |g AS (SELECT z >> 8 AS bin, count(*)::BIGINT AS n,
+         |    min(px) AS px_min, max(px) AS px_max,
+         |    min(py) AS py_min, max(py) AS py_max
+         |  FROM z GROUP BY z >> 8)
+         |SELECT bin, n, px_min, px_max, py_min, py_max,
+         |  ((px_max - px_min + 1) * (py_max - py_min + 1))::BIGINT AS extent
+         |FROM g""".stripMargin,
+    // q92 — the KMV quantile sample replayed exactly: same md5-prefix
+    // u60 row-key hashes, same k smallest, same (value, hash) rank
+    // order, same integer ceil(p·n/100) index — estimates are data
+    // values, no float arithmetic anywhere.
+    "q92_kmv_quantiles" ->
+      """WITH h AS (SELECT l_extendedprice,
+        |    ('0x' || substr(md5('kq:' || l_orderkey::VARCHAR || ':' ||
+        |      l_linenumber::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |s AS (SELECT l_extendedprice, h, row_number() OVER (ORDER BY h) AS hr FROM h),
+        |smp AS (SELECT l_extendedprice, h FROM s WHERE hr <= 1024),
+        |r AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice, h) AS rn,
+        |    count(*) OVER () AS n FROM smp),
+        |p AS (SELECT unnest([1, 5, 10, 25, 50, 75, 90, 95, 99]) AS pct)
+        |SELECT pct::BIGINT AS pct, rn::BIGINT AS rn, v AS est_value, n::BIGINT AS k
+        |FROM r, p WHERE rn = (pct * n + 99) // 100""".stripMargin,
     // q55 — the KMV sketch replayed exactly: same md5-prefix 64-bit
     // hashes (big-endian first 16 hex chars ≡ first 8 digest bytes), same
     // k-th-minimum selection over DISTINCT hashes, same estimate
