@@ -319,6 +319,52 @@ object VectorQueries {
     * cells) — the SAME registered code path, so nobody can green-light
     * a fixed-cell config by accident. Per-cell work stays O(target²)
     * per cell × n/target cells = O(n). */
+  /** q93 — HARD-NEGATIVE MINING for contrastive training (the
+    * embedding-model data-prep operator: for each anchor, the k
+    * most-similar vectors with a DIFFERENT label are the hardest
+    * negatives — the pairs InfoNCE-style losses learn most from).
+    *
+    * Scale shape: anchors are a FIXED-SIZE md5-KMV sample (64, one
+    * TakeOrderedAndProject) that BROADCASTS; the corpus is scanned once
+    * map-side (anchors × corpus = O(64·n), linear — never corpus²), and
+    * the per-anchor top-5 goes through [[graft.functions.TopKByScore]]
+    * whose map-side combine ships ≤ 5 rows per (anchor, partition) —
+    * NOT the window-rank shape, which would shuffle every scored pair.
+    * Similarity is the exact integer dot on q74's int8 codes (|dot| ≤
+    * dim·127² ≪ 2⁵³ — exact in doubles through the codegen DotProduct
+    * kernel, the r8 SemDeDup lesson), ties broken by neg_id: the whole
+    * surface is integer-deterministic and fully oracled. */
+  val q93HardNegatives: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.dedup.SemDedup
+    import graft.functions.TopKByScore
+    import graft.functions.VectorExpressions.vec_dot
+    val coded = emb(spark, dir)
+      .select($"vec_id", $"label",
+        SemDedup.quantizeCodes($"embedding".cast("array<double>"))
+          .cast("array<double>").as("codes"),
+        conv(substring(md5(concat(lit("hn:"), $"vec_id")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      // two consumers (anchor sample, candidate scan): quantize once
+      .localCheckpoint()
+    val anchors = coded.orderBy($"h").limit(64)
+      .select($"vec_id".as("anchor_id"), $"label".as("alabel"),
+        $"codes".as("acodes"))
+    val scored = coded.crossJoin(broadcast(anchors))
+      .filter($"label" =!= $"alabel" && $"vec_id" =!= $"anchor_id")
+      .select($"anchor_id",
+        vec_dot($"acodes", $"codes").cast("long").as("dot"),
+        $"vec_id".as("neg_id"))
+    val r = scored.groupBy($"anchor_id")
+      .agg(TopKByScore($"dot", $"neg_id", 5).as("top"))
+      .select($"anchor_id", posexplode($"top"))
+      .select($"anchor_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("neg_id"), $"col._1".as("dot"))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(coded)
+    r
+  }
+
   val q79SemDedup: Q = (spark, dir) => {
     import spark.implicits._
     import graft.functions.TextFunctions.md5Embed
@@ -445,6 +491,7 @@ object VectorQueries {
     "q81_semantic_decontam" -> q81SemanticDecontam,
     "q84_pq_codes" -> q84Pq,
     "q86_ivfpq_topk" -> q86IvfPq,
+    "q93_hard_negatives" -> q93HardNegatives,
     "q20_cosine_top5" -> q20CosineTop5,
     "q21_cosine_bottom5" -> q21CosineBottom5,
     "q22_centroids" -> q22Centroids,
@@ -606,6 +653,32 @@ object VectorQueries {
     // engines), codes pinned whole via md5 of the canonical comma-joined
     // string, and the reconstruction surface ALL-INTEGER (Σc², clip
     // count) — no rounded engine-computed double on the hash path
+    // q93 — the mining pass re-derived: q74's quantization replay, the
+    // same md5 u60 anchor sample (64 smallest), exact integer code dots,
+    // different-label filter, per-anchor top-5 with (dot DESC, neg_id)
+    // tie order — the window-rank formulation the engine deliberately
+    // avoids at scale, byte-identical in result.
+    "q93_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, label, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |c AS (SELECT vec_id, label,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+        |         ELSE list_transform(v, x -> round(x * 127.0 / scale)::BIGINT)
+        |    END AS codes,
+        |    ('0x' || substr(md5('hn:' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM s),
+        |a AS (SELECT vec_id AS anchor_id, label AS alabel, codes AS acodes
+        |  FROM c ORDER BY h LIMIT 64),
+        |p AS (SELECT a.anchor_id, c.vec_id AS neg_id,
+        |    list_sum(list_transform(range(1, len(a.acodes) + 1),
+        |      i -> a.acodes[i] * c.codes[i]))::BIGINT AS dot
+        |  FROM a, c WHERE c.label <> a.alabel AND c.vec_id <> a.anchor_id),
+        |r AS (SELECT anchor_id, neg_id, dot,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY dot DESC, neg_id) AS rank
+        |  FROM p)
+        |SELECT anchor_id, rank::BIGINT AS rank, neg_id, dot
+        |FROM r WHERE rank <= 5""".stripMargin,
     "q74_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
