@@ -109,6 +109,10 @@ object ScaleBench {
           collectThreshold = threshold).count()),
         "connected_components" -> (() => GraphAlgos.connectedComponents(g,
           collectThreshold = threshold).count()),
+        "pagerank" -> (() => {
+          val r = PageRank.run(g, iters = 5)
+          val c = r.count(); graft.util.BlockRelease.release(r); c
+        }),
         "kcore_df" -> (() => KCore.runDF(g).count()))
       rows.filter { case (name, _) => onlyAlgos.forall(_.contains(name)) }
         .foreach { case (name, f) =>

@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PAGERANK, integer-quantized — the classic link-graph quality signal a
+  * web-scale curation pipeline weighs documents by (the OPIC/harmonic
+  * family of Common-Crawl-style source scoring). Weighted personalized-
+  * uniform PageRank over the co-engagement projection (G8), damping
+  * d = 0.85, a fixed round budget (the production shape: at 100 TB you
+  * run k rounds of edge-linear shuffles, you do not iterate to 1e-12).
+  *
+  * DECIDABILITY — why INTEGER quantization: float PageRank accumulates
+  * per-node float sums whose addition order is partition-dependent — the
+  * q77 cross-row trap. Ranks here live in INTEGER PPM (parts-per-
+  * million): pr₀ = 10⁶ DIV N, and each round computes
+  * pr'(v) = 150000 DIV N + (85·Σ_{u→v} ((pr(u)·w(u,v)) DIV k(u))) DIV 100
+  * with every op an integer op in a pinned order — sums of integers are
+  * associative, so the result is independent of partitioning and
+  * replays exactly in a DuckDB recursive CTE (q94's oracle). The DIV
+  * truncation loses ≤1 ppm per term deterministically — an approximation
+  * of the real-valued fixpoint, but a reproducible one (same trade as
+  * q77's milli-nats).
+  *
+  * Scale shape: per round, ONE join of ranks onto the (symmetrized)
+  * edge list + ONE partial-agg shuffle of contributions — edge-linear,
+  * the Pregel message pattern in DataFrame form. Lineage is cut per
+  * round (localCheckpoint; caller releases via BlockRelease when the
+  * result is consumed). Strengths k(u) are computed once.
+  */
+object PageRank {
+
+  /** (node, pr_ppm) after `iters` rounds over one-sided (src<dst,
+    * weight) edges — symmetrized internally. */
+  def run(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst", $"weight".cast("long").as("wt"))
+      .union(edges.select($"dst".as("src"), $"src".as("dst"),
+        $"weight".cast("long").as("wt")))
+      .localCheckpoint()
+    val k = sym.groupBy($"src").agg(sum($"wt").as("ks")).localCheckpoint()
+    val n = k.count()
+    if (n == 0) return k.select($"src".as("node"), lit(0L).as("pr"))
+    val base = 150000L / n
+    var pr = k.select($"src".as("node"), lit(1000000L / n).as("pr"))
+      .localCheckpoint()
+    var round = 0
+    while (round < iters) {
+      val contrib = sym
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(k, "src")
+        .select($"dst".as("node"), expr("CAST((pr * wt) DIV ks AS BIGINT)").as("c"))
+        .groupBy($"node").agg(sum($"c").as("s"))
+      val next = k.select($"src".as("node")).join(contrib, Seq("node"), "left")
+        .select($"node",
+          (lit(base) + expr("CAST((85 * coalesce(s, 0)) DIV 100 AS BIGINT)")).as("pr"))
+        .localCheckpoint()
+      graft.util.BlockRelease.release(pr)
+      pr = next
+      round += 1
+    }
+    graft.util.BlockRelease.release(sym)
+    graft.util.BlockRelease.release(k)
+    pr
+  }
+}

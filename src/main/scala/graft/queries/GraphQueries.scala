@@ -309,7 +309,18 @@ object GraphQueries {
         round(VectorFunctions.l2norm(col("embedding")), 4).as("norm"))
   }
 
+  /** q94 — integer-quantized PAGERANK ([[graft.graph.PageRank]]): the
+    * link-graph quality weight a web-scale curation pipeline scores
+    * sources by, over the co-engagement projection. 5 damped rounds in
+    * INTEGER PPM with a pinned op order, so this iterative float-family
+    * algorithm sits under a FULL hash oracle (the q40/q41 recursive-CTE
+    * discipline) — no rows-only concession. Edge-linear per round. */
+  val q94PageRank: Q = (spark, dir) =>
+    graft.graph.PageRank.run(graph(spark, dir), iters = 5)
+      .select(col("node"), col("pr").as("pr_ppm"))
+
   val defs: Map[String, Q] = Map(
+    "q94_pagerank" -> q94PageRank,
     "q15_modularity" -> q15Modularity,
     "q16_structure" -> q16Structure,
     "q17_ecs" -> q17Ecs,
@@ -337,6 +348,31 @@ object GraphQueries {
       |  (SELECT u1 AS usr, wt FROM w UNION ALL SELECT u2, wt FROM w) GROUP BY usr)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q94 — the integer PageRank replayed round-for-round: same co-
+    // engagement weights (BIGINT), same symmetrization, same ppm
+    // quantization with the same DIV order ((pr·wt) DIV k(u), summed,
+    // ×85 DIV 100, + 150000 DIV N). Integer ops only ⇒ bit-equal.
+    "q94_pagerank" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),
+        |w AS (SELECT a.usr AS u1, b.usr AS u2, count(*)::BIGINT AS wt
+        |  FROM e a JOIN e b ON a.post = b.post AND a.usr < b.usr GROUP BY 1, 2),
+        |sym AS (SELECT u1, u2, wt FROM w UNION ALL SELECT u2, u1, wt FROM w),
+        |degs AS (SELECT u1 AS node, sum(wt)::BIGINT AS ks FROM sym GROUP BY u1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM degs),
+        |pr(iter, node, v) AS (
+        |  SELECT 0, node, 1000000 // (SELECT n FROM nn) FROM degs
+        |  UNION ALL
+        |  SELECT p.iter + 1, p.node,
+        |    150000 // (SELECT n FROM nn)
+        |    + (85 * coalesce((SELECT sum((p2.v * s.wt) // d.ks)
+        |        FROM sym s JOIN pr p2 ON p2.node = s.u1 AND p2.iter = p.iter
+        |        JOIN degs d ON d.node = s.u1
+        |        WHERE s.u2 = p.node), 0)) // 100
+        |  FROM pr p WHERE p.iter < 5
+        |)
+        |SELECT node::BIGINT AS node, v::BIGINT AS pr_ppm
+        |FROM pr WHERE iter = 5""".stripMargin,
     // q44 — the embedding SURFACE oracle (see the query scaladoc): node
     // totality + width + unit norm, SQL-exact; vector values stay
     // spec-checked

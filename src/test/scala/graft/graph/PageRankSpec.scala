@@ -1,0 +1,48 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Integer PageRank (q94's operator): regular-graph uniformity, hub
+  * dominance, ppm mass conservation up to deterministic DIV truncation,
+  * and the empty-graph guard. */
+class PageRankSpec extends SparkSpec with Matchers {
+
+  private def edges(pairs: Seq[(Long, Long, Double)]) = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("src", "dst", "weight")
+  }
+
+  test("ring graph: every node gets the identical rank") {
+    val n = 8
+    val ring = edges((0 until n).map(i =>
+      (i.toLong, ((i + 1) % n).toLong, 1.0)).filter(p => p._1 < p._2)
+      :+ (0L, (n - 1).toLong, 1.0))
+    val pr = PageRank.run(ring, iters = 5).collect()
+    pr.map(_.getAs[Long]("pr")).toSet.size shouldBe 1
+    pr.length shouldBe n
+  }
+
+  test("star graph: the hub outranks every leaf") {
+    val star = edges((1 to 6).map(i => (0L, i.toLong, 1.0)))
+    val pr = PageRank.run(star, iters = 5)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    val hub = pr(0L)
+    (1 to 6).foreach(i => hub should be > pr(i.toLong))
+  }
+
+  test("ppm mass is conserved within deterministic truncation loss") {
+    val g = edges(Seq((1L, 2L, 2.0), (2L, 3L, 1.0), (1L, 3L, 1.0), (3L, 4L, 5.0)))
+    val total = PageRank.run(g, iters = 5)
+      .agg(sum(col("pr"))).collect()(0).getLong(0)
+    total should be <= 1000000L
+    total should be > 900000L // <=1 ppm lost per DIV, a handful of DIVs deep
+  }
+
+  test("empty edge list returns an empty frame, not a division by zero") {
+    PageRank.run(edges(Nil), iters = 3).count() shouldBe 0L
+  }
+}
