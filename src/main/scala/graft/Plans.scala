@@ -15,9 +15,21 @@ object Plans {
       "q03_top_orders", "q05_coengagement", "q20_cosine_top5",
       "q22_centroids", "q10_semi_join", "q29_asof_planned")
     val qs = if (args.nonEmpty) args.toSeq else defaults
-    qs.foreach { q =>
-      println(s"\n===== $q =====")
-      SparkEntry.queries(q)(spark, dir).explain("formatted")
+    qs.foreach {
+      case "topk_audit" =>
+        // q93's hot aggregation, pre-checkpoint: does TopKByScore get
+        // map-side partial aggregation (the reason it exists)?
+        import org.apache.spark.sql.functions._
+        println("\n===== topk_audit (q93 aggregation, pre-checkpoint) =====")
+        spark.range(100000)
+          .select((col("id") % 64).as("anchor_id"),
+            (col("id") * 31 % 997).as("dot"), col("id").as("neg_id"))
+          .groupBy(col("anchor_id"))
+          .agg(graft.functions.TopKByScore(col("dot"), col("neg_id"), 5).as("top"))
+          .explain("formatted")
+      case q =>
+        println(s"\n===== $q =====")
+        SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
     spark.stop()
   }
