@@ -43,6 +43,21 @@ object CmsSketch {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** JOIN-SIZE ESTIMATE from two grids over the SAME (d, w, hash
+    * family): est |A ⋈_key B| = min_r Σ_b gridA(r,b)·gridB(r,b)
+    * (Cormode & Muthukrishnan §4.2 inner-product estimation). Always an
+    * OVERestimate (cross terms only add), so `est ≥ true` is decidable —
+    * and at 100 TB this is the shuffle-vs-broadcast decision input: two
+    * fixed-size summaries answer the cardinality question no scan has to.
+    * Returns one row (est_join_size). Inner join on (r, b) — absent
+    * cells contribute 0. */
+  def joinSizeEstimate(gridA: DataFrame, gridB: DataFrame): DataFrame = {
+    gridA.select(col("r"), col("b"), col("c").as("ca"))
+      .join(gridB.select(col("r"), col("b"), col("c").as("cb")), Seq("r", "b"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join_size"))
+  }
+
   /** Point-query the grid for every token in `probes` (a 1-column frame
     * of DISTINCT tokens): (token, est_count). The GRID broadcasts (≤ d·w
     * rows by construction — that fixed size is the whole point of the

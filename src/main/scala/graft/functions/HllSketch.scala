@@ -63,6 +63,46 @@ object HllSketch {
       .agg(max(col("rank")).as("reg"))
   }
 
+  /** GROUPED registers: one ≤m-row register table per key — the sketch
+    * as a per-key aggregate (distinct-users-per-X at 100 TB: the
+    * exchange moves ≤ m rows per key per partition, never user ids). */
+  def groupedRegisters(vals: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val h = h60(col(valCol))
+    val sfx = h.bitwiseAND(lit((1L << RankBits) - 1))
+    vals
+      .select(col(keyCol),
+        shiftright(h, RankBits).as("b"),
+        when(sfx === 0L, lit(MaxRank))
+          .otherwise(lit(MaxRank) - length(bin(sfx)))
+          .cast("int")
+          .as("rank"))
+      .groupBy(col(keyCol), col("b"))
+      .agg(max(col("rank")).as("reg"))
+  }
+
+  /** Per-key summary from grouped registers: (key, m, v_zero, s_harm,
+    * est_hll, lc_range) — same integer surface as [[summary]]. */
+  def groupedSummary(regs: DataFrame, keyCol: String): DataFrame = {
+    val twoP52 = 1L << 52
+    regs
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), 52 - reg)")).as("s_present"))
+      .select(col(keyCol),
+        lit(M.toLong).as("m"),
+        (lit(M.toLong) - col("n_present")).as("v_zero"),
+        (col("s_present") + (lit(M.toLong) - col("n_present")) * lit(twoP52))
+          .as("s_harm"))
+      .select(col(keyCol), col("m"), col("v_zero"), col("s_harm"),
+        floor(
+          lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+            lit(512.0) * lit(512.0) * lit(4503599627370496.0) /
+            col("s_harm").cast("double"))
+          .cast("long").as("est_hll"),
+        (col("v_zero") > 0).as("lc_range"))
+  }
+
   /** One-row summary from a register table: m, v_zero (empty registers),
     * s_harm (integer harmonic denominator Σ 2^(52−M[b]), empties reading
     * 2^52), est_hll = ⌊α_m·m²·2^52 / s_harm⌋. */

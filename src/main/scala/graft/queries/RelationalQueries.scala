@@ -454,7 +454,63 @@ object RelationalQueries {
       k = 1024, pcts = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99))
   }
 
+  /** q96 — SKETCHED JOIN-SIZE ESTIMATION
+    * ([[graft.functions.CmsSketch.joinSizeEstimate]]): |orders ⋈
+    * lineitem| estimated from two count-min grids WITHOUT executing the
+    * join — min_r Σ_b cmsO(r,b)·cmsL(r,b), the CM inner-product bound.
+    * This is the 100 TB optimizer move: broadcast-vs-shuffle decisions
+    * from two fixed d×w summaries built by one partial-agg pass each,
+    * while the true join (computed here only as the oracle's truth
+    * column) would shuffle both tables. Always an overestimate —
+    * admissibility is a decidable output column. md5 hash rows ⇒ grids
+    * and estimate replay bit-for-bit (q87 discipline). */
+  val q96JoinSize: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.CmsSketch
+    val ok = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".cast("string").as("k"))
+    val lk = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey".cast("string").as("k"))
+    val est = CmsSketch.joinSizeEstimate(
+      CmsSketch.sketch(ok, "k"), CmsSketch.sketch(lk, "k"))
+    val truth = ok.join(lk, "k").agg(count(lit(1)).as("true_join_size"))
+    est.crossJoin(truth)
+      .select($"est_join_size", $"true_join_size",
+        ($"est_join_size" >= $"true_join_size").as("admissible"))
+  }
+
+  /** q97 — PER-GROUP HLL (distinct users per event type): the q88
+    * sketch composed as a GROUPED aggregate — the realistic production
+    * shape ("distinct X per Y" at 100 TB), where the exchange moves
+    * ≤ 512 register rows per key per partition instead of user ids.
+    * Same integer surface as q88 (registers → integer harmonic
+    * denominator → single folded-literal division), per key; exact
+    * per-key truth + milli-error alongside. */
+  val q97GroupedHll: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.HllSketch
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id".cast("string").as("uid"))
+      // two consumers (registers, exact truth): scan once
+      .localCheckpoint()
+    val s = HllSketch.groupedSummary(
+      HllSketch.groupedRegisters(ev, "event_type", "uid"), "event_type")
+    val truth = ev.groupBy($"event_type")
+      .agg(countDistinct($"uid").as("true_distinct"))
+    val r = s.join(truth, "event_type")
+      .select($"event_type", $"m", $"v_zero", $"s_harm", $"est_hll",
+        $"true_distinct",
+        expr("CAST((1000 * abs(est_hll - true_distinct)) DIV true_distinct AS BIGINT)")
+          .as("err_milli"),
+        $"lc_range")
+      .localCheckpoint()
+    graft.util.BlockRelease.release(ev)
+    r
+  }
+
   val defs: Map[String, Q] = Map(
+    "q97_grouped_hll" -> q97GroupedHll,
+    "q96_join_size_sketch" -> q96JoinSize,
     "q91_zorder_layout" -> q91ZOrder,
     "q92_kmv_quantiles" -> q92KmvQuantiles,
     "q19_rollup" -> q19Rollup,
@@ -504,6 +560,57 @@ object RelationalQueries {
          |SELECT bin, n, px_min, px_max, py_min, py_max,
          |  ((px_max - px_min + 1) * (py_max - py_min + 1))::BIGINT AS extent
          |FROM g""".stripMargin,
+    // q97 — the per-key HLL re-derived: q88's register/denominator/
+    // estimate pipeline grouped by event_type, same integer surface.
+    "q97_grouped_hll" ->
+      """WITH ev AS (SELECT event_type, user_id::VARCHAR AS uid FROM events),
+        |h AS (SELECT event_type,
+        |    ('0x' || substr(md5('hll:' || uid), 1, 15))::BIGINT AS h FROM ev),
+        |rb AS (SELECT event_type, h >> 51 AS b,
+        |    CASE WHEN (h & ((1::BIGINT << 51) - 1)) = 0 THEN 52
+        |         ELSE 52 - length(bin(h & ((1::BIGINT << 51) - 1))) END AS rank
+        |  FROM h),
+        |regs AS (SELECT event_type, b, max(rank) AS reg FROM rb
+        |  GROUP BY event_type, b),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n_present,
+        |    sum(1::BIGINT << (52 - reg))::BIGINT AS s_present FROM regs
+        |  GROUP BY event_type),
+        |su AS (SELECT event_type, 512::BIGINT AS m,
+        |    (512 - n_present)::BIGINT AS v_zero,
+        |    (s_present + (512 - n_present) * (1::BIGINT << 52))::BIGINT AS s_harm
+        |  FROM s),
+        |e AS (SELECT event_type, m, v_zero, s_harm,
+        |    floor((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 *
+        |      4503599627370496.0 / CAST(s_harm AS DOUBLE))::BIGINT AS est_hll
+        |  FROM su),
+        |tr AS (SELECT event_type, count(DISTINCT uid)::BIGINT AS true_distinct
+        |  FROM ev GROUP BY event_type)
+        |SELECT e.event_type, m, v_zero, s_harm, est_hll, true_distinct,
+        |  ((1000 * abs(est_hll - true_distinct)) // true_distinct)::BIGINT AS err_milli,
+        |  v_zero > 0 AS lc_range
+        |FROM e JOIN tr ON e.event_type = tr.event_type""".stripMargin,
+    // q96 — both CMS grids re-derived (q87's hash rows over the key
+    // strings), inner product per row, min over rows, true join size
+    // from the actual join — admissibility decidable.
+    "q96_join_size_sketch" ->
+      """WITH ok AS (SELECT o_orderkey::VARCHAR AS k FROM orders),
+        |lk AS (SELECT l_orderkey::VARCHAR AS k FROM lineitem),
+        |go AS (SELECT rr.r,
+        |    ('0x' || substr(md5('cms:' || rr.r || ':' || k), 1, 8))::BIGINT % 512 AS b,
+        |    count(*)::BIGINT AS c
+        |  FROM ok, range(0, 3) rr(r) GROUP BY 1, 2),
+        |gl AS (SELECT rr.r,
+        |    ('0x' || substr(md5('cms:' || rr.r || ':' || k), 1, 8))::BIGINT % 512 AS b,
+        |    count(*)::BIGINT AS c
+        |  FROM lk, range(0, 3) rr(r) GROUP BY 1, 2),
+        |ip AS (SELECT go.r, sum(go.c * gl.c)::BIGINT AS ip
+        |  FROM go JOIN gl ON go.r = gl.r AND go.b = gl.b GROUP BY go.r),
+        |e AS (SELECT min(ip)::BIGINT AS est_join_size FROM ip),
+        |tr AS (SELECT count(*)::BIGINT AS true_join_size
+        |  FROM ok JOIN lk ON ok.k = lk.k)
+        |SELECT est_join_size, true_join_size,
+        |  est_join_size >= true_join_size AS admissible
+        |FROM e, tr""".stripMargin,
     // q92 — the KMV quantile sample replayed exactly: same md5-prefix
     // u60 row-key hashes, same k smallest, same (value, hash) rank
     // order, same integer ceil(p·n/100) index — estimates are data

@@ -843,7 +843,58 @@ object TextQueries {
           .as("chunk_md5"))
   }
 
+  /** q95 — BIGRAM-LM SURPRISAL (the conditional-probability upgrade of
+    * q77's unigram filter — the real perplexity-filter shape: documents
+    * whose token TRANSITIONS are improbable under the corpus's own
+    * bigram model are the word-salad tail unigram stats can't see).
+    * Add-1 smoothed: s(w1w2) = −ln((c12+1)/(c1+V)), quantized to
+    * integer milli-nats per DISTINCT bigram (one ln each, identical op
+    * order — the q77 discipline) so per-doc aggregation is an order-free
+    * integer sum.
+    *
+    * Scale shape: bigrams are built from the token ARRAY map-side (no
+    * position self-join); counts are two partial-agg shuffles (c12, and
+    * c1 = Σ_w2 c12 aggregated from the DICT, never re-scanning the
+    * stream); scoring joins the stream to the dict on (w1, w2) — the
+    * q72 tf/df pattern. Tokenize-once checkpoint, scratch released. */
+  val q95BigramSurprisal: Q = (spark, dir) => {
+    import spark.implicits._
+    val t = docs(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .localCheckpoint()
+    val big = t.select($"doc_id",
+        explode(when(size($"toks") >= 2,
+          transform(sequence(lit(1), size($"toks") - 1),
+            i => struct(element_at($"toks", i).as("w1"),
+              element_at($"toks", i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      // three consumers (c12, scoring join, per-doc counts): build once
+      .localCheckpoint()
+    val vocab = t.select(explode($"toks").as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val dict = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select($"w1", $"w2",
+        round((log($"c1" + $"v") - log($"c12" + 1)) * 1000).cast("long").as("mnats"))
+    val scored = big.join(dict, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"mnats").as("sum_mnats"))
+    val r = t.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"sum_mnats", lit(0L)).as("sum_mnats"),
+        expr("CAST(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0 " +
+          "ELSE (sum_mnats * 1000) DIV n_bigrams END AS BIGINT)").as("avg_unats"))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(t)
+    graft.util.BlockRelease.release(big)
+    r
+  }
+
   val defs: Map[String, Q] = Map(
+    "q95_bigram_surprisal" -> q95BigramSurprisal,
     "q90_chunk_overlap" -> q90ChunkOverlap,
     "q89_dsir_weights" -> q89Dsir,
     "q88_hll_distinct" -> q88Hll,
@@ -877,6 +928,31 @@ object TextQueries {
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
   val oracles: Map[String, String] = Map(
+    // q95 — the bigram model re-derived: same tokenizer, bigrams from
+    // the token array (lateral range — no self-join), same add-1
+    // smoothing, ONE ln per distinct bigram quantized to milli-nats in
+    // the same op order, integer per-doc sums, zero-bigram docs kept.
+    "q95_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM t)),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+        |dict AS (SELECT c12.w1, c12.w2,
+        |    round((ln(c1.c1 + (SELECT v FROM v)) - ln(c12.c12 + 1)) * 1000)::BIGINT AS mnats
+        |  FROM c12 JOIN c1 ON c12.w1 = c1.w1),
+        |d AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |    sum(dict.mnats)::BIGINT AS sum_mnats
+        |  FROM b JOIN dict ON b.w1 = dict.w1 AND b.w2 = dict.w2
+        |  GROUP BY b.doc_id)
+        |SELECT t.doc_id, coalesce(d.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  coalesce(d.sum_mnats, 0)::BIGINT AS sum_mnats,
+        |  (CASE WHEN coalesce(d.n_bigrams, 0) = 0 THEN 0
+        |        ELSE (d.sum_mnats * 1000) // d.n_bigrams END)::BIGINT AS avg_unats
+        |FROM t LEFT JOIN d ON t.doc_id = d.doc_id""".stripMargin,
     // q89 — the hashed-feature log-ratio model re-derived: same md5 u32
     // mod-4096 buckets, same Laplace smoothing, ONE ln per distinct
     // bucket quantized to integer milli-nats (identical op order), then

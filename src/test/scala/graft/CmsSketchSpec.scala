@@ -47,6 +47,17 @@ class CmsSketchSpec extends SparkSpec with Matchers {
     merged shouldBe summed
   }
 
+  test("join-size estimate: admissible, and exact absent collisions") {
+    val a = tokFrame(Seq("x", "x", "y"))
+    val b = tokFrame(Seq("x", "y", "y", "z"))
+    // true |A join B| = 2*1 + 1*2 = 4
+    val est = CmsSketch.joinSizeEstimate(
+      CmsSketch.sketch(a, "tok"), CmsSketch.sketch(b, "tok"))
+      .collect()(0).getLong(0)
+    est should be >= 4L
+    est shouldBe 4L // 4 distinct keys in 512 buckets: no collisions here
+  }
+
   test("w=1 degenerates to the total count for every probe — the epsilon*N bound's edge") {
     val s = spark
     import s.implicits._
