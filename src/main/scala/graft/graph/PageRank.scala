@@ -35,32 +35,51 @@ object PageRank {
   def run(edges: DataFrame, iters: Int = 5): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // sym is NOT checkpointed: it is a map-only union over the caller's
+    // edge frame (the cached G8 projection in every registered use), so
+    // re-reading it per round costs a cached scan — cheaper than an
+    // eager 2|E|-row materialization per call. Strengths DO checkpoint
+    // (one aggregation, read every round).
     val sym = edges.select($"src", $"dst", $"weight".cast("long").as("wt"))
       .union(edges.select($"dst".as("src"), $"src".as("dst"),
         $"weight".cast("long").as("wt")))
-      .localCheckpoint()
     val k = sym.groupBy($"src").agg(sum($"wt").as("ks")).localCheckpoint()
     val n = k.count()
     if (n == 0) return k.select($"src".as("node"), lit(0L).as("pr"))
     val base = 150000L / n
+    // Node-sized frames (ranks, strengths, contributions) BROADCAST below
+    // the 2M-node tier — the per-round sym-shuffle disappears and each
+    // round is one map-side join + one partial-agg exchange. Above the
+    // tier the joins shuffle on node id (the 100 TB shape); identical
+    // results either way (same tiering discipline as collectThreshold).
+    val bcastTier = n <= 2000000L
+    def maybeB(df: DataFrame): DataFrame = if (bcastTier) broadcast(df) else df
     var pr = k.select($"src".as("node"), lit(1000000L / n).as("pr"))
-      .localCheckpoint()
+    var lastCkpt: DataFrame = null
     var round = 0
     while (round < iters) {
       val contrib = sym
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .join(k, "src")
+        .join(maybeB(pr.withColumnRenamed("node", "src")), "src")
+        .join(maybeB(k), "src")
         .select($"dst".as("node"), expr("CAST((pr * wt) DIV ks AS BIGINT)").as("c"))
         .groupBy($"node").agg(sum($"c").as("s"))
-      val next = k.select($"src".as("node")).join(contrib, Seq("node"), "left")
+      var next = k.select($"src".as("node")).join(maybeB(contrib), Seq("node"), "left")
         .select($"node",
           (lit(base) + expr("CAST((85 * coalesce(s, 0)) DIV 100 AS BIGINT)")).as("pr"))
-        .localCheckpoint()
-      graft.util.BlockRelease.release(pr)
+      // Checkpoint every THIRD round (and always the last): bounds both
+      // the lineage depth and the re-execution a broadcast build pays on
+      // an unmaterialized rank plan, without paying an eager
+      // materialization barrier every round — the best of the three
+      // shapes measured (per-round ckpt, no ckpt, periodic; spreads in
+      // BENCH_LOCAL_r9 §7).
+      if (round % 3 == 2 || round == iters - 1) {
+        next = next.localCheckpoint()
+        if (lastCkpt != null) graft.util.BlockRelease.release(lastCkpt)
+        lastCkpt = next
+      }
       pr = next
       round += 1
     }
-    graft.util.BlockRelease.release(sym)
     graft.util.BlockRelease.release(k)
     pr
   }
