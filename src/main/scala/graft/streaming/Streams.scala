@@ -504,6 +504,36 @@ object Streams {
     * SURVEY.md §7 step 6). KEYED dedup: duplicates of a key arriving at
     * different timestamps are still duplicates (the reference's seen-set
     * semantics); state for a key is dropped once the watermark passes it. */
+  /** WINDOWED DISTINCT-COUNT over a stream with BOUNDED state: the
+    * [[graft.functions.HllSketch]] registers as a streaming aggregation.
+    * An exact `approx/count distinct per window` keeps every key in the
+    * state store (the reason SET3's visited-set needs its watermark to
+    * stay sane); this keeps ≤ m=512 register rows PER WINDOW regardless
+    * of how many users the window sees — the sketch's map-side max merge
+    * IS Structured Streaming's incremental state update, so late data
+    * within the watermark folds in correctly for free. Downstream,
+    * [[graft.functions.HllSketch.groupedSummary]] over the register
+    * table (keyed by window) yields the per-window estimates.
+    *
+    * Returns the streaming register frame (window, b, reg) — attach any
+    * sink; state ∝ open windows × m. */
+  def windowedDistinctHll(stream: DataFrame, tsCol: String, valCol: String,
+      windowDur: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.HllSketch
+    val h = conv(substring(md5(concat(lit("hll:"), col(valCol))), 1, 15), 16, 10)
+      .cast("long")
+    val sfx = h.bitwiseAND(lit((1L << HllSketch.RankBits) - 1))
+    stream.withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowDur).as("win"),
+        shiftright(h, HllSketch.RankBits).as("b"),
+        when(sfx === 0L, lit(HllSketch.MaxRank))
+          .otherwise(lit(HllSketch.MaxRank) - length(bin(sfx)))
+          .cast("int").as("rank"))
+      .groupBy(col("win"), col("b"))
+      .agg(max(col("rank")).as("reg"))
+  }
+
   def dedupStream(stream: DataFrame, tsCol: String, keyCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     stream.withWatermark(tsCol, watermark)

@@ -385,6 +385,44 @@ class StreamingSpec extends SparkSpec with Matchers {
     rows(1).getDouble(2) shouldBe 10.0
   }
 
+  test("windowed HLL distinct: bounded register state, streaming == batch sketch exactly") {
+    val s = spark
+    import s.implicits._
+    // hour 0: 300 distinct users (each seen twice), hour 1: 50 distinct;
+    // the 03:00 event advances the watermark past both windows
+    val h0 = (0 until 300).flatMap(i => Seq(
+      s"""{"ts":"2024-01-01T00:${10 + i % 40}:00.000Z","u":"u$i"}""",
+      s"""{"ts":"2024-01-01T00:${5 + i % 50}:30.000Z","u":"u$i"}"""))
+    val h1 = (0 until 50).map(i =>
+      s"""{"ts":"2024-01-01T01:${i % 55}:00.000Z","u":"w$i"}""")
+    val closer = Seq("""{"ts":"2024-01-01T03:00:00.000Z","u":"zz"}""")
+    val dir = writeTopic(h0 ++ h1 ++ closer)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.StringType)))
+    val regs = Streams.windowedDistinctHll(
+      Streams.subscribe(spark, dir, schema), "ts", "u",
+      windowDur = "1 hour", watermark = "30 minutes")
+    val q = regs.writeStream.format("memory").queryName("hll_t")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val byWin = spark.sql("SELECT win.start AS st, b, reg FROM hll_t").collect()
+      .groupBy(_.getTimestamp(0).toString)
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getInt(2)).toMap).toMap
+    byWin.keySet.size shouldBe 2 // hours 0 and 1 closed; hour 3 still open
+    // bounded state: <= 512 registers per window no matter the user count
+    byWin.values.foreach(_.size should be <= 512)
+    // determinism pin: the streaming registers EQUAL the batch sketch's
+    val batch0 = graft.functions.HllSketch.registers(
+      (0 until 300).map(i => s"u$i").toDF("v"), "v")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch1 = graft.functions.HllSketch.registers(
+      (0 until 50).map(i => s"w$i").toDF("v"), "v")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byWin("2024-01-01 00:00:00.0") shouldBe batch0
+    byWin("2024-01-01 01:00:00.0") shouldBe batch1
+  }
+
   test("watermarked streaming dedup bounds the reference's unbounded seen-set (SET3)") {
     val s = spark
     import s.implicits._
