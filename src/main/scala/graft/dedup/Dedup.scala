@@ -367,6 +367,56 @@ object Dedup {
         (coalesce(col("n_bench_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** INCREMENTAL INGEST GATE (the production crawl-increment shape: a
+    * NEW batch arrives, the existing corpus is already deduplicated —
+    * dedup the batch AGAINST the store without ever re-pairing the store
+    * with itself). Two exact tiers, no LSH recall concerns:
+    * exact tier = whitespace-normalized md5 signature semi-join
+    * (batch ∩ corpus signatures); near tier = distinct 8-gram overlap
+    * via the inverted-index equality join (shuffle ∝ shingles + matches
+    * — batch↔corpus ONLY, never corpus × corpus, never batch × batch).
+    * Verdict: drop when exact-dup OR ≥ half the batch doc's distinct
+    * 8-grams already exist in the store (2·shared ≥ total — rational,
+    * no float threshold). Docs shorter than `n` tokens can only be
+    * dropped by the exact tier. */
+  def incrementalIngestGate(docs: DataFrame, idCol: String, textCol: String,
+      isNew: Column, n: Int = 8): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val sh = when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => md5(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs.select(col(idCol).as("doc_id"), isNew.as("nw"),
+        md5(concat_ws(" ", toks)).as("sig"), sh.as("grams"))
+      // four consumers (corpus sigs, corpus grams, batch grams, batch
+      // frame): shingle once
+      .localCheckpoint()
+    val corpusSigs = base.filter(!col("nw")).select(col("sig")).distinct()
+    val exact = base.filter(col("nw"))
+      .join(corpusSigs, Seq("sig"), "left_semi")
+      .select(col("doc_id"), lit(true).as("xd"))
+    val corpusGrams = base.filter(!col("nw"))
+      .select(explode(col("grams")).as("h")).distinct()
+    val shared = base.filter(col("nw"))
+      .select(col("doc_id"), explode(col("grams")).as("h"))
+      .join(corpusGrams, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("ns")) // grams already distinct per doc
+    val r = base.filter(col("nw"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("xd"), lit(false)).as("exact_dup"),
+        col("n_grams"),
+        coalesce(col("ns"), lit(0L)).as("n_shared"),
+        (coalesce(col("xd"), lit(false)) ||
+          (col("n_grams") > 0 &&
+            coalesce(col("ns"), lit(0L)) * 2 >= col("n_grams"))).as("drop_doc"))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(base)
+    r
+  }
+
   /** Cross-engine twin of [[simhashNearDups]] (the md5-twin precedent of
     * q37/q38/q55): the 64-bit SimHash is derived from md5 token hashes —
     * bit j is set iff Σ over token occurrences of (±1 by bit j of the

@@ -893,7 +893,19 @@ object TextQueries {
     r
   }
 
+  /** q98 — INCREMENTAL INGEST DEDUP ([[graft.dedup.Dedup
+    * .incrementalIngestGate]]): the production crawl-increment gate —
+    * the NEW batch (doc_id % 10 = 3, a ~10% increment) dedups AGAINST
+    * the existing store only; the store is never re-paired with itself.
+    * Exact tier (normalized-md5 semi-join) + near tier (distinct 8-gram
+    * inverted-index overlap, rational ≥½ threshold). At 100 TB this is
+    * the difference between work ∝ increment and work ∝ corpus². */
+  val q98IncrementalDedup: Q = (spark, dir) =>
+    Dedup.incrementalIngestGate(docs(spark, dir), "doc_id", "text",
+      isNew = col("doc_id") % 10 === 3)
+
   val defs: Map[String, Q] = Map(
+    "q98_incremental_dedup" -> q98IncrementalDedup,
     "q95_bigram_surprisal" -> q95BigramSurprisal,
     "q90_chunk_overlap" -> q90ChunkOverlap,
     "q89_dsir_weights" -> q89Dsir,
@@ -928,6 +940,32 @@ object TextQueries {
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
   val oracles: Map[String, String] = Map(
+    // q98 — the ingest gate re-derived: same normalized-md5 signature,
+    // same DISTINCT md5 8-grams (q66's slice pattern), batch↔store
+    // joins only, same rational 2·shared ≥ total threshold.
+    "q98_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, doc_id % 10 = 3 AS nw,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, nw, md5(array_to_string(toks, ' ')) AS sig,
+        |    CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform(
+        |        range(0, len(toks) - 7),
+        |        i -> md5(array_to_string(toks[i+1:i+8], ' '))))
+        |      ELSE [] END AS grams
+        |  FROM t),
+        |cs AS (SELECT DISTINCT sig FROM b WHERE NOT nw),
+        |xd AS (SELECT doc_id FROM b JOIN cs USING (sig) WHERE nw),
+        |cg AS (SELECT DISTINCT unnest(grams) AS h FROM b WHERE NOT nw),
+        |ng AS (SELECT doc_id, unnest(grams) AS h FROM b WHERE nw),
+        |sh AS (SELECT ng.doc_id, count(*)::BIGINT AS ns
+        |  FROM ng JOIN cg ON ng.h = cg.h GROUP BY ng.doc_id)
+        |SELECT b.doc_id,
+        |  b.doc_id IN (SELECT doc_id FROM xd) AS exact_dup,
+        |  len(b.grams)::BIGINT AS n_grams,
+        |  coalesce(sh.ns, 0)::BIGINT AS n_shared,
+        |  (b.doc_id IN (SELECT doc_id FROM xd)
+        |    OR (len(b.grams) > 0 AND coalesce(sh.ns, 0) * 2 >= len(b.grams))) AS drop_doc
+        |FROM b LEFT JOIN sh ON b.doc_id = sh.doc_id
+        |WHERE b.nw""".stripMargin,
     // q95 — the bigram model re-derived: same tokenizer, bigrams from
     // the token array (lateral range — no self-join), same add-1
     // smoothing, ONE ln per distinct bigram quantized to milli-nats in

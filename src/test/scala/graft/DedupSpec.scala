@@ -10,6 +10,28 @@ class DedupSpec extends SparkSpec with Matchers {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("incremental ingest gate: planted exact/near dups dropped, fresh doc kept (q98)") {
+    val s = spark
+    import s.implicits._
+    val storeText = (1 to 20).map(i => s"store token s$i").mkString(" ")
+    val docs = Seq(
+      (1L, storeText),                                          // store
+      (2L, (1 to 20).map(i => s"other token o$i").mkString(" ")), // store
+      (13L, storeText.toUpperCase),     // NEW: exact dup modulo normalize
+      (23L, storeText + " tail tweak"), // NEW: near dup (most 8-grams shared)
+      (33L, (1 to 20).map(i => s"fresh token f$i").mkString(" "))) // NEW: novel
+      .toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.incrementalIngestGate(
+        docs, "doc_id", "text", isNew = col("doc_id") >= 10)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Boolean]("exact_dup"), x.getAs[Boolean]("drop_doc"))).toMap
+    r.keySet shouldBe Set(13L, 23L, 33L) // only the new batch is gated
+    r(13L) shouldBe ((true, true))
+    r(23L)._1 shouldBe false // not byte-identical
+    r(23L)._2 shouldBe true  // but >= half its 8-grams exist in the store
+    r(33L) shouldBe ((false, false))
+  }
+
   test("MinHash-LSH finds every true near-dup pair (recall vs brute force)") {
     val docs = Tables.load(spark, dir, "documents")
     val sh = Dedup.shingled(docs, "doc_id", "text").cache()
