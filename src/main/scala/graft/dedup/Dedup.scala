@@ -382,10 +382,10 @@ object Dedup {
   def incrementalIngestGate(docs: DataFrame, idCol: String, textCol: String,
       isNew: Column, n: Int = 8): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
-    val sh = when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(0), size(toks) - n),
-          i => md5(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
-      .otherwise(array().cast("array<string>"))
+    // one-pass kernel: the HOF formulation re-split the text per shingle
+    // index in interpreted context (70 s at the 50k scale cell → see
+    // Md5WordShingles scaladoc); this tokenizes once per row
+    val sh = md5_word_shingles(col(textCol), n)
     val base = docs.select(col(idCol).as("doc_id"), isNew.as("nw"),
         md5(concat_ws(" ", toks)).as("sig"), sh.as("grams"))
       // four consumers (corpus sigs, corpus grams, batch grams, batch

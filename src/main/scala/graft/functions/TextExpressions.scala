@@ -307,6 +307,99 @@ case class WordShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "word_shingle_hashes"
 }
 
+/** One-pass DISTINCT md5 word-n-gram shingles as hex strings — q98's
+  * ingest-gate kernel. The HOF formulation (`transform(sequence(...), i =>
+  * md5(concat_ws(" ", slice(toks, i+1, n))))`) runs in interpreted
+  * HigherOrderFunction context where the tokenizing split re-evaluates
+  * per shingle index (the r8 SemDeDup interpreted-HOF cost class —
+  * measured 70 s at a 50k-doc scale cell); this expression tokenizes
+  * once per ROW and feeds byte spans straight into the digest. Output
+  * parity: md5 hex of the single-space-joined tokens ≡
+  * `md5(array_to_string(toks[i+1:i+n], ' '))` over
+  * `regexp_split_to_array(lower(trim(text)), '\s+')` in any engine.
+  * Docs with fewer than `n` tokens emit an EMPTY array (they cannot
+  * near-dup — unlike [[WordShingleHashes]]'s Jaccard semantics, which
+  * keeps one short whole-doc gram). */
+case class Md5WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+    var st = 0
+    var en = bytes.length
+    while (st < en && bytes(st) == ' ') st += 1
+    while (en > st && bytes(en - 1) == ' ') en -= 1
+
+    // token spans — identical split-with-limit=-1 parity to WordShingleHashes
+    var spanStart = new Array[Int](16); var spanEnd = new Array[Int](16)
+    var w = 0
+    def addSpan(s: Int, e: Int): Unit = {
+      if (w == spanStart.length) {
+        spanStart = java.util.Arrays.copyOf(spanStart, w * 2)
+        spanEnd = java.util.Arrays.copyOf(spanEnd, w * 2)
+      }
+      spanStart(w) = s; spanEnd(w) = e; w += 1
+    }
+    if (st == en) addSpan(st, st)
+    else {
+      var i = st
+      if (isWs(bytes(i))) addSpan(i, i)
+      while (i < en) {
+        while (i < en && isWs(bytes(i))) i += 1
+        if (i < en) {
+          val s0 = i
+          while (i < en && !isWs(bytes(i))) i += 1
+          addSpan(s0, i)
+        } else addSpan(i, i)
+      }
+    }
+
+    val count = w - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sep = Array(' '.toByte)
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var s = 0
+    while (s < count) {
+      md.reset()
+      var j = s
+      while (j < s + n) {
+        if (j > s) md.update(sep)
+        md.update(bytes, spanStart(j), spanEnd(j) - spanStart(j))
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = hexDigits((d(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      seen.add(new String(hex))
+      s += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5WordShingles =
+    copy(child = newChild)
+  override def prettyName: String = "md5_word_shingles"
+}
+
 /** Hamming distance between two 64-bit fingerprints (companion to SimHash64). */
 case class HammingDist64(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
@@ -328,6 +421,8 @@ object TextExpressions {
   def minhash_sig(c: Column, k: Int): Column = column(MinHashSig(expression(c), k))
   def word_shingle_hashes(c: Column, n: Int): Column =
     column(WordShingleHashes(expression(c), n))
+  def md5_word_shingles(c: Column, n: Int): Column =
+    column(Md5WordShingles(expression(c), n))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
   def hamming64(a: Column, b: Column): Column =
