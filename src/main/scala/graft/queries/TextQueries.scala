@@ -904,7 +904,38 @@ object TextQueries {
     Dedup.incrementalIngestGate(docs(spark, dir), "doc_id", "text",
       isNew = col("doc_id") % 10 === 3)
 
+  /** q99 — CCNet-STYLE CORPUS TIERS (Wenzek et al. 2020 §4.3: split the
+    * corpus into head/middle/tail by LM perplexity terciles; here the
+    * model-free q77 surprisal stands in for the LM, per the q77
+    * scaladoc). The SCALE-honest threshold path: tercile cutoffs come
+    * from a 256-doc md5-KMV sample ([[graft.functions.KmvQuantile]] —
+    * one TakeOrderedAndProject), BROADCAST, and every doc tiers map-side
+    * — never the global NTILE sort a naive formulation pays at 100 TB.
+    * Integer surface throughout (milli-nat scores, ceil-rank cutoffs). */
+  val q99CcnetTiers: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.KmvQuantile
+    val scored = q77UnigramSurprisal(spark, dir) // checkpointed by q77
+    val keyed = scored.select($"doc_id", $"avg_unats",
+      conv(substring(md5(concat(lit("cc:"), $"doc_id")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val qs = KmvQuantile.quantiles(keyed, "h", "avg_unats",
+      k = 256, pcts = Seq(33, 67))
+    val thr = qs.agg(
+      max(when($"pct" === 33, $"est_value")).as("t33"),
+      max(when($"pct" === 67, $"est_value")).as("t67"))
+    val r = scored.crossJoin(broadcast(thr))
+      .select($"doc_id", $"avg_unats",
+        when($"avg_unats" <= $"t33", "head")
+          .when($"avg_unats" <= $"t67", "middle")
+          .otherwise("tail").as("tier"))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(scored)
+    r
+  }
+
   val defs: Map[String, Q] = Map(
+    "q99_ccnet_tiers" -> q99CcnetTiers,
     "q98_incremental_dedup" -> q98IncrementalDedup,
     "q95_bigram_surprisal" -> q95BigramSurprisal,
     "q90_chunk_overlap" -> q90ChunkOverlap,
@@ -940,6 +971,37 @@ object TextQueries {
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
   val oracles: Map[String, String] = Map(
+    // q99 — q77's surprisal CTE verbatim, then the SAME md5-KMV 256-doc
+    // sample, the same (value, hash) rank order and integer ceil-rank
+    // tercile cutoffs, and the same map-side CASE tiering.
+    "q99_ccnet_tiers" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*)::BIGINT AS total FROM t),
+        |v AS (SELECT term,
+        |    round((ln((SELECT total FROM n)::DOUBLE) - ln(count(*))) * 1000.0)::BIGINT AS mnats
+        |  FROM t GROUP BY term),
+        |d AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(v.mnats)::BIGINT AS sum_mnats
+        |  FROM t JOIN v ON t.term = v.term GROUP BY t.doc_id),
+        |sc AS (SELECT doc_id,
+        |    ((sum_mnats * 1000) // n_tokens)::BIGINT AS avg_unats FROM d),
+        |h AS (SELECT doc_id, avg_unats,
+        |    ('0x' || substr(md5('cc:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h FROM sc),
+        |s AS (SELECT avg_unats, h, row_number() OVER (ORDER BY h) AS hr FROM h),
+        |smp AS (SELECT avg_unats, h FROM s WHERE hr <= 256),
+        |r AS (SELECT avg_unats AS v2,
+        |    row_number() OVER (ORDER BY avg_unats, h) AS rn,
+        |    count(*) OVER () AS n2 FROM smp),
+        |thr AS (SELECT
+        |    max(CASE WHEN rn = (33 * n2 + 99) // 100 THEN v2 END) AS t33,
+        |    max(CASE WHEN rn = (67 * n2 + 99) // 100 THEN v2 END) AS t67 FROM r)
+        |SELECT sc.doc_id, sc.avg_unats,
+        |  CASE WHEN sc.avg_unats <= thr.t33 THEN 'head'
+        |       WHEN sc.avg_unats <= thr.t67 THEN 'middle'
+        |       ELSE 'tail' END AS tier
+        |FROM sc, thr""".stripMargin,
     // q98 — the ingest gate re-derived: same normalized-md5 signature,
     // same DISTINCT md5 8-grams (q66's slice pattern), batch↔store
     // joins only, same rational 2·shared ≥ total threshold.
