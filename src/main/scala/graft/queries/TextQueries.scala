@@ -934,7 +934,40 @@ object TextQueries {
     r
   }
 
+  /** q100 — the END-TO-END TRAINING-DATA PIPELINE MANIFEST: the proof
+    * that the operators compose — every document carries its full
+    * curation verdict in one frame: quality cascade (q75) ∧ dedup
+    * canonicalization (q73) ∧ ¬decontamination (q66) ∧ ¬benchmark,
+    * with the CCNet tier (q99) for mixture weighting and the holdout
+    * split (q69). Five doc_id equi-joins over already-audited stages —
+    * the composition adds NO new shuffle class; its oracle is each
+    * stage's oracle verbatim, joined (so a regression in any stage
+    * fails here too). */
+  val q100Pipeline: Q = (spark, dir) => {
+    import spark.implicits._
+    val p = q75FilterCascade(spark, dir).select($"doc_id", $"kept".as("quality_kept"))
+    val c = q73DedupClusters(spark, dir).select($"doc_id", $"kept".as("dedup_kept"))
+    val x = q66Decontaminate(spark, dir).select($"doc_id", $"contaminated")
+    val s = q69SplitAssign(spark, dir).select($"doc_id", $"split")
+    val t = q99CcnetTiers(spark, dir).select($"doc_id", $"tier")
+    val r = docs(spark, dir)
+      .select($"doc_id", ($"doc_id" % 97 === 0).as("is_benchmark"))
+      .join(p, "doc_id").join(c, "doc_id")
+      .join(x, Seq("doc_id"), "left") // benchmark docs absent from q66
+      .join(s, "doc_id").join(t, "doc_id")
+      .select($"doc_id", $"is_benchmark", $"quality_kept", $"dedup_kept",
+        coalesce($"contaminated", lit(false)).as("contaminated"),
+        $"tier", $"split",
+        ($"quality_kept" && $"dedup_kept" &&
+          !coalesce($"contaminated", lit(false)) && !$"is_benchmark")
+          .as("selected"))
+      .localCheckpoint()
+    Seq(p, c, x, s, t).foreach(graft.util.BlockRelease.release)
+    r
+  }
+
   val defs: Map[String, Q] = Map(
+    "q100_pipeline" -> q100Pipeline,
     "q99_ccnet_tiers" -> q99CcnetTiers,
     "q98_incremental_dedup" -> q98IncrementalDedup,
     "q95_bigram_surprisal" -> q95BigramSurprisal,
@@ -970,7 +1003,7 @@ object TextQueries {
 
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     // q99 — q77's surprisal CTE verbatim, then the SAME md5-KMV 256-doc
     // sample, the same (value, hash) rank order and integer ceil-rank
     // tercile cutoffs, and the same map-side CASE tiering.
@@ -1637,4 +1670,21 @@ object TextQueries {
         |  len(list_distinct(pt)) AS n_distinct_pretokens,
         |  round(len(pt)::DOUBLE / len(ws), 4) AS expansion_ratio
         |FROM t""".stripMargin)
+
+  /** q100's oracle is each stage's oracle VERBATIM as a parenthesized
+    * WITH-subquery, joined on doc_id — a regression in any composed
+    * stage fails the manifest too. */
+  val oracles: Map[String, String] = oracles0 + ("q100_pipeline" ->
+    s"""SELECT d.doc_id, d.doc_id % 97 = 0 AS is_benchmark,
+       |  p.kept AS quality_kept, c.kept AS dedup_kept,
+       |  coalesce(x.contaminated, FALSE) AS contaminated,
+       |  t.tier, s.split,
+       |  (p.kept AND c.kept AND NOT coalesce(x.contaminated, FALSE)
+       |    AND NOT (d.doc_id % 97 = 0)) AS selected
+       |FROM documents d
+       |JOIN (${oracles0("q75_filter_cascade")}) p ON d.doc_id = p.doc_id
+       |JOIN (${oracles0("q73_dedup_clusters")}) c ON d.doc_id = c.doc_id
+       |LEFT JOIN (${oracles0("q66_decontaminate")}) x ON d.doc_id = x.doc_id
+       |JOIN (${oracles0("q69_split_assign")}) s ON d.doc_id = s.doc_id
+       |JOIN (${oracles0("q99_ccnet_tiers")}) t ON d.doc_id = t.doc_id""".stripMargin)
 }
