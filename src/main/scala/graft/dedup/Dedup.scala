@@ -347,13 +347,13 @@ object Dedup {
     * can never be flagged. */
   def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
       isBench: Column, n: Int = 8): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val sh = when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    // one-pass kernel (r9): the HOF formulation re-split the text per
+    // shingle index in interpreted context — the q98 cost class, caught
+    // by q100's decade-up cell (q66 dominated the composed manifest at
+    // 50k docs). Md5WordShingles emits DISTINCT grams, which the
+    // countDistinct downstream makes semantics-neutral here.
     val withSh = docs.select(col(idCol).as("doc_id"), isBench.as("b"),
-      explode(sh).as("h"))
+      explode(md5_word_shingles(col(textCol), n)).as("h"))
     val bench = withSh.filter(col("b")).select(col("h")).distinct()
     val corpus = withSh.filter(!col("b"))
     val hits = corpus.join(bench, "h")
