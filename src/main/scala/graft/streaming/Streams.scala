@@ -534,6 +534,32 @@ object Streams {
       .agg(max(col("rank")).as("reg"))
   }
 
+  /** WINDOWED FREQUENCY SKETCH over a stream — the count-min twin of
+    * [[windowedDistinctHll]] (trending-token queries per event-time
+    * window at 100 TB/day event rates): the [[graft.functions.CmsSketch]]
+    * d×w grid AS the streaming aggregation, so state is ≤ d·w counter
+    * rows per open window regardless of vocabulary (an exact per-token
+    * count would hold every distinct token in the state store). Counter
+    * addition IS the incremental state update — late data inside the
+    * watermark folds in exactly. Probe closed windows downstream with
+    * [[graft.functions.CmsSketch.estimates]]. Returns the streaming
+    * (win, r, b, c) grid frame. */
+  def windowedTokenCms(stream: DataFrame, tsCol: String, tokCol: String,
+      windowDur: String = "1 hour", watermark: String = "2 hours",
+      d: Int = 3, w: Int = 512): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(d > 0 && w > 0, "sketch dims must be positive")
+    def bucket(r: Int): Column =
+      conv(substring(md5(concat(lit(s"cms:$r:"), col(tokCol))), 1, 8), 16, 10)
+        .cast("long") % w
+    stream.withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowDur).as("win"),
+        explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
+      .groupBy(col("win"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   def dedupStream(stream: DataFrame, tsCol: String, keyCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     stream.withWatermark(tsCol, watermark)

@@ -423,6 +423,42 @@ class StreamingSpec extends SparkSpec with Matchers {
     byWin("2024-01-01 01:00:00.0") shouldBe batch1
   }
 
+  test("windowed CMS: bounded grid state, streaming grid == batch sketch exactly") {
+    val s = spark
+    import s.implicits._
+    // hour 0: a skewed token stream (400 'hot', 100 across a long tail);
+    // the 03:00 event closes the window
+    val h0 = (0 until 400).map(i =>
+      s"""{"ts":"2024-01-01T00:${i % 50}:00.000Z","tok":"hot"}""") ++
+      (0 until 100).map(i =>
+        s"""{"ts":"2024-01-01T00:${i % 50}:30.000Z","tok":"tail$i"}""")
+    val closer = Seq("""{"ts":"2024-01-01T03:00:00.000Z","tok":"zz"}""")
+    val dir = writeTopic(h0 ++ closer)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType)))
+    val grid = Streams.windowedTokenCms(
+      Streams.subscribe(spark, dir, schema), "ts", "tok",
+      windowDur = "1 hour", watermark = "30 minutes")
+    val q = grid.writeStream.format("memory").queryName("cms_t")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT win.start AS st, r, b, c FROM cms_t").collect()
+    rows.map(_.getTimestamp(0).toString).toSet shouldBe Set("2024-01-01 00:00:00.0")
+    rows.length should be <= 3 * 512 // grid-bounded state, whatever the vocab
+    // determinism pin: streaming grid EQUALS the batch sketch's
+    val streamGrid = rows.map(x => (x.getInt(1), x.getLong(2)) -> x.getLong(3)).toMap
+    val batchToks = (Seq.fill(400)("hot") ++ (0 until 100).map(i => s"tail$i")).toDF("tok")
+    val batchGrid = graft.functions.CmsSketch.sketch(batchToks, "tok")
+      .collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    streamGrid shouldBe batchGrid
+    // and the probe tier reads it: hot >= 400 (admissible)
+    val est = graft.functions.CmsSketch.estimates(
+      spark.sql("SELECT r, b, c FROM cms_t"), Seq("hot").toDF("t"), "t")
+      .collect()(0).getLong(1)
+    est should be >= 400L
+  }
+
   test("watermarked streaming dedup bounds the reference's unbounded seen-set (SET3)") {
     val s = spark
     import s.implicits._
