@@ -31,8 +31,16 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** (node, pr_ppm) after `iters` rounds over one-sided (src<dst,
-    * weight) edges — symmetrized internally. */
-  def run(edges: DataFrame, iters: Int = 5): DataFrame = {
+    * weight) edges — symmetrized internally.
+    *
+    * `seed` personalizes the walk (PPR): teleport mass lands ONLY on
+    * nodes satisfying the predicate (uniform over them), so ranks
+    * measure proximity to the seed set — the recommendation /
+    * source-trust variant (TrustRank-style: seed = vetted sources,
+    * rank = trust flowing out through the link structure). `None` is
+    * classic uniform PageRank. Same integer-ppm contract either way. */
+  def run(edges: DataFrame, iters: Int = 5,
+      seed: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // sym is NOT checkpointed: it is a map-only union over the caller's
@@ -46,7 +54,14 @@ object PageRank {
     val k = sym.groupBy($"src").agg(sum($"wt").as("ks")).localCheckpoint()
     val n = k.count()
     if (n == 0) return k.select($"src".as("node"), lit(0L).as("pr"))
-    val base = 150000L / n
+    // teleport-mass denominator: the SEED count under personalization
+    val nBase = seed.map(p => k.filter(p($"src")).count()).getOrElse(n)
+    if (nBase == 0) return k.select($"src".as("node"), lit(0L).as("pr"))
+    val base = 150000L / nBase
+    // per-node teleport mass: uniform over seeds (or over all nodes)
+    def baseMass(node: org.apache.spark.sql.Column, amount: Long) =
+      seed.map(p => when(p(node), lit(amount)).otherwise(lit(0L)))
+        .getOrElse(lit(amount))
     // Node-sized frames (ranks, strengths, contributions) BROADCAST below
     // the 2M-node tier — the per-round sym-shuffle disappears and each
     // round is one map-side join + one partial-agg exchange. Above the
@@ -54,7 +69,8 @@ object PageRank {
     // results either way (same tiering discipline as collectThreshold).
     val bcastTier = n <= 2000000L
     def maybeB(df: DataFrame): DataFrame = if (bcastTier) broadcast(df) else df
-    var pr = k.select($"src".as("node"), lit(1000000L / n).as("pr"))
+    var pr = k.select($"src".as("node"),
+      baseMass($"src", 1000000L / nBase).as("pr"))
     var lastCkpt: DataFrame = null
     var round = 0
     while (round < iters) {
@@ -65,7 +81,8 @@ object PageRank {
         .groupBy($"node").agg(sum($"c").as("s"))
       var next = k.select($"src".as("node")).join(maybeB(contrib), Seq("node"), "left")
         .select($"node",
-          (lit(base) + expr("CAST((85 * coalesce(s, 0)) DIV 100 AS BIGINT)")).as("pr"))
+          (baseMass($"node", base) +
+            expr("CAST((85 * coalesce(s, 0)) DIV 100 AS BIGINT)")).as("pr"))
       // Checkpoint every THIRD round (and always the last): bounds both
       // the lineage depth and the re-execution a broadcast build pays on
       // an unmaterialized rank plan, without paying an eager

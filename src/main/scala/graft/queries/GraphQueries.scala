@@ -319,7 +319,18 @@ object GraphQueries {
     graft.graph.PageRank.run(graph(spark, dir), iters = 5)
       .select(col("node"), col("pr").as("pr_ppm"))
 
+  /** q101 — PERSONALIZED PageRank (TrustRank-shaped: teleport mass only
+    * on a vetted seed set — here node % 7 = 0 — so ranks measure trust/
+    * proximity flowing out of the seeds through the link structure; the
+    * source-scoring variant curation pipelines actually deploy). Same
+    * integer-ppm loop and full recursive-CTE oracle as q94. */
+  val q101Ppr: Q = (spark, dir) =>
+    graft.graph.PageRank.run(graph(spark, dir), iters = 5,
+        seed = Some(node => node % 7 === 0))
+      .select(col("node"), col("pr").as("pr_ppm"))
+
   val defs: Map[String, Q] = Map(
+    "q101_ppr" -> q101Ppr,
     "q94_pagerank" -> q94PageRank,
     "q15_modularity" -> q15Modularity,
     "q16_structure" -> q16Structure,
@@ -348,6 +359,32 @@ object GraphQueries {
       |  (SELECT u1 AS usr, wt FROM w UNION ALL SELECT u2, wt FROM w) GROUP BY usr)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q101 — q94's CTE with the teleport mass restricted to the seed set
+    // (node % 7 = 0), denominator = seed count; otherwise identical
+    // integer ops in the identical order.
+    "q101_ppr" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_orderkey AS post, l_suppkey AS usr FROM lineitem),
+        |w AS (SELECT a.usr AS u1, b.usr AS u2, count(*)::BIGINT AS wt
+        |  FROM e a JOIN e b ON a.post = b.post AND a.usr < b.usr GROUP BY 1, 2),
+        |sym AS (SELECT u1, u2, wt FROM w UNION ALL SELECT u2, u1, wt FROM w),
+        |degs AS (SELECT u1 AS node, sum(wt)::BIGINT AS ks FROM sym GROUP BY u1),
+        |ns AS (SELECT count(*)::BIGINT AS ns FROM degs WHERE node % 7 = 0),
+        |pr(iter, node, v) AS (
+        |  SELECT 0, node,
+        |    CASE WHEN node % 7 = 0 THEN 1000000 // (SELECT ns FROM ns) ELSE 0 END
+        |  FROM degs
+        |  UNION ALL
+        |  SELECT p.iter + 1, p.node,
+        |    CASE WHEN p.node % 7 = 0 THEN 150000 // (SELECT ns FROM ns) ELSE 0 END
+        |    + (85 * coalesce((SELECT sum((p2.v * s.wt) // d.ks)
+        |        FROM sym s JOIN pr p2 ON p2.node = s.u1 AND p2.iter = p.iter
+        |        JOIN degs d ON d.node = s.u1
+        |        WHERE s.u2 = p.node), 0)) // 100
+        |  FROM pr p WHERE p.iter < 5
+        |)
+        |SELECT node::BIGINT AS node, v::BIGINT AS pr_ppm
+        |FROM pr WHERE iter = 5""".stripMargin,
     // q94 — the integer PageRank replayed round-for-round: same co-
     // engagement weights (BIGINT), same symmetrization, same ppm
     // quantization with the same DIV order ((pr·wt) DIV k(u), summed,

@@ -42,6 +42,18 @@ class PageRankSpec extends SparkSpec with Matchers {
     total should be > 900000L // <=1 ppm lost per DIV, a handful of DIVs deep
   }
 
+  test("personalized: mass stays reachable-from-seeds; unreachable component is all zero") {
+    // component A: 1-2-3 (seed 1); component B: 10-11 (no seeds)
+    val g = edges(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 1.0)))
+    val pr = PageRank.run(g, iters = 5, seed = Some(n => n === 1L))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    pr(10L) shouldBe 0L
+    pr(11L) shouldBe 0L
+    pr(1L) should be > pr(3L) // the seed outranks the far node
+    pr(2L) should be > 0L
+    pr(3L) should be > 0L
+  }
+
   test("empty edge list returns an empty frame, not a division by zero") {
     PageRank.run(edges(Nil), iters = 3).count() shouldBe 0L
   }
