@@ -113,6 +113,10 @@ object ScaleBench {
           val r = PageRank.run(g, iters = 5)
           val c = r.count(); graft.util.BlockRelease.release(r); c
         }),
+        "ppr" -> (() => {
+          val r = PageRank.run(g, iters = 5, seed = Some(n => n % 7 === 0))
+          val c = r.count(); graft.util.BlockRelease.release(r); c
+        }),
         "kcore_df" -> (() => KCore.runDF(g).count()))
       rows.filter { case (name, _) => onlyAlgos.forall(_.contains(name)) }
         .foreach { case (name, f) =>
