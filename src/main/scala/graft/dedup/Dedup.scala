@@ -381,11 +381,16 @@ object Dedup {
     * dropped by the exact tier. */
   def incrementalIngestGate(docs: DataFrame, idCol: String, textCol: String,
       isNew: Column, n: Int = 8): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // null text normalizes to "" (the q99-oracle convention) — without it
+    // concat_ws silently maps the null token array to "" on the Spark side
+    // while a SQL oracle keeps sig NULL, breaking engine parity; with it
+    // BOTH engines agree that text-less docs share the md5("") signature.
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = split(lower(trim(txt)), "\\s+")
     // one-pass kernel: the HOF formulation re-split the text per shingle
     // index in interpreted context (70 s at the 50k scale cell → see
     // Md5WordShingles scaladoc); this tokenizes once per row
-    val sh = md5_word_shingles(col(textCol), n)
+    val sh = md5_word_shingles(txt, n)
     val base = docs.select(col(idCol).as("doc_id"), isNew.as("nw"),
         md5(concat_ws(" ", toks)).as("sig"), sh.as("grams"))
       // four consumers (corpus sigs, corpus grams, batch grams, batch

@@ -50,11 +50,19 @@ object CmsSketch {
     * and at 100 TB this is the shuffle-vs-broadcast decision input: two
     * fixed-size summaries answer the cardinality question no scan has to.
     * Returns one row (est_join_size). Inner join on (r, b) — absent
-    * cells contribute 0. */
-  def joinSizeEstimate(gridA: DataFrame, gridB: DataFrame): DataFrame = {
-    gridA.select(col("r"), col("b"), col("c").as("ca"))
+    * cells contribute 0, INCLUDING whole hash rows with zero overlap:
+    * the per-row inner products are left-joined back onto the full row-id
+    * range 0..d−1 with `coalesce(ip, 0)` so a disjoint row contributes a
+    * provable 0 to the min (and fully disjoint grids estimate 0, never
+    * NULL). `d` must match the grids' build dimension. */
+  def joinSizeEstimate(gridA: DataFrame, gridB: DataFrame, d: Int = 3): DataFrame = {
+    require(d > 0, "d must match the grids' build dimension")
+    val perRow = gridA.select(col("r"), col("b"), col("c").as("ca"))
       .join(gridB.select(col("r"), col("b"), col("c").as("cb")), Seq("r", "b"))
       .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+    val rowIds = gridA.sparkSession.range(d).select(col("id").cast("int").as("r"))
+    broadcast(rowIds).join(perRow, Seq("r"), "left")
+      .select(coalesce(col("ip"), lit(0L)).as("ip"))
       .agg(min(col("ip")).as("est_join_size"))
   }
 

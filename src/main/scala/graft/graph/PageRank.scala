@@ -41,6 +41,9 @@ object PageRank {
     * classic uniform PageRank. Same integer-ppm contract either way. */
   def run(edges: DataFrame, iters: Int = 5,
       seed: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): DataFrame = {
+    // iters >= 1 is load-bearing: with an empty loop the returned pr would
+    // be a lazy plan over k, whose checkpoint blocks are released below.
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val spark = edges.sparkSession
     import spark.implicits._
     // sym is NOT checkpointed: it is a map-only union over the caller's

@@ -1040,7 +1040,8 @@ object TextQueries {
     // joins only, same rational 2·shared ≥ total threshold.
     "q98_incremental_dedup" ->
       """WITH t AS (SELECT doc_id, doc_id % 10 = 3 AS nw,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+        |  FROM documents),
         |b AS (SELECT doc_id, nw, md5(array_to_string(toks, ' ')) AS sig,
         |    CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform(
         |        range(0, len(toks) - 7),

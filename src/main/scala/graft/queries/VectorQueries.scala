@@ -146,39 +146,52 @@ object VectorQueries {
     val thr =
       if (nDocs <= sampleGate) u32Max
       else math.min(u32Max, sampleTarget * u32Max / nDocs)
-    val u32 = conv(substring(
-      md5(concat(lit("s24:"), $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long")
-    val sample = nz.filter(u32 < thr)
+    // sample membership is PURE md5 arithmetic — computable per-id on any
+    // row without a join (the r10 restage: the former two broadcast
+    // semi-joins + separate lshS checkpoint were pure overhead)
+    def inSample(c: org.apache.spark.sql.Column) = conv(substring(
+      md5(concat(lit("s24:"), c.cast("string"))), 1, 8), 16, 10).cast("long") < thr
+    val sample = nz.filter(inSample($"doc_id"))
     val lsh = graft.dedup.Dedup
       .cosineNearDupsExact(docs, "doc_id", "v", 9, 10, tables = 96, dim = 16)
     val brute = graft.dedup.Dedup
       .cosineNearDupsBruteExact(sample, "doc_id", "v", 9, 10)
       .select($"id_a", $"id_b").localCheckpoint()
-    // restrict the production pair set to sample-internal pairs (two
-    // broadcast semi-joins — the sample is ≤ ~2k ids by construction);
-    // in full mode the sample is the corpus and this is the identity
-    val sIds = sample.select($"doc_id")
-    val lshS = lsh.select($"id_a", $"id_b")
-      .join(broadcast(sIds.select($"doc_id".as("id_a"))), Seq("id_a"), "left_semi")
-      .join(broadcast(sIds.select($"doc_id".as("id_b"))), Seq("id_b"), "left_semi")
-      .localCheckpoint()
     val nTrue = brute.count()
-    val nLsh = lshS.count()
-    val nOutside = lshS.join(brute, Seq("id_a", "id_b"), "left_anti").count()
-    // CORPUS-WIDE verify invariant (r9 ADVICE: in sampled mode the
-    // subset pin only sees sample-internal pairs — an LSH regression
-    // emitting spurious pairs among non-sample docs would be invisible).
-    // Re-join EVERY emitted pair to its vectors and re-evaluate the
-    // rational predicate from scratch (independent of the dot/n2 the
-    // banding carried) — linear in |pairs|, never pairwise.
+    // ONE verify pass over the emitted pair list (r10: was three separate
+    // actions — lshS count, anti-join count, corpus-wide verify count):
+    //  - corpus-wide invariant (r9 ADVICE): re-join EVERY emitted pair to
+    //    its vectors and re-evaluate the rational predicate from scratch,
+    //    independent of the dot/n2 the banding carried — linear in
+    //    |pairs|, never pairwise. The vector side is CORPUS-sized, so it
+    //    rides the shared SizeGate (r9 VERDICT item 2: no unconditional
+    //    corpus-sized broadcast — above the gate AQE picks a shuffle
+    //    join), with the already-computed nDocs so the gate is free;
+    //  - sample-internal restriction by the inSample predicate map-side;
+    //  - subset/equality vs brute via ONE left join (brute is bounded by
+    //    construction: pairs among a ≤ ~2k-doc fixed-count sample).
     val vecsById = nz.select($"doc_id", $"v", dot($"v", $"v").as("n2"))
-    val nUnverified = lsh.select($"id_a", $"id_b")
-      .join(broadcast(vecsById.select($"doc_id".as("id_a"), $"v".as("va"), $"n2".as("na2"))), Seq("id_a"))
-      .join(broadcast(vecsById.select($"doc_id".as("id_b"), $"v".as("vb"), $"n2".as("nb2"))), Seq("id_b"))
-      .select(dot($"va", $"vb").as("d"), $"na2", $"nb2")
-      .filter(!($"d" > 0 && lit(100L) * $"d" * $"d" >= lit(81L) * $"na2" * $"nb2"))
-      .count()
-    graft.util.BlockRelease.release(Seq(docs, lsh, lshS, brute))
+    def sized(df: DataFrame) =
+      graft.util.SizeGate.maybeBroadcast(df, known = Some(nDocs))
+    val verify = lsh.select($"id_a", $"id_b")
+      .join(sized(vecsById.select($"doc_id".as("id_a"), $"v".as("va"), $"n2".as("na2"))), Seq("id_a"))
+      .join(sized(vecsById.select($"doc_id".as("id_b"), $"v".as("vb"), $"n2".as("nb2"))), Seq("id_b"))
+      .join(broadcast(brute.withColumn("in_true", lit(true))), Seq("id_a", "id_b"), "left")
+      .select(
+        (inSample($"id_a") && inSample($"id_b")).as("si"),
+        coalesce($"in_true", lit(false)).as("it"),
+        dot($"va", $"vb").as("d"), $"na2", $"nb2")
+      .agg(
+        sum(when($"si", 1L).otherwise(0L)).as("n_lsh_s"),
+        sum(when($"si" && !$"it", 1L).otherwise(0L)).as("n_outside"),
+        sum(when(!($"d" > 0 && lit(100L) * $"d" * $"d" >= lit(81L) * $"na2" * $"nb2"),
+          1L).otherwise(0L)).as("n_unverified"))
+      .collect()(0)
+    val (nLsh, nOutside, nUnverified) = (
+      if (verify.isNullAt(0)) 0L else verify.getLong(0),
+      if (verify.isNullAt(1)) 0L else verify.getLong(1),
+      if (verify.isNullAt(2)) 0L else verify.getLong(2))
+    graft.util.BlockRelease.release(Seq(docs, lsh, brute))
     val mode = if (nDocs <= sampleGate) "full" else "sampled"
     Seq((nDocs, mode, nTrue, nOutside == 0, nOutside == 0 && nLsh == nTrue,
         nUnverified == 0L))

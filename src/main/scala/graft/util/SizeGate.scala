@@ -1,0 +1,37 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Shared size gate for explicit `broadcast()` hints (r9 VERDICT item 5:
+  * "route corpus-shaped sides through one shared maybeBroadcast util").
+  *
+  * An unconditional `broadcast()` hint is a 100 TB hazard whenever the
+  * hinted side is not bounded BY CONSTRUCTION (a d×w sketch grid, a k-row
+  * codebook, a fixed-count md5 sample are bounded; "all doc vectors" is
+  * not). This helper makes the decision explicit and cheap: the caller
+  * supplies a row-count bound and an ALREADY-KNOWN count when one is
+  * lying around (most call sites just counted the frame for another
+  * reason), or lets the gate count once. Below the bound the frame
+  * broadcasts — map-side join, zero shuffle on the big side; at or above
+  * it the frame is returned un-hinted and AQE/the planner picks the
+  * shuffle join that actually fits. Same tiering discipline as
+  * `PageRank.run`'s node-tier `maybeB` and the graph algos'
+  * `collectThreshold` — identical results either way, only the exchange
+  * strategy changes.
+  */
+object SizeGate {
+
+  /** Default bound: generous for a 128 GiB driver, far below "corpus". */
+  val DefaultRows = 2000000L
+
+  /** Broadcast `df` iff its row count is below `bound`. Pass `known =
+    * Some(n)` when the caller already counted — the gate then costs
+    * nothing. Counting here is one extra job over (usually) an already
+    * checkpointed frame; callers on a hot path should prefer `known`. */
+  def maybeBroadcast(df: DataFrame, bound: Long = DefaultRows,
+      known: Option[Long] = None): DataFrame = {
+    val n = known.getOrElse(df.count())
+    if (n < bound) broadcast(df) else df
+  }
+}

@@ -58,6 +58,17 @@ class CmsSketchSpec extends SparkSpec with Matchers {
     est shouldBe 4L // 4 distinct keys in 512 buckets: no collisions here
   }
 
+  test("join-size estimate: disjoint grids give a provable 0, never NULL (r9 ADVICE)") {
+    // one hash row with zero overlapping buckets must contribute 0 to the
+    // min (not vanish from it), and fully disjoint grids must estimate 0
+    val a = tokFrame(Seq("only-in-a", "aa"))
+    val b = tokFrame(Seq("only-in-b", "bb"))
+    val row = CmsSketch.joinSizeEstimate(
+      CmsSketch.sketch(a, "tok"), CmsSketch.sketch(b, "tok")).collect()(0)
+    row.isNullAt(0) shouldBe false
+    row.getLong(0) shouldBe 0L
+  }
+
   test("w=1 degenerates to the total count for every probe — the epsilon*N bound's edge") {
     val s = spark
     import s.implicits._

@@ -32,6 +32,29 @@ class DedupSpec extends SparkSpec with Matchers {
     r(33L) shouldBe ((false, false))
   }
 
+  test("incremental ingest gate: null text normalizes to \"\" (r9 ADVICE — engine parity)") {
+    val s = spark
+    import s.implicits._
+    // null-text docs must behave exactly like empty-text docs: sig =
+    // md5(""), n_grams = 0 (NOT size(null) = -1), and a new null-text doc
+    // is an exact dup of a stored empty/null-text doc — the convention a
+    // SQL oracle reproduces with coalesce(text, '')
+    val docs = Seq[(Long, String)](
+      (1L, null),                // store, null text
+      (13L, null),               // NEW: null text — exact dup of 1 under ""
+      (23L, ""),                 // NEW: empty text — same signature class
+      (33L, (1 to 20).map(i => s"live token l$i").mkString(" "))) // NEW: novel
+      .toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.incrementalIngestGate(
+        docs, "doc_id", "text", isNew = col("doc_id") >= 10)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Boolean]("exact_dup"), x.getAs[Long]("n_grams"),
+         x.getAs[Boolean]("drop_doc"))).toMap
+    r(13L) shouldBe ((true, 0L, true))  // null ≡ "" ≡ stored null
+    r(23L) shouldBe ((true, 0L, true))  // "" shares the md5("") signature
+    r(33L) shouldBe ((false, 53L, false)) // novel: 60 tokens → 53 grams, kept
+  }
+
   test("MinHash-LSH finds every true near-dup pair (recall vs brute force)") {
     val docs = Tables.load(spark, dir, "documents")
     val sh = Dedup.shingled(docs, "doc_id", "text").cache()

@@ -57,4 +57,9 @@ class PageRankSpec extends SparkSpec with Matchers {
   test("empty edge list returns an empty frame, not a division by zero") {
     PageRank.run(edges(Nil), iters = 3).count() shouldBe 0L
   }
+
+  test("iters <= 0 is rejected up front (r9 ADVICE: would be use-after-release)") {
+    an[IllegalArgumentException] should be thrownBy
+      PageRank.run(edges(Seq((1L, 2L, 1L))), iters = 0)
+  }
 }
