@@ -101,29 +101,40 @@ object Bench {
     val gcByQuery = collection.mutable.Map[String, Long]().withDefaultValue(0L)
     val timesByQuery =
       collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
-    (1 to runs).foreach { run =>
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val gc0 = gcMillis
+      val t0 = System.nanoTime()
+      // caller-side result release (the BlockReleaseSweepSpec contract):
+      // operators returning checkpointed outputs hand ownership to the
+      // consumer — releasing here keeps N-query × M-run sessions at a
+      // flat block count (release cost is part of using the result, so
+      // it stays inside the timed region)
+      var r: org.apache.spark.sql.DataFrame = null
+      try {
+        r = fn(spark, sfDir)
+        r.count()
+      } catch { case _: Throwable => }
+      finally if (r != null) graft.util.BlockRelease.release(r)
+      timesByQuery(name) :+= (System.nanoTime() - t0) / 1e9
+      gcByQuery(name) += gcMillis - gc0
+      // between-query hygiene: terminated streaming queries (q58/q59
+      // start fresh queries every run) otherwise accumulate in the
+      // StreamingQueryManager for the life of the session, pinning
+      // their progress buffers and last-batch plans
+      spark.streams.resetTerminated()
+    }
+    // SPARK_GRAFT_CONSECUTIVE=1: the r8-and-earlier protocol (all runs of
+    // one query back-to-back) — kept as an experiment switch for the r10
+    // protocol-vs-session-pressure attribution (BENCH_LOCAL_r10 §2); the
+    // contract default stays interleaved.
+    val consecutive = sys.env.get("SPARK_GRAFT_CONSECUTIVE").contains("1")
+    if (consecutive) {
       queries.foreach { case (name, fn) =>
-        val gc0 = gcMillis
-        val t0 = System.nanoTime()
-        // caller-side result release (the BlockReleaseSweepSpec contract):
-        // operators returning checkpointed outputs hand ownership to the
-        // consumer — releasing here keeps N-query × M-run sessions at a
-        // flat block count (release cost is part of using the result, so
-        // it stays inside the timed region)
-        var r: org.apache.spark.sql.DataFrame = null
-        try {
-          r = fn(spark, sfDir)
-          r.count()
-        } catch { case _: Throwable => }
-        finally if (r != null) graft.util.BlockRelease.release(r)
-        timesByQuery(name) :+= (System.nanoTime() - t0) / 1e9
-        gcByQuery(name) += gcMillis - gc0
-        // between-query hygiene: terminated streaming queries (q58/q59
-        // start fresh queries every run) otherwise accumulate in the
-        // StreamingQueryManager for the life of the session, pinning
-        // their progress buffers and last-batch plans
-        spark.streams.resetTerminated()
+        (1 to runs).foreach(_ => timeOne(name, fn))
       }
+    } else (1 to runs).foreach { run =>
+      queries.foreach { case (name, fn) => timeOne(name, fn) }
       val roundTotal = queries.map { case (n, _) => timesByQuery(n)(run - 1) }.sum
       System.err.println(f"BENCH-ROUND $run/$runs sweep_total $roundTotal%8.2f s")
     }

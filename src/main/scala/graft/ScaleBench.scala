@@ -166,7 +166,7 @@ object ScaleBench {
       ((System.nanoTime() - t0) / 1e9, r)
     }
     def labels(collectThreshold: Long): Map[Long, Long] =
-      Hdbscan.run(pts, minPts = 5, minClusterSize = 25, knnK = 16,
+      Hdbscan.run(pts, minPts = 5, minClusterSize = 25,
           bruteThreshold = 0L, collectThreshold = collectThreshold)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (tCol, labCol) = t(labels(5000000L)) // collected extraction

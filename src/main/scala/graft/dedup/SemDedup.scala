@@ -78,6 +78,29 @@ object SemDedup {
     }.reduce(_ + _)
   }
 
+  /** MARGIN-RANKED SRP multi-probe (r10 — ROADMAP item 2 applied to the
+    * cell-serving path): among the `bits` Hamming-1 flips of a query's
+    * SRP cell, rank flip b by |q·plane_b| ASCENDING — the hyperplane the
+    * query sits closest to is the one its missing neighbors most likely
+    * crossed (Lv et al., VLDB 2007, the same reasoning the q27
+    * hyperplane_probes tier already measures) — and return the `p`
+    * lowest-margin bit indices. Probing cell ⊕ (1<<b) for these p bits
+    * reads p+1 cells instead of bits+1 at near-equal recall: bytes per
+    * query on a cell-partitioned 100 TB store drop ∝ (p+1)/(bits+1).
+    * Projections are exact integers (integer-valued qv, ±1 planes) with
+    * deterministic (|proj|, b) tie-break, so any engine replays the
+    * ranking bit-for-bit — the q86 oracle re-derives it in SQL. */
+  def marginProbeBits(qv: Seq[Double], dim: Int, bits: Int, seed: String,
+      p: Int): Seq[Int] = {
+    val planes = md5Planes(seed, bits, dim)
+    (0 until bits).map { b =>
+      var proj = 0.0
+      var i = 0
+      while (i < dim) { proj += qv(i) * planes(b)(i); i += 1 }
+      (b, math.abs(proj))
+    }.sortBy { case (b, m) => (m, b) }.take(math.max(0, p)).map(_._1)
+  }
+
   /** The production cell-count rule (the q26 IVF nlist sizing): the
     * smallest bits ≥ 4 with 2^bits ≥ n/targetCellSize, i.e. cells grow ∝
     * corpus so per-cell pairwise work stays O(target²)·n/target = O(n).

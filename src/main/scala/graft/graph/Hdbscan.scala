@@ -12,14 +12,16 @@ import graft.functions.VectorFunctions
   * project/metrics/community_detection.py:49-54) — the real algorithm, not
   * the DBSCAN substitute ([[DensityCluster]] remains as the flat-ε tier):
   *
-  *  1. **Core distances**: distance to the minPts-th nearest neighbor, from
-  *     a kNN edge set (exact brute kNN under `bruteThreshold` points; LSH
-  *     bucket candidates above it — the standard approximate-kNN tier, same
-  *     centered-hyperplane machinery as [[DensityCluster]]).
-  *  2. **Mutual reachability**: d_mreach(a,b) = max(core_a, core_b, d(a,b))
-  *     on the kNN candidate edges (the kNN graph contains the MST edges for
-  *     all but adversarial data — the standard scalable formulation).
-  *  3. **Distributed Borůvka MST**: each component picks its minimum
+  *  1. **Core distances**: distance to the minPts-th nearest neighbor —
+  *     EXACT at every scale (r10): in-memory brute under `bruteThreshold`
+  *     points, block-pair partitioned passes above it ([[blockedCores]] —
+  *     every point pair is evaluated in exactly one memory-bounded task).
+  *  2. **Mutual reachability**: d_mreach(a,b) = max(core_a, core_b, d(a,b)),
+  *     never materialized as an edge set — each block-pair task folds it
+  *     inside its local dense Prim ([[blockedMstEdges]]), whose ≤ P−1
+  *     output edges form an exact MST superset by the cycle property.
+  *  3. **MST**: Kruskal over the collected sparsified union when it fits,
+  *     else distributed Borůvka: each component picks its minimum
   *     outgoing edge (deterministic total order on (w, a, b)), components
   *     merge by pointer-doubling over the chosen-edge functional graph —
   *     O(log n) rounds of node-sized shuffles, never all-pairs.
@@ -39,13 +41,15 @@ object Hdbscan {
   /** @param points (id, v) with v array<double>
     * @param minPts          core-distance neighbor rank (density smoothing)
     * @param minClusterSize  smallest condensed cluster
-    * @param knnK            candidate neighbors per point (≥ minPts)
+    * @param taskTarget      ≈ points per block in the exact at-scale tier
+    *                        (a task holds two blocks; memory ∝ taskTarget,
+    *                        per-task work ∝ taskTarget²)
     * @return (id, label) — label = min member id of the cluster, −1 noise */
   def run(points: DataFrame, minPts: Int = 5, minClusterSize: Int = 5,
-      knnK: Int = 16, bits: Int = 10, tables: Int = 8,
-      bruteThreshold: Long = 2000L,
+      taskTarget: Int = 2048, bruteThreshold: Long = 2000L,
       collectThreshold: Long = 5000000L): DataFrame = {
-    require(knnK >= minPts, s"knnK ($knnK) must be ≥ minPts ($minPts)")
+    require(minPts >= 1, s"minPts ($minPts) must be ≥ 1")
+    require(taskTarget >= 2, s"taskTarget ($taskTarget) must be ≥ 2")
     // minClusterSize = 1 is degenerate HDBSCAN (every point a cluster, no
     // noise) and the distributed extraction tier would silently drop
     // singleton components (a size-1 'big root' emits no membership rows)
@@ -71,38 +75,30 @@ object Hdbscan {
         .as[(Long, Array[Double])].collect().sortBy(_._1)
       return exactInMemory(pts, minPts, minClusterSize).toSeq.toDF("id", "label")
     }
-    val (knn, knnScratch) = knnLsh(points, knnK, bits, tables)
-    val und = knn
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"), col("d"))
-      .groupBy("a", "b").agg(min(col("d")).as("d"))
+    // EXACT at-scale tier (r10 — the LSH approximate kNN tier is gone):
+    // block-pair partitioned core distances + per-task local-MST
+    // sparsification; see the machinery section comment for the proof
+    // that the edge union contains the unique global MST.
+    val nBlocks = math.max(1, math.ceil(n.toDouble / taskTarget).toInt)
+    val core = blockedCores(points.select(col("id"), col("v")), minPts, nBlocks)
       .localCheckpoint()
-    graft.util.BlockRelease.release(knnScratch) // bucket rows: und owns the data now
-
-    // core distance = d of the minPts-th nearest incident candidate; a
-    // point with fewer than minPts candidates (LSH tier only) sits in a
-    // near-empty region — an effectively-infinite core distance sends it to
-    // the top of the hierarchy, where it condenses out as noise
-    val wNode = Window.partitionBy(col("node")).orderBy(col("d").asc, col("nbr").asc)
-    val core = und.select(col("a").as("node"), col("b").as("nbr"), col("d"))
-      .union(und.select(col("b"), col("a"), col("d")))
-      .withColumn("rn", row_number().over(wNode))
-      .filter(col("rn") === minPts)
-      .select(col("node").as("id"), col("d").as("core"))
-    val inf = lit(1e30)
-    val mre = und
-      .join(core.select(col("id").as("a"), col("core").as("ca")), Seq("a"), "left")
-      .join(core.select(col("id").as("b"), col("core").as("cb")), Seq("b"), "left")
-      .select(col("a"), col("b"),
-        greatest(col("d"), coalesce(col("ca"), inf), coalesce(col("cb"), inf)).as("w"))
+    // a point absent from `core` has fewer than minPts neighbors in the
+    // whole corpus (only possible when n ≤ minPts) — the 1e30 sentinel
+    // sends it to the hierarchy top, where it condenses out as noise
+    // (the exactInMemory convention)
+    val withCore = points.select(col("id"), col("v"))
+      .join(core, Seq("id"), "left")
+      .select(col("id"), col("v"), coalesce(col("core"), lit(1e30)).as("core"))
+    val mre = blockedMstEdges(withCore, nBlocks).localCheckpoint()
+    graft.util.BlockRelease.release(core)
 
     // MST tiering (same collect-threshold discipline as Louvain/Leiden):
-    // when the CANDIDATE edge set itself fits in memory, sequential Kruskal
-    // under the same lexicographic (w, a, b) total order produces the
-    // identical unique MST in one collect — the distributed Borůvka rounds
-    // (several eager jobs each, O(log n) of them) are reserved for edge
-    // sets that genuinely exceed one executor.
-    val nCand = und.count()
+    // when the SPARSIFIED edge union (≤ n·B rows) fits in memory,
+    // sequential Kruskal under the same lexicographic (w, a, b) total
+    // order produces the identical unique MST in one collect — the
+    // distributed Borůvka rounds (several eager jobs each, O(log n) of
+    // them) are reserved for unions that genuinely exceed one executor.
+    val nCand = mre.count()
     val labels =
       if (nCand <= collectThreshold) {
         val edges = kruskalMst(mre.select(col("a"), col("b"), col("w"))
@@ -113,8 +109,8 @@ object Hdbscan {
         runDistributedMst(points, mre, minClusterSize, collectThreshold)
       }
     // both branches have materialized everything derived from the
-    // candidate edges — release them instead of leaking per call
-    graft.util.BlockRelease.release(und)
+    // sparsified edges — release them instead of leaking per call
+    graft.util.BlockRelease.release(mre)
 
     points.select(col("id"))
       .join(labels, Seq("id"), "left")
@@ -669,51 +665,184 @@ object Hdbscan {
     extractLabels(mstEdges.toArray, ids, minClusterSize)
   }
 
-  /** Approximate kNN edges from centered-hyperplane LSH bucket mates
-    * (candidate generation = equality join, the at-scale tier). */
-  private[graft] def knnLsh(points: DataFrame, k: Int,
-      bits: Int, tables: Int): (DataFrame, DataFrame) = {
-    val meanRow = points.agg(graft.functions.VectorMean(col("v")).as("m"))
-      .select(col("m")).first().getSeq[Double](0)
-    val meanCol = array(meanRow.map(lit): _*)
-    val dim = points.select(size(col("v"))).first().getInt(0)
-    val centered = points.withColumn("vc",
-      zip_with(col("v"), meanCol, (x, m) => x - m))
-    val allSigs = graft.functions.VectorExpressions
-      .hyperplane_sigs(col("vc"), dim, "hdbscan", bits, tables)
-    val bucketed = centered
-      .select(col("id"), col("v"), posexplode(allSigs).as(Seq("t", "s")))
-      .repartition(col("t"), col("s")) // don't inherit the scan's (often
-      //        single-file) partitioning into the bucket self-join
-      .localCheckpoint()
-    val w = Window.partitionBy(col("a")).orderBy(col("d").asc, col("b").asc)
-    // distance computed INSIDE the bucket join projection: the dedup then
-    // shuffles 24-byte (a, b, d) rows, not kilobyte vector pairs — with
-    // clustered data one bucket can hold a whole cluster, and carrying
-    // vectors through that dedup was a multi-GB shuffle
-    val wBucket = Window.partitionBy(col("t"), col("s"), col("a"))
-      .orderBy(col("d").asc, col("b").asc)
-    val topk = bucketed.as("x").join(bucketed.as("y"),
-        col("x.t") === col("y.t") && col("x.s") === col("y.s") &&
-          col("x.id") =!= col("y.id"))
-      .select(col("x.t").as("t"), col("x.s").as("s"),
-        col("x.id").as("a"), col("y.id").as("b"),
-        sqrt(VectorFunctions.l2distSq(col("x.v"), col("y.v"))).as("d"))
-      // LOSSLESS per-(node, bucket) top-k BEFORE the global dedup: a
-      // neighbor ranked > k inside any one bucket already has ≥ k closer
-      // distinct neighbors there, so it cannot make the global top-k.
-      // Plan shape (verified via executedPlan): the rank-limit pushdown
-      // plants a PARTIAL WindowGroupLimit before this window's exchange,
-      // so every exchange from here on — (t,s,a), the (a,b) dedup, the
-      // final (a) window — carries ≤ tables·k rows per node instead of
-      // the dedup shuffling every bucket-collision pair
-      .withColumn("rb", row_number().over(wBucket))
-      .filter(col("rb") <= k)
-      .drop("rb", "t", "s")
-      .dropDuplicates("a", "b")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-    (topk, bucketed) // caller releases `bucketed` once topk is materialized
+  // ---- EXACT at-scale candidate machinery (r10 — replaces the LSH
+  // approximate kNN tier, the repo's last non-exact surface) ----
+  //
+  // BLOCK-PAIR EDGE PARTITIONING: points hash into B ≈ n/taskTarget
+  // blocks; every unordered block pair (i ≤ j) is one task holding
+  // blocks i ∪ j, so every point PAIR co-occurs in EXACTLY ONE task
+  // (cross-block pairs in mixed tasks, same-block pairs in the diagonal
+  // task). Two passes, both map-side quadratic but memory- and
+  // shuffle-LINEAR:
+  //
+  //  1. [[blockedCores]] — each task emits each point's minPts smallest
+  //     in-task distances; a global per-point window takes the true
+  //     minPts-th smallest. Exact: any of a point's global minPts
+  //     nearest pairs is, inside its one task, preceded by at most
+  //     minPts−1 closer pairs, so it survives the local cut. Shuffle
+  //     ∝ n·B·minPts scalar rows.
+  //  2. [[blockedMstEdges]] — each task runs dense Prim (O(P²) time,
+  //     O(P) memory, NO edge materialization) over its local
+  //     mutual-reachability graph under the global lexicographic
+  //     (w, a, b) edge order and emits its ≤ P−1 local-MST edges. By
+  //     the strong cycle property under a STRICT total order, an edge
+  //     outside its task's MST is the order-maximum of a cycle that
+  //     also exists in the full graph — hence outside the unique global
+  //     MST. So the union of local MSTs (≤ n·B edges) CONTAINS the
+  //     global MST, and Kruskal/Borůvka over that union reproduces it
+  //     EXACTLY (classic MST-sparsification, the Karger–Klein–Tarjan
+  //     filter step made deterministic by the total order).
+  //
+  // Θ(n²) distance evaluations in total — the honest cost of exact
+  // high-dimensional EMST (there is no sub-quadratic exact algorithm
+  // once dim is large enough that space partitioning stops pruning) —
+  // but no n²-row shuffle ever exists, no task exceeds ~(2·taskTarget)²
+  // evaluations, and B grows ∝ n so executor memory stays FLAT at
+  // 100 TB: this is the same flops-distributed/memory-bounded contract
+  // as the q39 brute tier, minus its sampling concession.
+
+  /** Deterministic block id (balanced for dense, clustered or sparse id
+    * spaces; engine-internal, so no cross-engine hash contract needed —
+    * the final MST is blocking-invariant by the sparsification proof). */
+  private def blockOf(id: Column, nBlocks: Int): Column =
+    pmod(xxhash64(lit("hdb"), id), lit(nBlocks.toLong)).cast("int")
+
+  /** Exact core distances (minPts-th nearest over ALL points) via
+    * block-pair tasks. Returns (id, core); a point with fewer than
+    * minPts neighbors corpus-wide (only possible when n ≤ minPts) is
+    * absent — the caller coalesces to the 1e30 sentinel. */
+  private[graft] def blockedCores(points: DataFrame, minPts: Int,
+      nBlocks: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val rep = points
+      .select(blockOf(col("id"), nBlocks).as("blk"), col("id"), col("v"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("o"))
+      .select((least(col("blk"), col("o")).cast("long") * nBlocks +
+          greatest(col("blk"), col("o"))).as("task"),
+        col("blk"), col("id"), col("v"))
+      .as[(Long, Int, Long, Array[Double])]
+    val cand = rep.groupByKey(_._1).flatMapGroups { (task, it) =>
+      val pts = it.toArray
+      val diag = (task / nBlocks) == (task % nBlocks)
+      val n = pts.length
+      // per-point sorted array of the minPts smallest in-task distances
+      val keep = Array.fill(n)(Array.fill(minPts)(Double.MaxValue))
+      def add(a: Array[Double], d: Double): Unit = if (d < a(minPts - 1)) {
+        var i = minPts - 1
+        while (i > 0 && a(i - 1) > d) { a(i) = a(i - 1); i -= 1 }
+        a(i) = d
+      }
+      var x = 0
+      while (x < n) {
+        val bx = pts(x)._2; val vx = pts(x)._4
+        var y = x + 1
+        while (y < n) {
+          // each PAIR is charged to exactly one task: cross-block pairs
+          // here only when the task is mixed, same-block pairs only on
+          // the diagonal — no distance is ever double-counted
+          if (diag || bx != pts(y)._2) {
+            val vy = pts(y)._4
+            var s = 0.0; var d0 = 0
+            while (d0 < vx.length) { val t = vx(d0) - vy(d0); s += t * t; d0 += 1 }
+            val d = math.sqrt(s)
+            add(keep(x), d); add(keep(y), d)
+          }
+          y += 1
+        }
+        x += 1
+      }
+      pts.indices.iterator.flatMap { i =>
+        keep(i).iterator.filter(_ < Double.MaxValue).map(d => (pts(i)._3, d))
+      }
+    }.toDF("id", "d")
+    val w = Window.partitionBy(col("id")).orderBy(col("d").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === minPts)
+      .select(col("id"), col("d").as("core"))
+  }
+
+  /** Union of per-task local-MST edges over the mutual-reachability
+    * graph — a ≤ n·B-edge EXACT superset of the global MST (proof in the
+    * section comment above). Input (id, v, core); output (a, b, w) with
+    * a < b, each edge derived in exactly one task (no dedup needed). */
+  private[graft] def blockedMstEdges(ptsWithCore: DataFrame,
+      nBlocks: Int): DataFrame = {
+    val spark = ptsWithCore.sparkSession
+    import spark.implicits._
+    val rep = ptsWithCore
+      .select(blockOf(col("id"), nBlocks).as("blk"), col("id"), col("v"),
+        col("core"), explode(sequence(lit(0), lit(nBlocks - 1))).as("o"))
+      .select((least(col("blk"), col("o")).cast("long") * nBlocks +
+          greatest(col("blk"), col("o"))).as("task"),
+        col("blk"), col("id"), col("v"), col("core"))
+      .as[(Long, Int, Long, Array[Double], Double)]
+    rep.groupByKey(_._1).flatMapGroups { (task, it) =>
+      val pts = it.toArray.sortBy(_._3) // deterministic start point
+      val diag = (task / nBlocks) == (task % nBlocks)
+      val n = pts.length
+      val ids = pts.map(_._3); val vs = pts.map(_._4)
+      val cores = pts.map(_._5); val blks = pts.map(_._2)
+      // a mixed task can degenerate to one side when a block is empty —
+      // its bipartite graph then has no edges
+      if (n < 2 || (!diag && blks.distinct.length < 2)) Iterator.empty
+      else {
+        @inline def mreach(x: Int, y: Int): Double = {
+          val vx = vs(x); val vy = vs(y)
+          var s = 0.0; var i = 0
+          while (i < vx.length) { val t = vx(i) - vy(i); s += t * t; i += 1 }
+          math.max(math.sqrt(s), math.max(cores(x), cores(y)))
+        }
+        @inline def lo(x: Int, y: Int): Long = math.min(ids(x), ids(y))
+        @inline def hi(x: Int, y: Int): Long = math.max(ids(x), ids(y))
+        // the repo-wide strict (w, a, b) edge order — Prim under it
+        // yields the unique local MST, which the sparsification proof
+        // requires
+        def less(w1: Double, x1: Int, y1: Int,
+            w2: Double, x2: Int, y2: Int): Boolean =
+          w1 < w2 || (w1 == w2 && (lo(x1, y1) < lo(x2, y2) ||
+            (lo(x1, y1) == lo(x2, y2) && hi(x1, y1) < hi(x2, y2))))
+        val inTree = new Array[Boolean](n)
+        val bw = Array.fill(n)(Double.MaxValue)
+        val bf = Array.fill(n)(-1)
+        val out = new mutable.ArrayBuffer[(Long, Long, Double)](n - 1)
+        var cur = 0
+        inTree(cur) = true
+        var added = 0
+        var disconnected = false
+        while (!disconnected && added < n - 1) {
+          var i = 0
+          while (i < n) {
+            // mixed tasks relax CROSS edges only (complete bipartite —
+            // connected whenever both sides are non-empty); same-block
+            // pairs belong to the diagonal task's subgraph
+            if (!inTree(i) && (diag || blks(i) != blks(cur))) {
+              val d = mreach(cur, i)
+              if (bf(i) < 0 || less(d, cur, i, bw(i), bf(i), i)) {
+                bw(i) = d; bf(i) = cur
+              }
+            }
+            i += 1
+          }
+          var pick = -1
+          i = 0
+          while (i < n) {
+            if (!inTree(i) && bf(i) >= 0 &&
+                (pick < 0 || less(bw(i), bf(i), i, bw(pick), bf(pick), pick)))
+              pick = i
+            i += 1
+          }
+          if (pick < 0) disconnected = true // unreachable for our graphs
+          else {
+            out += ((lo(bf(pick), pick), hi(bf(pick), pick), bw(pick)))
+            inTree(pick) = true
+            cur = pick
+            added += 1
+          }
+        }
+        out.iterator
+      }
+    }.toDF("a", "b", "w")
   }
 
   /** Distributed Borůvka: O(log n) rounds; each round every component

@@ -208,7 +208,11 @@ object GraphQueries {
     val own = lab.filter(col("label") =!= -1L)
       .filter(col("id") === col("label"))
       .select(col("label")).distinct().withColumn("ok", lit(true))
-    lab.join(broadcast(own), Seq("label"), "left")
+    // no broadcast hint (r10 audit): `own` is CLUSTER-count-sized — tiny
+    // here but ∝ corpus at 100 TB. AQE converts to broadcast at runtime
+    // whenever the actual size is small; above that, the shuffle join is
+    // the one that fits.
+    lab.join(own, Seq("label"), "left")
       .select(col("id"),
         (col("label") === -1L || coalesce(col("ok"), lit(false)))
           .as("label_in_members"))
@@ -253,7 +257,10 @@ object GraphQueries {
     val grp = lab.filter(col("label") =!= -1L)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("csz"), min(col("id")).as("cmin"))
-    lab.join(broadcast(grp), Seq("label"), "left")
+    // no broadcast hint (r10 audit): `grp` is cluster-count-sized — AQE
+    // runtime-converts when small, shuffles when it isn't (same rationale
+    // as q46's `own`)
+    lab.join(grp, Seq("label"), "left")
       .select(col("id"),
         (col("label") === -1L ||
           (col("csz") >= minClusterSize && col("label") === col("cmin")))
@@ -271,7 +278,7 @@ object GraphQueries {
       .select(col("vec_id").as("id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     clusterSurface(
-      graft.graph.Hdbscan.run(pts, minPts = 4, minClusterSize = 4, knnK = 12,
+      graft.graph.Hdbscan.run(pts, minPts = 4, minClusterSize = 4,
         bruteThreshold = tier(2000L), collectThreshold = tier(5000000L)),
       minClusterSize = 4)
   }
@@ -290,7 +297,7 @@ object GraphQueries {
     clusterSurface(
       graft.graph.Hdbscan.run(
         emb.select(col("node").as("id"), col("embedding").as("v")),
-        minPts = 4, minClusterSize = 4, knnK = 12,
+        minPts = 4, minClusterSize = 4,
         bruteThreshold = tier(2000L), collectThreshold = tier(5000000L)),
       minClusterSize = 4)
   }

@@ -334,7 +334,11 @@ object TextQueries {
         least(lit(1L << 32), expr(s"${cap * (1L << 32)} div n_total")))
     val u32 = conv(substring(md5(concat(lit("samp:"), $"doc_id".cast("string"))), 1, 8),
       16, 10).cast("long")
-    d.join(broadcast(strata), Seq("lang", "source"))
+    // no broadcast hint (r10 audit): `strata` is stratum-count-sized —
+    // (lang × source) cardinality, unbounded when sources are web domains.
+    // AQE runtime-converts the small case; the hint would pin a broadcast
+    // no matter what the grouping produced.
+    d.join(strata, Seq("lang", "source"))
       .groupBy($"lang", $"source", $"n_total", $"threshold")
       .agg(sum(when(u32 < $"threshold", 1L).otherwise(0L)).as("n_kept"))
       .select($"lang", $"source", $"n_total", $"threshold", $"n_kept")

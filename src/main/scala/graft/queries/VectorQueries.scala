@@ -80,7 +80,9 @@ object VectorQueries {
     val e = emb(spark, dir)
       .select($"label", transform($"embedding", c => c.cast("double")).as("v"))
     val centroids = e.groupBy($"label").agg(VectorMean($"v").as("centroid"))
-    e.join(broadcast(centroids), "label")
+    // no broadcast hint (r10 audit): centroid count = label cardinality,
+    // unbounded in general — AQE runtime-converts the small case
+    e.join(centroids, "label")
       .groupBy($"label")
       .agg(round(avg(l2distSq($"v", $"centroid")), 4).as("variance"),
         count(lit(1)).as("n"))
@@ -478,11 +480,19 @@ object VectorQueries {
     val qcell = spark.range(1)
       .select(SemDedup.srpCellsMd5(typedlit(qv), dim = 16, bits = bits, seed = "sd").as("c"))
       .first().getLong(0)
-    // multi-probe: the query's cell + every Hamming-1 neighbor (flip one
-    // SRP bit) — the standard IVF recall knob; probes are driver-side
-    // literals, so the scan-side filter (⇒ partition prune on a
-    // cell-partitioned store) stays an IN over bits+1 constants
-    val probes = qcell +: (0 until bits).map(b => qcell ^ (1L << b))
+    // multi-probe BY MARGIN (r10 — ROADMAP item 2): the query's cell +
+    // the ⌈bits/2⌉ lowest-|projection| Hamming-1 flips
+    // ([[graft.dedup.SemDedup.marginProbeBits]]) instead of ALL bits+1
+    // flips — half the cells read per query at near-equal recall (the
+    // flips dropped are the hyperplanes the query is FAR from, where a
+    // neighbor on the other side is least likely). Probes stay
+    // driver-side literals, so the scan filter (⇒ partition prune on a
+    // cell-partitioned store) stays an IN over constants; the ranking is
+    // integer-exact and the oracle re-derives it in SQL.
+    val p = (bits + 1) / 2
+    val probes = qcell +:
+      SemDedup.marginProbeBits(qv, dim = 16, bits = bits, seed = "sd", p = p)
+        .map(b => qcell ^ (1L << b))
     // checkpoint the embed: without the cut, predicate pushdown inlines
     // the O(tokens) md5Embed fold into the cell filter once PER SRP BIT
     // (caught in the PLANS_r9 audit — the plan showed the full aggregate
@@ -595,11 +605,15 @@ object VectorQueries {
         |qcell AS (SELECT sum(CASE
         |      WHEN list_sum(list_transform(range(1, 17), i -> qv.q[i] * pl.p[i])) > 0
         |      THEN (1::BIGINT << pl.b) ELSE 0 END)::BIGINT AS cell FROM qv, pl),
+        |proj AS (SELECT pl.b,
+        |    abs(list_sum(list_transform(range(1, 17), i -> qv.q[i] * pl.p[i]))) AS m
+        |  FROM qv, pl),
+        |ranked AS (SELECT b, row_number() OVER (ORDER BY m, b) AS rn FROM proj),
         |probes AS (SELECT cell FROM qcell
         |  UNION ALL
-        |  SELECT xor(qcell.cell, 1::BIGINT << b)::BIGINT AS cell
-        |  FROM qcell, (SELECT unnest(range(0, 64)) AS b), bits
-        |  WHERE b < bits.bits),
+        |  SELECT xor(qcell.cell, 1::BIGINT << r.b)::BIGINT AS cell
+        |  FROM qcell, ranked r, bits
+        |  WHERE r.rn <= (bits.bits + 1) // 2),
         |cells AS (SELECT v.doc_id, v.v,
         |    sum(CASE WHEN list_sum(list_transform(range(1, 17), i -> v.v[i] * pl.p[i])) > 0
         |        THEN (1::BIGINT << pl.b) ELSE 0 END)::BIGINT AS cell

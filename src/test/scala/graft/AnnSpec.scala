@@ -69,6 +69,33 @@ class AnnSpec extends SparkSpec with Matchers {
     "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan) should not be empty
   }
 
+  test("IVF margin probing: recall at every nprobe >= dot-order recall (r10, ROADMAP 2)") {
+    val centroids = Ann.kmeansCentroids(pts, "id", "v", nlist = 16, iters = 2)
+    val assigned = Ann.ivfAssign(pts.filter(col("id") =!= 0), "id", "v", centroids)
+      .cache()
+    def recall(nprobe: Int, byMargin: Boolean): Double = {
+      val ids = Ann.ivfTopK(assigned, centroids, "id", "v", qcol, 10,
+        nprobe, byMargin).collect().map(_.getLong(0)).toSet
+      exact.intersect(ids).size.toDouble / 10
+    }
+    // deterministic corpus + seeded kmeans: these are fixed numbers, so
+    // the dominance pin is a regression check, not a statistical claim.
+    // The first probe cell (the query's own) is identical under both
+    // rankings; margin ordering re-ranks only the FOLLOW-UP probes toward
+    // nearby Voronoi boundaries.
+    val pairs = (2 to 6).map(np => (np, recall(np, byMargin = true),
+      recall(np, byMargin = false)))
+    pairs.foreach { case (np, margin, dot) =>
+      withClue(s"nprobe=$np: ") { margin should be >= dot }
+    }
+    // and the headline claim — fewer cells at equal-or-better recall:
+    // the margin ranking must reach the dot ranking's nprobe=4 recall
+    // with at most 4 probes itself
+    val dotAt4 = pairs.find(_._1 == 4).get._3
+    pairs.filter(_._1 <= 4).map(_._2).max should be >= dotAt4
+    assigned.unpersist()
+  }
+
   test("LSH ANN returns verified-exact scores (subset of corpus, desc order)") {
     val res = Ann.lshTopK(pts.filter(col("id") =!= 0), "id", "v", qcol, 10,
       bits = 4, tables = 8).collect()

@@ -270,7 +270,7 @@ class GraphAlgoSpec extends SparkSpec with Matchers {
     def pipeline() = graft.graph.Hdbscan.run(
       FastRP.run(edges, dim = 32)
         .select(col("node").as("id"), col("embedding").as("v")),
-      minPts = 3, minClusterSize = 3, knnK = 8)
+      minPts = 3, minClusterSize = 3)
     val out = pipeline().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out.size shouldBe 16 // total labeling
     val labelsA = (0L until 8L).map(out).toSet

@@ -37,7 +37,7 @@ class HdbscanSpec extends SparkSpec with Matchers {
   }
 
   test("planted-density fixture: exactly 2 clusters recovered, scattered points are noise") {
-    val out = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5, knnK = 10)
+    val out = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out.size shouldBe 72 // total labeling
     val aLabels = (0L until 30L).map(out).toSet
@@ -78,26 +78,33 @@ class HdbscanSpec extends SparkSpec with Matchers {
     mst shouldBe Set((1L, 2L, 1.0), (2L, 3L, 2.0), (10L, 11L, 0.5))
   }
 
-  test("LSH-candidate tier recovers the same planted clusters as the exact tier") {
-    val out = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5, knnK = 10,
-        bits = 4, tables = 8, bruteThreshold = 0L) // force the LSH path
+  test("blocked exact tier = brute tier, label-exact (r10: the LSH tier is gone)") {
+    // bruteThreshold = 0 forces the block-pair partitioned path; with a
+    // tiny taskTarget the 72 points spread over many block-pair tasks, so
+    // the sparsified MST union is genuinely exercised. The blocked tier
+    // computes the SAME unique (w, a, b)-ordered MST as the in-memory
+    // brute tier, so labels (min member ids) must be EQUAL, not similar.
+    val brute = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (0L until 30L).map(out).toSet.size shouldBe 1
-    (100L until 130L).map(out).toSet.size shouldBe 1
-    out(0L) should not be -1L
-    out(100L) should not be -1L
-    out(0L) should not be out(100L)
+    val blocked = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5,
+        taskTarget = 16, bruteThreshold = 0L) // force the blocked path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    blocked shouldBe brute
+    (0L until 30L).map(blocked).toSet.size shouldBe 1
+    (100L until 130L).map(blocked).toSet.size shouldBe 1
+    blocked(0L) should not be -1L
+    blocked(0L) should not be blocked(100L)
   }
 
   test("over collect threshold: distributed EOM extraction = collected extraction, label-exact") {
-    // same LSH candidate graph and MST both times; the only difference is
+    // same blocked candidate graph and MST both times; the only difference is
     // the extraction tier — collected condensed tree vs the two-phase
     // pivot-split factorization (round-5 replacement for the flat cut).
     // Labels are min member ids, so exact equality is the contract.
-    val base = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5, knnK = 10,
+    val base = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5,
         bruteThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val dist = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5, knnK = 10,
+    val dist = Hdbscan.run(fixture, minPts = 4, minClusterSize = 5,
         bruteThreshold = 0L, collectThreshold = 20L) // force two-phase extraction
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     dist.size shouldBe 72
@@ -208,14 +215,16 @@ class HdbscanSpec extends SparkSpec with Matchers {
       val norm = math.max(math.sqrt(dir.map(x => x * x).sum), 1e-9)
       (i.toLong, dir.map(x => 1.0 + x / norm * 0.002 * i))
     }.toDF("id", "v")
-    val out = Hdbscan.run(pts, minPts = 3, minClusterSize = 5, knnK = 8)
+    val out = Hdbscan.run(pts, minPts = 3, minClusterSize = 5)
       .collect().map(r => r.getLong(1)).toSet
     out shouldBe Set(-1L) // root cluster never splits → no selected clusters
   }
 
-  test("LSH tier vs exact tier: bounded label disagreement on a planted 5k-point fixture") {
-    // VERDICT r2 item 10: quantify (in a spec, not prose) how much the
-    // approximate kNN candidate tier can disagree with exact HDBSCAN.
+  test("blocked tier = brute tier on a planted 5k-point fixture, label-exact (r10)") {
+    // r9 VERDICT item 3 closed: what used to be a bounded-disagreement
+    // pin on the approximate LSH tier (measured 0.48%, bounded <= 1%) is
+    // now an EXACT-EQUALITY pin — the block-pair sparsified tier computes
+    // the same unique MST as brute, so every label must match.
     // 4 tight clusters (1237-1238 pts each) + 50 scattered noise points,
     // all placement deterministic hash arithmetic.
     val s = spark
@@ -246,33 +255,21 @@ class HdbscanSpec extends SparkSpec with Matchers {
       }
     }.toDF("id", "v")
 
-    val exact = Hdbscan.run(pts, minPts = 5, minClusterSize = 25, knnK = 16,
+    val exact = Hdbscan.run(pts, minPts = 5, minClusterSize = 25,
       bruteThreshold = 10000L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val approx = Hdbscan.run(pts, minPts = 5, minClusterSize = 25, knnK = 16,
-      bruteThreshold = 0L).collect()
+    val blocked = Hdbscan.run(pts, minPts = 5, minClusterSize = 25,
+      bruteThreshold = 0L).collect() // default taskTarget → 3 blocks, 6 tasks
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     exact.size shouldBe n
-    approx.size shouldBe n
+    blocked.size shouldBe n
     // exact tier must nail the planted structure outright
     exact.filterNot(_._2 == -1L).values.toSet.size shouldBe 4
     (0L until (n - 50).toLong).count(i => exact(i) == -1L) shouldBe 0
 
-    // partition disagreement: map each exact cluster (incl. noise) to its
-    // best-overlap approx label; points outside the matched overlap
-    // disagree. Label VALUES may legally differ between tiers (labels are
-    // min member ids), so compare partition structure, not raw values.
-    val byExact = (0L until n.toLong).groupBy(exact)
-    val matched = byExact.values.map { members =>
-      members.groupBy(approx).values.map(_.size).max
-    }.sum
-    val disagree = n - matched
-    info(s"LSH-tier partition disagreement: $disagree of $n points")
-    withClue(s"disagreeing points: $disagree of $n") {
-      // tightened from 2% in round 5 (measured 0.48% across rounds 3-5 —
-      // 2× margin retained)
-      disagree.toDouble / n should be <= 0.01
-    }
+    // and the blocked tier must reproduce it EXACTLY — same unique MST,
+    // same condensed tree, same min-member-id labels
+    blocked shouldBe exact
   }
 }

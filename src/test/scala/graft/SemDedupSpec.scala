@@ -135,4 +135,23 @@ class SemDedupSpec extends SparkSpec with Matchers {
       .first().getLong(0)
     again shouldBe m(1L)
   }
+
+  test("marginProbeBits: picks the p smallest-|projection| flips, deterministic (r10)") {
+    val qv = Seq(3.0, -2.0, 5.0, 1.0)
+    val all = SemDedup.marginProbeBits(qv, dim = 4, bits = 6, seed = "t", p = 6)
+    all.length shouldBe 6
+    all.toSet shouldBe (0 until 6).toSet // p = bits → a permutation of all flips
+    // prefix property: the p-probe set is always the first p of the full ranking
+    SemDedup.marginProbeBits(qv, 4, 6, "t", 3) shouldBe all.take(3)
+    SemDedup.marginProbeBits(qv, 4, 6, "t", 0) shouldBe Seq.empty
+    // the ranking is by |q·plane_b| ascending: recompute projections from
+    // the same ±1 plane rule and check monotonicity
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def proj(b: Int): Double = (0 until 4).map { i =>
+      val d = md.digest(s"t:$b:$i".getBytes("UTF-8"))
+      qv(i) * (if (((d(0) >> 4) & 0xf) >= 8) 1 else -1)
+    }.sum
+    val ms = all.map(b => math.abs(proj(b)))
+    ms.sorted shouldBe ms
+  }
 }
