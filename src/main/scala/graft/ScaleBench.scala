@@ -56,6 +56,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("skew")) {
+      runSkew(spark)
+      spark.stop()
+      return
+    }
     val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
 
@@ -129,12 +134,56 @@ object ScaleBench {
     spark.stop()
   }
 
-  /** Round-5 headline evidence: the distributed two-phase condensed-tree
-    * extraction vs the collected one, at a size where the spec toys don't
-    * reach — 20k 8-dim points in 6 planted gaussian-ish clusters + noise,
-    * LSH-kNN candidates both times (identical MST input), extraction tier
-    * switched by `collectThreshold`. Reports wall-clock per tier and the
-    * label agreement (expected: identical — the factorization is exact). */
+  /** r10 — VERDICT item 6: MEASURE (not just equality-prove) the salted
+    * projection's skew win. One VIRAL post (`hot` users engaging a single
+    * post — the k² pair block) on top of a uniform background. The plain
+    * self-join forms all hot²/2 viral pairs inside the ONE join partition
+    * that owns the hot key; the salted path decomposes it into salts²
+    * sub-blocks spread across reducers. Output equality is spec-proven
+    * (ProjectionSpec/BucketingSpec); this cell records the wall-clock
+    * shape, with AQE both on (the registered default — its runtime skew
+    * split defends the plain path partially) and off (the catastrophic
+    * single-reducer case salting exists for). */
+  private def runSkew(spark: SparkSession): Unit = {
+    val hot = sys.env.get("SPARK_GRAFT_SKEW_HOT").map(_.toInt).getOrElse(5000)
+    val bg = 1000000L
+    // background: ~1M engagements, ~10 users/post → ~45 pairs/post
+    val bgDf = spark.range(bg).select(
+      (pmod(xxhash64(col("id") + 1), lit(100000L)) + lit(1000000L)).as("post"),
+      pmod(xxhash64(col("id") + 7), lit(50000L)).as("user"))
+    val viral = spark.range(hot.toLong)
+      .select(lit(42L).as("post"), (col("id") + lit(10000000L)).as("user"))
+    val e = bgDf.union(viral).localCheckpoint()
+    // untimed warmup on the cold-data prefix: JIT + codegen out of cell 1
+    Projection.coEngagement(e.filter(col("post") =!= 42L).limit(200000),
+      "user", "post").count()
+    def cell(name: String, aqe: Boolean)(f: => DataFrame): Unit = {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      val t0 = System.nanoTime()
+      val n = f.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"SCALE-SKEW hot=$hot $name%-18s $sec%7.1f s  (edges=$n)")
+    }
+    cell("salted aqe=on", aqe = true)(
+      Projection.coEngagementSalted(e, "user", "post"))
+    cell("plain  aqe=on", aqe = true)(
+      Projection.coEngagement(e, "user", "post"))
+    cell("salted aqe=off", aqe = false)(
+      Projection.coEngagementSalted(e, "user", "post"))
+    cell("plain  aqe=off", aqe = false)(
+      Projection.coEngagement(e, "user", "post"))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Round-5 headline evidence, re-based on the r10 EXACT blocked tier:
+    * the distributed two-phase condensed-tree extraction vs the collected
+    * one, at a size where the spec toys don't reach — 20k 8-dim points in
+    * 6 planted gaussian-ish clusters + noise, block-pair exact candidates
+    * both times (identical MST input), extraction tier switched by
+    * `collectThreshold`. Reports wall-clock per tier and the label
+    * agreement (expected: identical — both the sparsification and the
+    * factorization are exact). */
   private def runHdbscan(spark: SparkSession): Unit = {
     import spark.implicits._
     def mix(x0: Long): Double = {
