@@ -510,7 +510,28 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** q102 — EXACT kNN JOIN over the embedding table
+    * ([[graft.similarity.Knn.exactKnnJoin]], NEW r10): every vector's
+    * true 3 nearest neighbors (L2, self excluded) through the block-pair
+    * partitioned tier — the kNN-graph constructor the dedup/semantic
+    * pipeline ops start from, under a FULL hash oracle. Decidability: d²
+    * accumulates float-widened doubles in vector-index order (the same
+    * IEEE op sequence DuckDB's list_sum replays), ranking is the strict
+    * (d², nbr) order, and the reported distance is rounded after ranking
+    * — so the whole (id, rank, nbr, d2) frame hash-matches. At the
+    * oracle SF the DuckDB twin is the honest n² cross join; the engine
+    * side stays memory-bounded and shuffle-linear at any n (scaladoc in
+    * Knn.scala). */
+  val q102KnnJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val pts = emb(spark, dir).select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+    graft.similarity.Knn.exactKnnJoin(pts, "vec_id", "v", k = 3)
+      .select($"id".as("vec_id"), $"rank", $"nbr", round($"d2", 4).as("d2"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q102_knn_join" -> q102KnnJoin,
     "q81_semantic_decontam" -> q81SemanticDecontam,
     "q84_pq_codes" -> q84Pq,
     "q86_ivfpq_topk" -> q86IvfPq,
@@ -530,6 +551,21 @@ object VectorQueries {
     "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
 
   val oracles: Map[String, String] = Map(
+    // q102 — the kNN join re-derived as the honest n² cross join (oracle
+    // SF only): same float→double widening, same index-order d² sum,
+    // same strict (d², nbr) ranking, same post-ranking round.
+    "q102_knn_join" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id, b.vec_id AS nbr,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), i ->
+        |      (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS d2
+        |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT id, nbr, d2,
+        |    row_number() OVER (PARTITION BY id ORDER BY d2, nbr) AS rank
+        |  FROM p)
+        |SELECT id AS vec_id, rank::BIGINT AS rank, nbr, round(d2, 4) AS d2
+        |FROM r WHERE rank <= 3""".stripMargin,
     // q84 — the whole PQ twin re-derived: md5Embed vectors (the q24
     // fragment), md5-nibble codebooks (4 subspaces × 8 entries × 4 dims,
     // value = nibble % 9 − 4), argmin with smallest-j tie-break
