@@ -225,6 +225,24 @@ object ScaleBench {
     System.err.println(
       f"SCALE-HDBSCAN n=$n collected=$tCol%6.1f s  two_phase=$tDist%6.1f s  " +
         f"agree=$agree/${n} clusters=$clusters")
+
+    // r10: exact kNN join (q102's operator) decade-up on the same point
+    // family — the cell that shows the blocked tier's flat-memory
+    // scaling (work ∝ n², tasks bounded at taskTarget² each; a decade-up
+    // should scale ≈ quadratically in wall but never in any task's
+    // memory). SPARK_GRAFT_SCALE_KNN_NS=20000,60000 overrides.
+    val knnNs = sys.env.get("SPARK_GRAFT_SCALE_KNN_NS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(20000, 60000))
+    knnNs.foreach { kn =>
+      val kpts = spark.range(kn.toLong).map { i =>
+        (i, Seq.tabulate(8)(d => mix(i * 8 + d)))
+      }.toDF("id", "v").localCheckpoint()
+      val t0 = System.nanoTime()
+      val rows = graft.similarity.Knn.exactKnnJoin(kpts, "id", "v", k = 8).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"SCALE-KNN n=$kn%6d k=8 exact_knn_join $sec%7.1f s  (rows=$rows)")
+      graft.util.BlockRelease.release(kpts)
+    }
   }
 
   /** Text-tier decade-up (round-8 item 4: the q70–q80 operators had
