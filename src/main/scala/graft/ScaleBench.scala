@@ -115,11 +115,12 @@ object ScaleBench {
         "connected_components" -> (() => GraphAlgos.connectedComponents(g,
           collectThreshold = threshold).count()),
         "pagerank" -> (() => {
-          val r = PageRank.run(g, iters = 5)
+          val r = PageRank.run(g, iters = 5, collectThreshold = 0L)
           val c = r.count(); graft.util.BlockRelease.release(r); c
         }),
         "ppr" -> (() => {
-          val r = PageRank.run(g, iters = 5, seed = Some(n => n % 7 === 0))
+          val r = PageRank.run(g, iters = 5, seed = Some(n => n % 7 === 0),
+            collectThreshold = 0L)
           val c = r.count(); graft.util.BlockRelease.release(r); c
         }),
         "kcore_df" -> (() => KCore.runDF(g).count()))

@@ -38,12 +38,27 @@ object PageRank {
     * measure proximity to the seed set — the recommendation /
     * source-trust variant (TrustRank-style: seed = vetted sources,
     * rank = trust flowing out through the link structure). `None` is
-    * classic uniform PageRank. Same integer-ppm contract either way. */
+    * classic uniform PageRank. Same integer-ppm contract either way.
+    *
+    * TIERED (r10, the Louvain/KCore/Leiden collect-threshold discipline
+    * applied to the last iterative algorithm without it): under
+    * `collectThreshold` SYMMETRIZED edges, the rounds run as an
+    * in-memory integer loop over one collected edge array — the
+    * distributed formulation's ~4 eager jobs per checkpointed round are
+    * pure scheduler floor at that size. The loop replays the IDENTICAL
+    * integer ops in the identical order (sums of longs are associative,
+    * so per-node accumulation order is immaterial — the decidability
+    * argument above), so both tiers are oracle-equal;
+    * `SPARK_GRAFT_COLLECT_THRESHOLD=0` forces the distributed path in
+    * the driver gates (PageRankSpec pins tier equality). */
   def run(edges: DataFrame, iters: Int = 5,
-      seed: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): DataFrame = {
+      seed: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
+      collectThreshold: Long = 2000000L): DataFrame = {
     // iters >= 1 is load-bearing: with an empty loop the returned pr would
     // be a lazy plan over k, whose checkpoint blocks are released below.
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    if (collectThreshold > 0 && edges.count() * 2 <= collectThreshold)
+      return runInMemory(edges, iters, seed)
     val spark = edges.sparkSession
     import spark.implicits._
     // sym is NOT checkpointed: it is a map-only union over the caller's
@@ -102,5 +117,73 @@ object PageRank {
     }
     graft.util.BlockRelease.release(k)
     pr
+  }
+
+  /** The collect tier: identical integer arithmetic in identical order —
+    * per-edge `(pr·w) DIV k` then associative long sums, `base +
+    * (85·s) DIV 100` — so the result is bit-equal to the distributed
+    * rounds (PageRankSpec pins it). The `seed` Column predicate is
+    * evaluated engine-side over the node list (one driver-local job), so
+    * both tiers share one seed definition. */
+  private def runInMemory(edges: DataFrame, iters: Int,
+      seed: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val one = edges.select($"src", $"dst", $"weight".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val m = one.length * 2
+    val esrc = new Array[Long](m); val edst = new Array[Long](m)
+    val ewt = new Array[Long](m)
+    var i = 0
+    while (i < one.length) {
+      val (a, b, w) = one(i)
+      esrc(2 * i) = a; edst(2 * i) = b; ewt(2 * i) = w
+      esrc(2 * i + 1) = b; edst(2 * i + 1) = a; ewt(2 * i + 1) = w
+      i += 1
+    }
+    val strength = scala.collection.mutable.LongMap.empty[Long]
+    i = 0
+    while (i < m) {
+      strength(esrc(i)) = strength.getOrElse(esrc(i), 0L) + ewt(i); i += 1
+    }
+    val nodes = strength.keys.toArray.sorted
+    val n = nodes.length
+    if (n == 0) return Seq.empty[(Long, Long)].toDF("node", "pr")
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    nodes.indices.foreach(j => idx.put(nodes(j), j))
+    val isSeed: Array[Boolean] = seed match {
+      case None => null
+      case Some(p) =>
+        val set = nodes.toSeq.toDF("src").filter(p(col("src")))
+          .as[Long].collect().toSet
+        nodes.map(set.contains)
+    }
+    val nBase = if (isSeed == null) n.toLong else isSeed.count(identity).toLong
+    if (nBase == 0)
+      return nodes.toSeq.map(nd => (nd, 0L)).toDF("node", "pr")
+    val base = 150000L / nBase
+    def baseMass(j: Int, amount: Long): Long =
+      if (isSeed == null || isSeed(j)) amount else 0L
+    val kArr = nodes.map(strength)
+    val si = new Array[Int](m); val di = new Array[Int](m)
+    i = 0
+    while (i < m) { si(i) = idx.get(esrc(i)); di(i) = idx.get(edst(i)); i += 1 }
+    var pr = Array.tabulate(n)(j => baseMass(j, 1000000L / nBase))
+    var round = 0
+    while (round < iters) {
+      val s = new Array[Long](n)
+      i = 0
+      while (i < m) {
+        // nonnegative longs: / IS the distributed expression's DIV
+        s(di(i)) += pr(si(i)) * ewt(i) / kArr(si(i))
+        i += 1
+      }
+      val next = new Array[Long](n)
+      var j = 0
+      while (j < n) { next(j) = baseMass(j, base) + 85L * s(j) / 100L; j += 1 }
+      pr = next
+      round += 1
+    }
+    nodes.indices.map(j => (nodes(j), pr(j))).toDF("node", "pr")
   }
 }

@@ -323,7 +323,8 @@ object GraphQueries {
     * algorithm sits under a FULL hash oracle (the q40/q41 recursive-CTE
     * discipline) — no rows-only concession. Edge-linear per round. */
   val q94PageRank: Q = (spark, dir) =>
-    graft.graph.PageRank.run(graph(spark, dir), iters = 5)
+    graft.graph.PageRank.run(graph(spark, dir), iters = 5,
+        collectThreshold = tier(2000000L))
       .select(col("node"), col("pr").as("pr_ppm"))
 
   /** q101 — PERSONALIZED PageRank (TrustRank-shaped: teleport mass only
@@ -333,7 +334,8 @@ object GraphQueries {
     * integer-ppm loop and full recursive-CTE oracle as q94. */
   val q101Ppr: Q = (spark, dir) =>
     graft.graph.PageRank.run(graph(spark, dir), iters = 5,
-        seed = Some(node => node % 7 === 0))
+        seed = Some(node => node % 7 === 0),
+        collectThreshold = tier(2000000L))
       .select(col("node"), col("pr").as("pr_ppm"))
 
   val defs: Map[String, Q] = Map(

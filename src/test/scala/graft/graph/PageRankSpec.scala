@@ -62,4 +62,21 @@ class PageRankSpec extends SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       PageRank.run(edges(Seq((1L, 2L, 1L))), iters = 0)
   }
+
+  test("collect tier = distributed tier, ppm-exact, uniform and seeded (r10)") {
+    // an irregular weighted graph (star + chain + triangle + isolated pair)
+    // where ranks genuinely differ per node; identical integer arithmetic
+    // must make the two tiers BIT-equal
+    val es = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (1L, 4L, 2.0), (4L, 5L, 1.0),
+      (5L, 6L, 4.0), (6L, 4L, 2.0), (10L, 11L, 7.0))
+    for (seed <- Seq(None, Some((n: org.apache.spark.sql.Column) => n % 2 === 0))) {
+      val inMem = PageRank.run(edges(es), iters = 5, seed = seed)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = PageRank.run(edges(es), iters = 5, seed = seed,
+          collectThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seeded=${seed.isDefined}: ") { inMem shouldBe dist }
+      inMem.values.toSet.size should be > 1 // the fixture isn't degenerate
+    }
+  }
 }
