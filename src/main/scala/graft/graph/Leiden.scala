@@ -26,14 +26,16 @@ object Leiden {
 
     // Small-graph tier (same gate as Louvain/Hdbscan): under the collect
     // threshold the exact sequential Leiden runs directly — the
-    // distributed rounds' per-round cost is pure scheduler latency there
-    val (sym0, nSymEdges, m2in) = Louvain.symWithStats(edges0)
-    if (nSymEdges <= collectThreshold) {
-      val es = sym0.as[(Long, Long, Double)].collect()
-      graft.util.BlockRelease.release(sym0) // edge-sized; don't leak per call
-      val label = leidenInMemory(es, m2in)
+    // distributed rounds' per-round cost is pure scheduler latency there.
+    // Collected artifacts ride Louvain's r10 session cache (q42/q45/q47
+    // share one symmetrize+collect per cached projection).
+    val tiered = Louvain.symTiered(edges0, collectThreshold)
+    if (tiered.isRight) {
+      val (es, m2) = tiered.toOption.get
+      val label = leidenInMemory(es, m2)
       return label.toSeq.toDF("node", "label")
     }
+    val (sym0, _, m2in) = tiered.swap.toOption.get
 
     // Phase 1 (distributed local moves) shared with Louvain
     val phase = Louvain.distributedPhaseSym(sym0, distRounds, m2in)

@@ -248,20 +248,58 @@ object Louvain {
     (sym, nEdges, m2)
   }
 
+  /** Collect-tier artifact cache (r10): (collected symmetrized edge
+    * array, m2) per (session, input DataFrame INSTANCE). q42/q45/q47 all
+    * collect the SAME symmetrized graph from the session-cached
+    * projection — per-query [[symWithStats]] (symmetrize shuffle +
+    * checkpoint + two actions) measured ~1 s × 3 queries × runs at
+    * sf0.1. Instance identity is the right key: the projection cache
+    * hands every caller one DataFrame object per (session, dir); a fresh
+    * frame (specs, ad-hoc edges) simply misses. Values are plain driver
+    * arrays (edge-sized, no Spark resources), LRU-bounded. */
+  private val collectedSym = new graft.util.BoundedSessionCache[
+      (org.apache.spark.sql.SparkSession, DataFrame),
+      (Array[(Long, Long, Double)], Double)](maxEntries = 4, _ => ())
+
+  /** Tier dispatch: Right = collect-tier artifacts (cached; NOT owned by
+    * the caller), Left = distributed-tier inputs (sym checkpointed;
+    * ownership to the caller exactly as [[symWithStats]] hands it). A
+    * forced-distributed run (threshold 0) never consults the cache. */
+  private[graft] def symTiered(edges0: DataFrame, collectThreshold: Long)
+      : Either[(DataFrame, Long, Double), (Array[(Long, Long, Double)], Double)] = {
+    val key = (edges0.sparkSession, edges0)
+    if (collectThreshold > 0) {
+      collectedSym.peek(key) match {
+        case Some((es, m2)) if es.length <= collectThreshold =>
+          return Right((es, m2))
+        case _ => ()
+      }
+    }
+    val (sym, nSymEdges, m2) = symWithStats(edges0)
+    if (nSymEdges <= collectThreshold) {
+      val spark = edges0.sparkSession
+      import spark.implicits._
+      val es = sym.as[(Long, Long, Double)].collect()
+      graft.util.BlockRelease.release(sym) // edge-sized; don't leak per call
+      collectedSym.getOrElseUpdate(key, (es, m2))
+      Right((es, m2))
+    } else Left((sym, nSymEdges, m2))
+  }
+
   /** @param edges0 canonical (src, dst, weight)
     * @return (node, label) */
   def run(edges0: DataFrame, distRounds: Int = 4,
       collectThreshold: Long = 2000000L, maxLevels: Int = 4): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val (sym, nSymEdges, m2in) = symWithStats(edges0)
-    if (nSymEdges <= collectThreshold) {
+    val tiered = symTiered(edges0, collectThreshold)
+    if (tiered.isRight) {
       // small-graph tier: exact sequential Louvain on the collected graph
-      val es = sym.as[(Long, Long, Double)].collect()
-      graft.util.BlockRelease.release(sym) // edge-sized; don't leak per call
+      val (es, m2in) = tiered.toOption.get
       val label = localLouvain(es, m2in)
       return label.toSeq.toDF("node", "label")
     }
+    val (sym, _, m2in) = tiered.swap.toOption.get
     val ph = distributedPhaseSym(sym, distRounds, m2in)
     val (mapping, contracted, nEdges) =
       coarsenUntilFits(ph.comm, ph.contracted, ph.m2, distRounds,
@@ -294,12 +332,12 @@ object Louvain {
       collectThreshold: Long = 2000000L): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val (sym, nSymEdges, m2) = symWithStats(edges0)
-    if (nSymEdges <= collectThreshold) {
-      val es = sym.as[(Long, Long, Double)].collect()
-      graft.util.BlockRelease.release(sym) // edge-sized; don't leak per call
+    val tiered = symTiered(edges0, collectThreshold)
+    if (tiered.isRight) {
+      val (es, m2) = tiered.toOption.get
       SeqCommunity.localMoveOnly(es, m2).toSeq.toDF("node", "label")
     } else {
+      val (sym, _, m2) = tiered.swap.toOption.get
       val ph = distributedPhaseSym(sym, rounds, m2)
       val out = ph.comm.select(col("node"), col("comm").as("label"))
         .localCheckpoint()

@@ -27,6 +27,11 @@ final class BoundedSessionCache[K, V](maxEntries: Int, release: V => Unit) {
     }
   }
 
+  /** Non-inserting lookup; refreshes recency on hit. */
+  def peek(key: K): Option[V] = synchronized {
+    entries.remove(key).map { v => entries.put(key, v); v }
+  }
+
   /** Drop-if-exists: releases and forgets the entry. */
   def remove(key: K): Unit = synchronized {
     entries.remove(key).foreach(release)
