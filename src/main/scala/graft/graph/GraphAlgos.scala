@@ -59,21 +59,20 @@ object GraphAlgos {
       collectThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val sym = Projection.symmetrize(edges).select(col("src"), col("dst"))
-      .localCheckpoint() // edge set reused every superstep
     // Small-graph tier (same gate as the Louvain family): the synchronous
     // update is deterministic integer arithmetic, so the sequential run
-    // returns bit-identical labels to the DataFrame supersteps
-    if (sym.count() <= collectThreshold) {
-      val csr = SeqCommunity.build(sym.select(col("src"), col("dst"),
-        lit(1.0).as("weight")).as[(Long, Long, Double)].collect())
-      // drop the edge-sized checkpoint blocks NOW: repeated calls would
-      // otherwise stack them in the block manager until memory pressure
-      // slows every later job (measured: runs 5+ of this query went 1.2 s
-      // → 5.5 s from exactly this)
-      graft.util.BlockRelease.release(sym)
+    // returns bit-identical labels to the DataFrame supersteps. The
+    // collected array rides Louvain's r10 session cache — LPA is
+    // weight-agnostic (lpaInMemory counts adjacency), so the shared
+    // weighted array serves unchanged.
+    val tiered = Louvain.symTiered(edges, collectThreshold)
+    if (tiered.isRight) {
+      val csr = SeqCommunity.build(tiered.toOption.get._1)
       return lpaInMemory(csr, maxSteps).toSeq.toDF("node", "label")
     }
+    // at-scale: the superstep loop reads the checkpointed weighted sym
+    // lazily (weights projected away); released at the end as before
+    val sym = tiered.swap.toOption.get._1.select(col("src"), col("dst"))
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var prevCkpt: DataFrame = null

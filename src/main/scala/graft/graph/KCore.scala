@@ -28,18 +28,18 @@ object KCore {
     // right algorithm below the threshold and the wrong one above it.
     val spark = edges.sparkSession
     import spark.implicits._
-    val sym = Projection.symmetrize(
-      edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
-      .groupBy("src", "dst").agg(sum("weight").as("weight"))
-      .localCheckpoint()
-    if (sym.count() <= collectThreshold) {
-      val es = sym.as[(Long, Long, Double)].collect()
-      graft.util.BlockRelease.release(sym) // edge-sized; don't leak per call
+    // symmetrized edges ride Louvain's r10 session cache — coreness is
+    // weight-agnostic (peel reads adjacency only), so the weighted shared
+    // array serves unchanged and q40 shares q42/q45/q47's one collect
+    val tiered = Louvain.symTiered(edges, collectThreshold)
+    if (tiered.isRight) {
+      val (es, _) = tiered.toOption.get
       val csr = SeqCommunity.build(es)
       val core = peel(csr)
       return (0 until csr.n).map(i => (csr.ids(i), core(i)))
         .toDF("node", "core")
     }
+    val (sym, _, _) = tiered.swap.toOption.get
     // At-scale path: the DataFrame h-index iteration. Its per-round
     // shuffles move 16-byte (node, estimate) rows with map-side combine;
     // the Pregel histogram alternative ([[runPregel]]) allocates a
