@@ -31,19 +31,20 @@ object FastRP {
       collectThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val sym = Projection.symmetrize(edges)
-      .groupBy("src", "dst").agg(sum("weight").as("weight"))
-      .localCheckpoint()
-
     // Small-graph tier (same gate as Louvain/Leiden/Hdbscan): under the
     // collect threshold the propagation rounds run sequentially over CSR
     // arrays with the identical seeded-hash init and round math — the
-    // distributed rounds' edge joins are fixed scheduler cost at that size
-    val nSymEdges = sym.count()
-    if (nSymEdges <= collectThreshold) {
-      return runInMemory(sym.as[(Long, Long, Double)].collect(),
-        dim, iterationWeights).toSeq.toDF("node", "embedding")
+    // distributed rounds' edge joins are fixed scheduler cost at that
+    // size. The collected WEIGHTED array rides Louvain's r10 session
+    // cache (FastRP's weighted averaging needs exactly it) — and the
+    // cache path also closes a per-call leak: the old inline tier
+    // returned without releasing its checkpointed sym.
+    val tiered = Louvain.symTiered(edges, collectThreshold)
+    if (tiered.isRight) {
+      val (es, _) = tiered.toOption.get
+      return runInMemory(es, dim, iterationWeights).toSeq.toDF("node", "embedding")
     }
+    val sym = tiered.swap.toOption.get._1
 
     // sparse ±√3 seeded init: hash(node, j) mod 6 → {0:+√3, 1:−√3, 2..5: 0}
     val s = math.sqrt(3.0)
