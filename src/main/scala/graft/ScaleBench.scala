@@ -193,7 +193,7 @@ object ScaleBench {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
     }
-    val n = 20000
+    val n = sys.env.get("SPARK_GRAFT_SCALE_HDBSCAN_N").map(_.toInt).getOrElse(20000)
     val pts = spark.range(n.toLong).map { i =>
       if (i >= n - 200) { // scattered noise
         (i, Seq.tabulate(8)(d =>
