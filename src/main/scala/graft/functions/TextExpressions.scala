@@ -400,6 +400,50 @@ case class Md5WordShingles(child: Expression, n: Int)
   override def prettyName: String = "md5_word_shingles"
 }
 
+/** ONE left-to-right pass of a learned BPE merge over a token array —
+  * q103's per-round kernel. Scans i = 0..n−1: when (ts(i), ts(i+1)) =
+  * (a, b), emits a ++ b and advances by 2 (non-overlapping, greedy
+  * left-to-right — "aaa" under (a,a) → ["aa","a"]); otherwise emits
+  * ts(i). The merge pair is a per-round CONSTANT (constructor params,
+  * folded into the plan — no join, no shuffle: the whole application is
+  * map-side over the vocabulary table). Exactly replayable in SQL via
+  * the run-parity window formulation (consecutive matching positions can
+  * only arise when a = b, and the greedy scan selects even offsets
+  * within each run — the q103 oracle derives precisely that). */
+case class BpeMergeOnce(child: Expression, a: String, b: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private lazy val ua = UTF8String.fromString(a)
+  private lazy val ub = UTF8String.fromString(b)
+  private lazy val uab = UTF8String.fromString(a + b)
+
+  override def nullSafeEval(input: Any): Any = {
+    val ts = input.asInstanceOf[ArrayData]
+    val n = ts.numElements()
+    val out = new Array[Any](n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      val t = ts.getUTF8String(i)
+      if (i + 1 < n && t == ua && ts.getUTF8String(i + 1) == ub) {
+        out(w) = uab; w += 1; i += 2
+      } else {
+        out(w) = t; w += 1; i += 1
+      }
+    }
+    if (w == n) new GenericArrayData(out)
+    else new GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeOnce =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_merge_once"
+}
+
 /** Hamming distance between two 64-bit fingerprints (companion to SimHash64). */
 case class HammingDist64(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
@@ -427,4 +471,6 @@ object TextExpressions {
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
   def hamming64(a: Column, b: Column): Column =
     column(HammingDist64(expression(a), expression(b)))
+  def bpe_merge_once(c: Column, a: String, b: String): Column =
+    column(BpeMergeOnce(expression(c), a, b))
 }

@@ -970,7 +970,106 @@ object TextQueries {
     r
   }
 
+  /** q103 — BPE TOKENIZER TRAINING (Sennrich et al. 2016 — the trainer
+    * behind q63's BPE-ish segmenter; NEW r10): learn the first N merge
+    * rules from the corpus by iterated most-frequent-adjacent-pair
+    * merging. The SCALE-honest shape is the standard word-frequency
+    * trick: the corpus is read ONCE (tokenize → vocabulary (word, freq)
+    * aggregation — the only corpus-sized pass); every training round
+    * then works on the VOCAB-sized frame: one partial-agg pair count +
+    * one TakeOrdered(1) for the best pair, and the merge applies
+    * map-side via the per-round-constant [[graft.functions
+    * .TextExpressions.bpe_merge_once]] kernel (no join, no shuffle). At
+    * 100 TB rounds cost vocabulary, not corpus.
+    *
+    * DECIDABILITY: integer frequencies, strict (count DESC, left, right)
+    * tie order, and greedy left-to-right non-overlapping merge semantics
+    * that the oracle replays exactly via the run-parity window
+    * formulation (unrolled per round — see the oracle builder). Surface:
+    * (round, left_tok, right_tok, merged_count) for N = 8 rounds. */
+  val q103BpeTrain: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.TextExpressions.bpe_merge_once
+    val rounds = 8
+    val wf = docs(spark, dir)
+      .select(explode(split(lower(trim(coalesce($"text", lit("")))), "\\s+")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .select($"w", $"f", split($"w", "").as("ts"))
+      .localCheckpoint() // vocab-sized; EVERY round reads it
+    var words = wf.select($"f", $"ts")
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = words.filter(size($"ts") >= 2)
+        .select($"f", explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> struct(element_at(ts, i) AS a, element_at(ts, i + 1) AS b))")).as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum($"f").as("c"))
+        .orderBy($"c".desc, $"a".asc, $"b".asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, c))
+        // map-side application; plan depth grows one Project per round
+        // over the checkpointed vocab — 8 rounds, no re-checkpoint needed
+        words = words.select($"f", bpe_merge_once($"ts", a, b).as("ts"))
+        r += 1
+      }
+    }
+    val out = merges.toSeq.toDF("round", "left_tok", "right_tok", "merged_count")
+    graft.util.BlockRelease.release(wf)
+    out
+  }
+
+  /** The q103 oracle, generated: one pair-count + best-pair stage per
+    * round, with the merge applied through the NON-recursive run-parity
+    * window formulation — consecutive matching positions only exist when
+    * left = right, and the greedy scan keeps even offsets within each
+    * run of consecutive matches, so `(p − min(p) over run) % 2 = 0`
+    * selects exactly the kernel's picks. Validated against an
+    * independent reference implementation before landing. */
+  private def bpeOracle(rounds: Int): String = {
+    def pairs(r: Int) =
+      s"""pr$r AS (SELECT ts[i] AS a, ts[i + 1] AS b, sum(f)::BIGINT AS c
+         |  FROM tok${r - 1}, unnest(range(1, len(ts))) AS u(i) GROUP BY 1, 2),
+         |best$r AS (SELECT a, b, c FROM pr$r ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+    def stage(r: Int) =
+      s"""ex$r AS (SELECT word, f, len(ts) AS n, ts, u.p
+         |  FROM tok${r - 1}, unnest(range(1, len(ts) + 1)) AS u(p)),
+         |mk$r AS (SELECT e.word, e.f, e.n, e.ts, e.p,
+         |    (e.p < e.n AND e.ts[e.p] = b.a AND e.ts[e.p + 1] = b.b) AS m
+         |  FROM ex$r e CROSS JOIN best$r b),
+         |sel$r AS (SELECT word, f, ts, p, m,
+         |    m AND ((p - min(p) OVER (PARTITION BY word, g, m)) % 2 = 0) AS s
+         |  FROM (SELECT *, p - sum(CASE WHEN m THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY word ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+         |    FROM mk$r)),
+         |tok$r AS (SELECT word, f, list(CASE WHEN s THEN ts[p] || ts[p + 1]
+         |      ELSE ts[p] END ORDER BY p) AS ts
+         |  FROM (SELECT *, coalesce(lag(s) OVER (PARTITION BY word ORDER BY p),
+         |      false) AS prev_s FROM sel$r)
+         |  WHERE NOT prev_s GROUP BY word, f)""".stripMargin
+    val head =
+      """WITH wf AS (SELECT w AS word, count(*)::BIGINT AS f
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+        |      '\s+')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |tok0 AS (SELECT word, f, string_split(word, '') AS ts FROM wf)""".stripMargin
+    val body = (1 to rounds).map { r =>
+      if (r < rounds) pairs(r) + ",\n" + stage(r) else pairs(r)
+    }.mkString(",\n")
+    val tail = (1 to rounds).map { r =>
+      s"SELECT $r::BIGINT AS round, a AS left_tok, b AS right_tok, " +
+        s"c AS merged_count FROM best$r"
+    }.mkString("\n UNION ALL ")
+    head + ",\n" + body + "\n" + tail
+  }
+
   val defs: Map[String, Q] = Map(
+    "q103_bpe_train" -> q103BpeTrain,
     "q100_pipeline" -> q100Pipeline,
     "q99_ccnet_tiers" -> q99CcnetTiers,
     "q98_incremental_dedup" -> q98IncrementalDedup,
@@ -1691,5 +1790,6 @@ object TextQueries {
        |JOIN (${oracles0("q73_dedup_clusters")}) c ON d.doc_id = c.doc_id
        |LEFT JOIN (${oracles0("q66_decontaminate")}) x ON d.doc_id = x.doc_id
        |JOIN (${oracles0("q69_split_assign")}) s ON d.doc_id = s.doc_id
-       |JOIN (${oracles0("q99_ccnet_tiers")}) t ON d.doc_id = t.doc_id""".stripMargin)
+       |JOIN (${oracles0("q99_ccnet_tiers")}) t ON d.doc_id = t.doc_id""".stripMargin) +
+    ("q103_bpe_train" -> bpeOracle(8))
 }

@@ -352,4 +352,56 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
     out(4L)._2 shouldBe 0L
     out(4L)._3 shouldBe md5hex("all unique tokens in this one here plus own suffix material")
   }
+
+  test("q103 bpe_merge_once: greedy left-to-right, overlap parity, no-match identity") {
+    import graft.functions.TextExpressions.bpe_merge_once
+    val s = spark
+    import s.implicits._
+    def apply1(ts: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(ts)).toDF("ts")
+        .select(bpe_merge_once(col("ts"), a, b)).first().getSeq[String](0)
+    apply1(Seq("a", "b", "c"), "a", "b") shouldBe Seq("ab", "c")
+    apply1(Seq("a", "a", "a"), "a", "a") shouldBe Seq("aa", "a")     // greedy run parity
+    apply1(Seq("a", "a", "a", "a"), "a", "a") shouldBe Seq("aa", "aa")
+    apply1(Seq("a", "b", "a", "b"), "a", "b") shouldBe Seq("ab", "ab")
+    apply1(Seq("x", "y"), "a", "b") shouldBe Seq("x", "y")           // identity
+    apply1(Seq("b", "a", "b"), "a", "b") shouldBe Seq("b", "ab")     // no re-match within a pass
+    apply1(Seq("ab"), "a", "b") shouldBe Seq("ab")                   // singleton untouched
+  }
+
+  test("q103 BPE training: known merges on a handcrafted corpus") {
+    val s = spark
+    import s.implicits._
+    // "low lower lowest" × weights via repetition — classic BPE example:
+    // first merges are driven by the repeated 'l o' / 'o w' stems
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "lowest")).toDF("doc_id", "text")
+    // drive the kernel logic directly:
+    // wf: low ×5, lower ×2, lowest ×1. Pair counts round 1:
+    // (l,o)=8, (o,w)=8 → tie → (l,o) wins lexicographically.
+    // Round 2: (lo,w)=8 wins. Round 3: (low,e)=3 (from lower, lowest).
+    import graft.functions.TextExpressions.bpe_merge_once
+    var words = Seq(("low", 5L), ("lower", 2L), ("lowest", 1L)).toDF("w", "f")
+      .select(col("f"), split(col("w"), "").as("ts"))
+    def bestPair(): (String, String, Long) = {
+      val row = words.filter(org.apache.spark.sql.functions.size(col("ts")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> struct(element_at(ts, i) AS a, element_at(ts, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0)
+      (row.getString(0), row.getString(1), row.getLong(2))
+    }
+    val m1 = bestPair()
+    m1 shouldBe (("l", "o", 8L))
+    words = words.select(col("f"), bpe_merge_once(col("ts"), m1._1, m1._2).as("ts"))
+    val m2 = bestPair()
+    m2 shouldBe (("lo", "w", 8L))
+    words = words.select(col("f"), bpe_merge_once(col("ts"), m2._1, m2._2).as("ts"))
+    val m3 = bestPair()
+    m3 shouldBe (("low", "e", 3L))
+  }
 }
