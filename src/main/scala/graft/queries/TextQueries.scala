@@ -987,17 +987,21 @@ object TextQueries {
     * that the oracle replays exactly via the run-parity window
     * formulation (unrolled per round — see the oracle builder). Surface:
     * (round, left_tok, right_tok, merged_count) for N = 8 rounds. */
-  val q103BpeTrain: Q = (spark, dir) => {
+  /** Shared BPE trainer (q103/q104): N merge rounds over the word-
+    * frequency dict. Returns the merge log and the fully-merged vocab
+    * frame (w, f, ts) — the caller owns the returned frame's checkpoint
+    * blocks. */
+  private def bpeTrain(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     import spark.implicits._
     import graft.functions.TextExpressions.bpe_merge_once
-    val rounds = 8
     val wf = docs(spark, dir)
       .select(explode(split(lower(trim(coalesce($"text", lit("")))), "\\s+")).as("w"))
       .filter($"w" =!= "")
       .groupBy($"w").agg(count(lit(1)).as("f"))
       .select($"w", $"f", split($"w", "").as("ts"))
       .localCheckpoint() // vocab-sized; EVERY round reads it
-    var words = wf.select($"f", $"ts")
+    var words = wf
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var r = 1
     var exhausted = false
@@ -1015,12 +1019,51 @@ object TextQueries {
         merges += ((r.toLong, a, b, c))
         // map-side application; plan depth grows one Project per round
         // over the checkpointed vocab — 8 rounds, no re-checkpoint needed
-        words = words.select($"f", bpe_merge_once($"ts", a, b).as("ts"))
+        words = words.select($"w", $"f", bpe_merge_once($"ts", a, b).as("ts"))
         r += 1
       }
     }
-    val out = merges.toSeq.toDF("round", "left_tok", "right_tok", "merged_count")
-    graft.util.BlockRelease.release(wf)
+    (merges.toSeq, words)
+  }
+
+  val q103BpeTrain: Q = (spark, dir) => {
+    import spark.implicits._
+    val (merges, vocab) = bpeTrain(spark, dir, rounds = 8)
+    val out = merges.toDF("round", "left_tok", "right_tok", "merged_count")
+    graft.util.BlockRelease.release(vocab)
+    out
+  }
+
+  /** q104 — TOKEN-BUDGET ACCOUNTING UNDER THE TRAINED TOKENIZER (NEW
+    * r10, the q103 → corpus application): every document's token count
+    * under the 8 learned BPE merges. The key scale move: merges apply
+    * PER WORD TYPE, so the trained vocab (w → merged token list) is the
+    * only thing that ever re-tokenizes — documents just join their word
+    * instances to it (corpus-sized stream ⋈ vocab-sized dict, AQE picks
+    * broadcast while the vocab fits, shuffle when it doesn't) and SUM
+    * per-word token counts. No per-document merge replay exists
+    * anywhere. Surface: (doc_id, n_words, n_chars, n_bpe_tokens), total
+    * over documents (empty/null docs emit zeros). */
+  val q104BpeTokenize: Q = (spark, dir) => {
+    import spark.implicits._
+    val (_, vocab) = bpeTrain(spark, dir, rounds = 8)
+    val dict = vocab.select($"w", length($"w").cast("long").as("nc"),
+      size($"ts").cast("long").as("nt"))
+    val agg = docs(spark, dir)
+      .select($"doc_id",
+        explode(split(lower(trim(coalesce($"text", lit("")))), "\\s+")).as("w"))
+      .filter($"w" =!= "")
+      .join(dict, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nw"), sum($"nc").as("nch"), sum($"nt").as("nbt"))
+    val out = docs(spark, dir).select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"nw", lit(0L)).as("n_words"),
+        coalesce($"nch", lit(0L)).as("n_chars"),
+        coalesce($"nbt", lit(0L)).as("n_bpe_tokens"))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(vocab)
     out
   }
 
@@ -1068,8 +1111,55 @@ object TextQueries {
     head + ",\n" + body + "\n" + tail
   }
 
+  /** The q104 oracle: the q103 stages run through the FINAL vocab state
+    * (stage(rounds) included), then documents join their word instances
+    * to it — the same merges-apply-per-word-type move the engine makes. */
+  private def bpeApplyOracle(rounds: Int): String = {
+    def pairs(r: Int) =
+      s"""pr$r AS (SELECT ts[i] AS a, ts[i + 1] AS b, sum(f)::BIGINT AS c
+         |  FROM tok${r - 1}, unnest(range(1, len(ts))) AS u(i) GROUP BY 1, 2),
+         |best$r AS (SELECT a, b, c FROM pr$r ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+    def stage(r: Int) =
+      s"""ex$r AS (SELECT word, f, len(ts) AS n, ts, u.p
+         |  FROM tok${r - 1}, unnest(range(1, len(ts) + 1)) AS u(p)),
+         |mk$r AS (SELECT e.word, e.f, e.n, e.ts, e.p,
+         |    (e.p < e.n AND e.ts[e.p] = b.a AND e.ts[e.p + 1] = b.b) AS m
+         |  FROM ex$r e CROSS JOIN best$r b),
+         |sel$r AS (SELECT word, f, ts, p, m,
+         |    m AND ((p - min(p) OVER (PARTITION BY word, g, m)) % 2 = 0) AS s
+         |  FROM (SELECT *, p - sum(CASE WHEN m THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY word ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+         |    FROM mk$r)),
+         |tok$r AS (SELECT word, f, list(CASE WHEN s THEN ts[p] || ts[p + 1]
+         |      ELSE ts[p] END ORDER BY p) AS ts
+         |  FROM (SELECT *, coalesce(lag(s) OVER (PARTITION BY word ORDER BY p),
+         |      false) AS prev_s FROM sel$r)
+         |  WHERE NOT prev_s GROUP BY word, f)""".stripMargin
+    val head =
+      """WITH wf AS (SELECT w AS word, count(*)::BIGINT AS f
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+        |      '\s+')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |tok0 AS (SELECT word, f, string_split(word, '') AS ts FROM wf)""".stripMargin
+    val body = (1 to rounds).map(r => pairs(r) + ",\n" + stage(r)).mkString(",\n")
+    val tail =
+      s"""dw AS (SELECT doc_id, w FROM (SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+         |      '\\s+')) AS w FROM documents) WHERE w <> ''),
+         |agg AS (SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+         |    sum(len(t.word))::BIGINT AS n_chars,
+         |    sum(len(t.ts))::BIGINT AS n_bpe
+         |  FROM dw JOIN tok$rounds t ON dw.w = t.word GROUP BY dw.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_words, 0::BIGINT) AS n_words,
+         |  coalesce(a.n_chars, 0::BIGINT) AS n_chars,
+         |  coalesce(a.n_bpe, 0::BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    head + ",\n" + body + ",\n" + tail
+  }
+
   val defs: Map[String, Q] = Map(
     "q103_bpe_train" -> q103BpeTrain,
+    "q104_bpe_tokenize" -> q104BpeTokenize,
     "q100_pipeline" -> q100Pipeline,
     "q99_ccnet_tiers" -> q99CcnetTiers,
     "q98_incremental_dedup" -> q98IncrementalDedup,
@@ -1791,5 +1881,6 @@ object TextQueries {
        |LEFT JOIN (${oracles0("q66_decontaminate")}) x ON d.doc_id = x.doc_id
        |JOIN (${oracles0("q69_split_assign")}) s ON d.doc_id = s.doc_id
        |JOIN (${oracles0("q99_ccnet_tiers")}) t ON d.doc_id = t.doc_id""".stripMargin) +
-    ("q103_bpe_train" -> bpeOracle(8))
+    ("q103_bpe_train" -> bpeOracle(8)) +
+    ("q104_bpe_tokenize" -> bpeApplyOracle(8))
 }
