@@ -294,7 +294,7 @@ object ScaleBench {
       "q77_unigram_surprisal", "q80_sequence_pack_bfd", "q82_span_dedup",
       "q83_longrepeat_dedup", "q88_hll_distinct", "q89_dsir_weights",
       "q90_chunk_overlap", "q95_bigram_surprisal", "q98_incremental_dedup",
-      "q99_ccnet_tiers", "q100_pipeline")
+      "q99_ccnet_tiers", "q100_pipeline", "q103_bpe_train", "q104_bpe_tokenize")
       .filter(q => sys.env.get("SPARK_GRAFT_SCALE_TEXT_ONLY")
         .forall(_.split(",").map(_.trim).toSet.contains(q)))
     val ns = sys.env.get("SPARK_GRAFT_SCALE_NS")
