@@ -205,6 +205,54 @@ class HdbscanSpec extends SparkSpec with Matchers {
     out(0L) should not be out(130L)
   }
 
+  test("blocked tier = brute tier on 8 randomized point sets (r10 property pin)") {
+    // deterministic pseudo-random corpora across dims/minPts/taskTarget:
+    // clusters + uniform scatter + exact-duplicate points (distance-0
+    // edges exercise the (w, a, b) tie order hard). Equality must be
+    // EXACT on every one — the sparsification proof is input-agnostic.
+    val s = spark
+    import s.implicits._
+    def mix(x: Long): Double = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
+    }
+    for (seed <- 1 to 8) {
+      val n = 150 + (seed * 37) % 120
+      val dim = 2 + seed % 5
+      val nClust = 2 + seed % 3
+      val pts = (0 until n).map { i =>
+        val id = i.toLong
+        if (i % 17 == 0 && i > 0) {
+          // exact duplicate of an earlier point → zero-distance pair
+          val j = (i - 1) % (i / 2 + 1)
+          (id, Seq.tabulate(dim)(d =>
+            (if (d == j % nClust % dim) 4.0 * (j % nClust) else 0.0) +
+              mix(j.toLong * dim + d) * 0.3))
+        } else if (i % 11 == 0) { // scatter
+          (id, Seq.tabulate(dim)(d => 40.0 * mix(seed * 1000L + i * dim + d)))
+        } else {
+          val c = i % nClust
+          (id, Seq.tabulate(dim)(d =>
+            (if (d == c % dim) 4.0 * c else 0.0) +
+              mix(i.toLong * dim + d) * 0.3))
+        }
+      }.toDF("id", "v")
+      val minPts = 2 + seed % 4
+      val mcs = 3 + seed % 3
+      val brute = Hdbscan.run(pts, minPts = minPts, minClusterSize = mcs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val tt = 16 + (seed % 3) * 24 // 16/40/64 → varying block shapes
+      val blocked = Hdbscan.run(pts, minPts = minPts, minClusterSize = mcs,
+          taskTarget = tt, bruteThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed=$seed n=$n dim=$dim minPts=$minPts mcs=$mcs tt=$tt: ") {
+        blocked shouldBe brute
+      }
+    }
+  }
+
   test("single tight blob with allow_single_cluster=False semantics → all noise") {
     val s = spark
     import s.implicits._
