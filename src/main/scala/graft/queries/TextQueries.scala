@@ -908,6 +908,31 @@ object TextQueries {
     Dedup.incrementalIngestGate(docs(spark, dir), "doc_id", "text",
       isNew = col("doc_id") % 10 === 3)
 
+  /** q105 — DSIR IMPORTANCE RESAMPLING (Xie et al. 2023 §2, the draw
+    * the q89 weights exist FOR; NEW r10): sample k = 100 documents
+    * WITHOUT replacement with P ∝ exp(weight) via the Gumbel-top-k
+    * identity — key(doc) = sum_mnats + round(1000·g), g = −ln(−ln(u))
+    * with u from the doc's md5 (deterministic, u ∈ (0,1) by the +0.5
+    * offset), winners = top-k by (key DESC, doc_id). ONE
+    * TakeOrderedAndProject over q89's output — per-partition heaps +
+    * driver merge, no global sort, nothing new corpus-sized. The
+    * milli-nat quantization keeps the q77/q89 cross-engine ln-parity
+    * discipline: both engines round the one ln composition to the same
+    * integer key. */
+  val q105DsirResample: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = q89Dsir(spark, dir)
+    val u = (conv(substring(md5(concat(lit("dsir-s:"), $"doc_id".cast("string"))),
+      1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val r = w.select($"doc_id", $"sum_mnats",
+        ($"sum_mnats" + round(lit(-1000.0) * log(-log(u))).cast("long")).as("gkey"))
+      .orderBy($"gkey".desc, $"doc_id".asc)
+      .limit(100)
+      .localCheckpoint()
+    graft.util.BlockRelease.release(w)
+    r
+  }
+
   /** q99 — CCNet-STYLE CORPUS TIERS (Wenzek et al. 2020 §4.3: split the
     * corpus into head/middle/tail by LM perplexity terciles; here the
     * model-free q77 surprisal stands in for the LM, per the q77
@@ -1158,6 +1183,7 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q105_dsir_resample" -> q105DsirResample,
     "q103_bpe_train" -> q103BpeTrain,
     "q104_bpe_tokenize" -> q104BpeTokenize,
     "q100_pipeline" -> q100Pipeline,
@@ -1881,6 +1907,15 @@ object TextQueries {
        |LEFT JOIN (${oracles0("q66_decontaminate")}) x ON d.doc_id = x.doc_id
        |JOIN (${oracles0("q69_split_assign")}) s ON d.doc_id = s.doc_id
        |JOIN (${oracles0("q99_ccnet_tiers")}) t ON d.doc_id = t.doc_id""".stripMargin) +
+    ("q105_dsir_resample" ->
+      s"""WITH w AS (${oracles0("q89_dsir_weights")}),
+         |g AS (SELECT doc_id, sum_mnats,
+         |    sum_mnats + round(-1000 * ln(-ln(
+         |      (('0x' || substr(md5('dsir-s:' || doc_id::VARCHAR), 1, 8))::BIGINT
+         |        + 0.5) / 4294967296)))::BIGINT AS gkey
+         |  FROM w)
+         |SELECT doc_id, sum_mnats, gkey FROM g
+         |ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin) +
     ("q103_bpe_train" -> bpeOracle(8)) +
     ("q104_bpe_tokenize" -> bpeApplyOracle(8))
 }

@@ -353,6 +353,26 @@ class TextExpressionsSpec extends SparkSpec with Matchers {
     out(4L)._3 shouldBe md5hex("all unique tokens in this one here plus own suffix material")
   }
 
+  test("q105 DSIR resampling: k rows, deterministic, biased toward high weights") {
+    val q = graft.queries.TextQueries.defs("q105_dsir_resample")
+    val w89 = graft.queries.TextQueries.defs("q89_dsir_weights")
+    val sel = q(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    sel.length shouldBe 100 // exactly k winners
+    sel.map(_._1).distinct.length shouldBe 100 // without replacement
+    // deterministic: same draw twice (md5 Gumbel keys, no RNG state)
+    val again = q(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    again.toSeq.sorted shouldBe sel.toSeq.sorted
+    // P ∝ exp(weight): the winners' mean weight must sit well above the
+    // corpus mean (the whole point of importance resampling)
+    val all = w89(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getAs[Long]("sum_mnats").toDouble)
+    val corpusMean = all.sum / all.length
+    val selMean = sel.map(_._2.toDouble).sum / sel.length
+    selMean should be > corpusMean
+  }
+
   test("q103 bpe_merge_once: greedy left-to-right, overlap parity, no-match identity") {
     import graft.functions.TextExpressions.bpe_merge_once
     val s = spark
