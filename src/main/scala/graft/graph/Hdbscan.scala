@@ -31,10 +31,10 @@ import graft.functions.VectorFunctions
   *     `minClusterSize`, Excess-of-Mass cluster selection, noise = −1 —
   *     the hdbscan condensed-tree algorithm (Campello–Moulavi–Sander).
   *     Over the threshold the extraction stays EXACT and keeps EOM
-  *     semantics via the two-phase pivot-split factorization
-  *     ([[extractLabelsDistributed]]); only when no weight pivot can
-  *     split the MST into executor-fit pieces does it degrade to a flat
-  *     quantile cut ([[flatCutLabels]], warns, never aborts).
+  *     semantics via the pivot-split factorization
+  *     ([[extractLabelsDistributed]]): a lexicographic top-K pivot always
+  *     exists, and a component too big for one executor recurses into the
+  *     same split — no approximate fallback remains at any scale (r11).
   */
 object Hdbscan {
 
@@ -67,9 +67,9 @@ object Hdbscan {
     // pairs): pairwise distances, core distances, mutual reachability and
     // Kruskal are one collect of n vectors plus ~n²·dim flops — the
     // DataFrame formulation of the same O(n²) work was pure scheduler and
-    // shuffle overhead at this size. Above the threshold, kNN-truncated
-    // LSH candidates — the standard approximate tier whose deviations are
-    // confined to inter-cluster bridge orderings.
+    // shuffle overhead at this size. Above the threshold, the block-pair
+    // partitioned tier below — still EXACT (every pair charged to exactly
+    // one task), just memory-bounded and distributed.
     if (n <= bruteThreshold) {
       val pts = points.select(col("id"), col("v"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
@@ -133,47 +133,13 @@ object Hdbscan {
         val lab = extractLabels(edges, ids, minClusterSize)
         lab.toSeq.toDF("id", "label")
       } else {
-        // at-scale tier: EXACT two-phase condensed-tree extraction (EOM
-        // semantics preserved); flat-cut only as the documented fallback
-        // when no weight pivot can split the MST into executor-fit pieces
+        // at-scale tier: EXACT recursive condensed-tree extraction —
+        // EOM semantics preserved at every scale (no flat-cut fallback)
         extractLabelsDistributed(mst, points.select(col("id")),
           minClusterSize, topFit = collectThreshold)
       }
     graft.util.BlockRelease.release(mst)
     out
-  }
-
-  /** Last-resort degradation: flat cut of the MST at the largest
-    * multiplicative weight-quantile gap → connected components; undersized
-    * components are noise. Reached ONLY when [[extractLabelsDistributed]]
-    * cannot find a pivot splitting the MST into executor-fit components
-    * (a single near-uniform-density blob — where the condensed hierarchy
-    * carries little structure anyway); logs a warning, never aborts. */
-  private def flatCutLabels(mst: DataFrame, points: DataFrame,
-      minClusterSize: Int): DataFrame = {
-    val probes = (0 to 50).map(_ / 50.0).toArray
-    val qs = mst.stat.approxQuantile("w", probes, 0.001)
-    // geometric midpoint of the widest gap: quantile resolution can
-    // hide stragglers just below the jump — a log-midway cut keeps
-    // them and still excludes everything across the gap
-    val cut = qs.zip(qs.tail).filter(_._1 > 0.0)
-      .maxByOption { case (lo, hi) => hi / lo }
-      .map { case (lo, hi) => math.sqrt(lo * hi) }.getOrElse(qs.last)
-    val comps = GraphAlgos.connectedComponents(
-      mst.filter(col("w") <= cut)
-        .select(col("a").as("src"), col("b").as("dst")))
-    val sizes = comps.groupBy("label").agg(count(lit(1)).as("sz"))
-    val labeled = comps.join(sizes, "label")
-      .select(col("node").as("id"),
-        when(col("sz") >= minClusterSize, col("label")).otherwise(lit(-1L)).as("label"))
-    // TOTALITY: a point whose every MST edge exceeds the cut (or that the
-    // MST left isolated) has no component row — it is noise, not absent;
-    // the id set of the output must equal the input's (cluster-surface
-    // contract, same coalesce discipline as run/extractLabelsDistributed)
-    points.select(col("id"))
-      .join(labeled, Seq("id"), "left")
-      .select(col("id"), coalesce(col("label"), lit(-1L)).as("label"))
-      .localCheckpoint() // node-sized; lets the MST blocks go
   }
 
   /** Executor-phase emission row for [[extractLabelsDistributed]]:
@@ -221,36 +187,44 @@ object Hdbscan {
   }
 
   /** EXACT distributed condensed-tree extraction — the at-scale tier of
-    * [[run]] (replaces the round-4 flat-quantile-cut degradation, which
-    * survives only as [[flatCutLabels]], the no-viable-pivot fallback).
+    * [[run]]. EOM semantics at EVERY scale: the r10 "no viable weight
+    * pivot" flat-cut degradation is GONE (r11).
     *
     * Exactness rests on the single-linkage factorization: the dendrogram
     * processes MST edges in ascending (w, a, b) order, so splitting the
-    * edge set at a weight pivot — every `w ≤ pivot` edge strictly before
-    * every `w > pivot` edge — cannot change any merge. The union-find
-    * state after the below-pivot prefix IS the below-forest's component
-    * set, hence:
+    * edge set at ANY prefix of that total order — not merely at a weight
+    * value — cannot change a single merge; the union-find state after the
+    * prefix IS the below-forest's component set. r11 uses the full
+    * strength of that statement:
     *
-    *  1. **Pivot search** (driver, ≤ a handful of candidate quantiles):
-    *     pick the highest pivot whose above-pivot "top" piece collects
-    *     (≤ topFit edges) and whose below-forest components each fit one
-    *     executor (≤ componentFit edges, checked with one distributed
-    *     count per candidate). No pivot viable → [[flatCutLabels]] + log.
-    *  2. **Top condensed walk** (driver): dendrogram over component
-    *     super-nodes (sizes from a distributed count), virtual-root /
-    *     single-root semantics identical to [[extractLabels]]. Component
-    *     leaves either SPILL (all points leave cluster `cid` at λ — a
-    *     cluster-level stability term, no per-point work) or CONTINUE
-    *     (walk resumes inside the component at entry cluster `cid`).
-    *  3. **Per-component condensed walks** (executors, one `mapGroups`
-    *     over the below-edges of continuation components): each runs the
-    *     sequential walk on its own subtree, emitting point→cluster
-    *     memberships (distributed, never collected), plus cluster records
-    *     and stability partials (condensed-cluster-sized — collected;
-    *     cluster ids are made globally unique by a per-component high-bit
-    *     base). A condensed cluster tree that itself exceeds the driver is
-    *     out of scope (n/minClusterSize pathological bound; real
-    *     hierarchies condense to ≪ that).
+    *  1. **Lexicographic top-K pivot — always viable** (the r10 weight-
+    *     quantile search could fail on near-uniform or tied weights): the
+    *     K ≈ 0.8·topFit (floored at `minDriverBatch`) largest edges under
+    *     (w, a, b) are collected with ONE TakeOrdered job; the smallest of
+    *     them is the pivot and `below` is the strict lexicographic prefix.
+    *     The driver piece is bounded BY CONSTRUCTION, and weight ties
+    *     split exactly — MST edges are distinct (a, b) pairs, so the
+    *     order is strictly total.
+    *  2. **Top condensed walk** (driver): dendrogram over below-component
+    *     super-nodes (≤ K + #input-trees of them; the mutual-reachability
+    *     MST is one tree, so ≤ K + 1 in production), virtual-root /
+    *     single-root semantics identical to [[extractLabels]]. A component
+    *     leaf either SPILLS (all its points leave cluster `cid` at λ —
+    *     cluster-level stability, zero per-point driver work) or
+    *     CONTINUES (the walk resumes inside the component).
+    *  3. **Continuation components**: one with ≤ componentFit edges runs
+    *     its sequential condensed walk in an executor ([[condenseComponent]]
+    *     via one `mapGroups`; memberships stay distributed). One LARGER
+    *     than componentFit — the case that used to degrade to a flat cut —
+    *     now RECURSES: the component re-enters the SAME split at its own
+    *     lexicographic pivot, its top walk running on the driver resumed
+    *     at the entry cluster (a connected component contracts to a
+    *     single-rooted super-tree, so the resume is one `descend`). The
+    *     factorization composes level by level; every level retires K
+    *     edges into a driver walk, so recursion ends in ≤ m/K levels. A
+    *     giant near-uniform single component costs driver TIME (one
+    *     streamed pass over its edges across levels, O(K + #comps) driver
+    *     memory per level) — never memory, and never semantics.
     *  4. **Global EOM** (driver, cluster-tree-sized): stabilities = driver
     *     terms + executor partials; bottom-up Excess-of-Mass selection and
     *     top-down winner absorption exactly as [[extractLabels]]. One
@@ -260,183 +234,231 @@ object Hdbscan {
     *     FP summation order, so a cluster whose stability MATHEMATICALLY
     *     ties its children's sum (symmetric density degeneracy) could
     *     resolve the strict `>` differently by an ulp. Non-degenerate
-    *     data (every spec fixture, incl. 12 randomized forests) is
+    *     data (every spec fixture, incl. the randomized forests) is
     *     label-identical.
-    *  5. **Labels** (distributed): memberships ∪ spills → broadcast-join
-    *     the winner map → min member id per winning cluster → (id, label).
+    *  5. **Labels** (distributed): memberships ∪ per-level spills →
+    *     broadcast-join the winner map → min member id per winning
+    *     cluster → (id, label).
     */
   private[graft] def extractLabelsDistributed(mst: DataFrame,
       points: DataFrame, minClusterSize: Int,
-      topFit: Long = 5000000L, componentFit: Long = 50000000L): DataFrame = {
+      topFit: Long = 5000000L, componentFit: Long = 50000000L,
+      minDriverBatch: Int = 4096): DataFrame = {
     val spark = mst.sparkSession
     import spark.implicits._
     require(minClusterSize >= 2, // see run(): singleton 'big roots' would vanish
       s"minClusterSize ($minClusterSize) must be ≥ 2")
+    require(minDriverBatch >= 1,
+      s"minDriverBatch ($minDriverBatch) must be ≥ 1")
     val mcs = minClusterSize
-    val m = mst.count()
 
-    // ---- 1. pivot search ----
-    val fracs = (Seq(1.0 - 0.8 * topFit.toDouble / m) ++
-      Seq(0.98, 0.95, 0.9, 0.8, 0.6, 0.4))
-      .filter(f => f > 0.0 && f < 1.0).distinct.sortBy(-_)
-    val pivots = mst.stat.approxQuantile("w", fracs.toArray, 0.0001)
-    var chosen: Option[(Double, DataFrame)] = None // (pivot, compOf)
-    var prevPivot = Double.NaN
-    val it = pivots.iterator
-    while (chosen.isEmpty && it.hasNext) {
-      val pivot = it.next()
-      if (pivot != prevPivot) {
-        prevPivot = pivot
-        val below = mst.filter(col("w") <= pivot)
-        val belowCnt = below.count()
-        if (m - belowCnt <= topFit) {
-          val cc = GraphAlgos.connectedComponents(
-            below.select(col("a").as("src"), col("b").as("dst")))
-          val compOf = cc.select(col("node"), col("label").as("comp"))
-            .unionByName(points.select(col("id").as("node"))
-              .join(cc, Seq("node"), "left_anti")
-              .select(col("node"), col("node").as("comp")))
-            .localCheckpoint()
-          graft.util.BlockRelease.release(cc)
-          val maxComp = below
-            .join(compOf.select(col("node").as("a"), col("comp")), "a")
-            .groupBy("comp").agg(count(lit(1)).as("ec"))
-            .agg(coalesce(max(col("ec")), lit(0L))).as[Long].head()
-          if (maxComp <= componentFit) chosen = Some((pivot, compOf))
-          else graft.util.BlockRelease.release(compOf)
-        }
-      }
-    }
-    if (chosen.isEmpty) {
-      System.err.println(s"[graft] Hdbscan: no weight pivot splits $m MST " +
-        "edges into executor-fit components — degrading to flat-cut labels")
-      return flatCutLabels(mst, points, mcs)
-    }
-    val (pivot, compOf) = chosen.get
-    val below = mst.filter(col("w") <= pivot)
-
-    // ---- 2. top condensed walk on the component super-graph ----
-    val compSizes = compOf.groupBy("comp").agg(count(lit(1)).as("sz"))
-      .as[(Long, Long)].collect().sortBy(_._1)
-    val compIdx = compSizes.iterator.map(_._1).zipWithIndex.toMap
-    val nC = compSizes.length
-    val topRaw = mst.filter(col("w") > pivot)
-      .join(compOf.select(col("node").as("a"), col("comp").as("ca")), "a")
-      .join(compOf.select(col("node").as("b"), col("comp").as("cb")), "b")
-      .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
-      .as[(Long, Long, Double, Long, Long)].collect()
-      .sortBy(e => (e._3, e._1, e._2)) // the shared (w, a, b) total order
-    val topEdges = topRaw.map(e => (compIdx(e._4), compIdx(e._5), e._3))
-    val (childL, childR, height, sz, roots, _) =
-      dendrogram(nC, topEdges, i => compSizes(i)._2)
-
-    def leavesOf(node: Int): List[Int] = {
-      var acc = List.empty[Int]
-      val stack = mutable.Stack(node)
-      while (stack.nonEmpty) {
-        val x = stack.pop()
-        if (x < nC) acc ::= x
-        else { stack.push(childL(x - nC)); stack.push(childR(x - nC)) }
-      }
-      acc
-    }
-
-    // cluster bookkeeping (driver gids 0, 1, 2, …; executor gids carry a
-    // per-component base in the high bits, so the spaces never collide)
+    // global cluster bookkeeping, shared by all levels (condensed-tree-
+    // sized: ≤ n/mcs clusters + spills/continuation records)
     val lambdaBirth = mutable.Map[Long, Double]()
     val clusterParent = mutable.Map[Long, Long]()
     val stab = mutable.Map[Long, Double]().withDefaultValue(0.0)
     var nextCluster = 0L
     def newCluster(birth: Double, par: Long): Long = {
       val c = nextCluster; nextCluster += 1
+      // executor gids are base | local with base ≥ 1 << 32 — the spaces
+      // never collide as long as driver ids stay below bit 32
+      require(c < (1L << 32), "driver condensed-cluster id space exhausted")
       lambdaBirth(c) = birth
       if (par >= 0) clusterParent(c) = par
       c
     }
-    val spills = mutable.ArrayBuffer[(Int, Long)]()  // comp leaf → cid (λ only feeds stability, folded below)
-    val continuations = mutable.LinkedHashMap[Int, Long]() // comp leaf → entry cid
-    def spill(ci: Int, cid: Long, lam: Double): Unit = {
-      stab(cid) += (lam - lambdaBirth(cid)) * compSizes(ci)._2
-      spills += ((ci, cid))
-    }
-    def descend(x: Int, cid: Long,
-        stack: mutable.Stack[(Int, Long)]): Unit =
-      if (x >= nC) stack.push((x, cid)) else continuations(x) = cid
-
     val virtualRoot = newCluster(0.0, -1L)
-    val bigRoots = roots.count(r => sz(r) >= mcs)
     val rootLike = mutable.Set[Long]()
-    roots.foreach { root =>
-      if (sz(root) >= mcs) {
-        val rootCluster = newCluster(0.0, virtualRoot)
-        stab(virtualRoot) += 0.0 // λ = λ_birth(virtualRoot) = 0 — explicit no-op
-        if (bigRoots == 1) rootLike += rootCluster
-        val stack = mutable.Stack[(Int, Long)]()
-        descend(root, rootCluster, stack)
+    var nextBase = 0L // executor gid base allocator, global across levels
+    val memberParts = mutable.ArrayBuffer[DataFrame]() // (id, pgid) checkpoints
+    val retired = mutable.ArrayBuffer[DataFrame]() // level artifacts → released at end
+
+    // a level = one pivot-split pass: the whole MST in root-mode
+    // (entry < 0), or one oversized continuation component resumed at
+    // its entry cluster
+    final case class Lvl(edges: DataFrame, nodes: DataFrame, entry: Long,
+        m: Long)
+    val queue = mutable.Queue(Lvl(mst.select(col("a"), col("b"), col("w")),
+      points.select(col("id").as("node")), -1L, mst.count()))
+
+    while (queue.nonEmpty) {
+      val lvl = queue.dequeue()
+
+      // ---- 1. lexicographic top-K split (always viable) ----
+      val budget = math.min(
+        math.max(minDriverBatch.toLong, (0.8 * topFit).toLong),
+        (Int.MaxValue / 2).toLong)
+      val K = math.min(lvl.m, budget).toInt
+      val aboveRaw = lvl.edges
+        .orderBy(col("w").desc, col("a").desc, col("b").desc)
+        .limit(K).as[(Long, Long, Double)].collect()
+      val below =
+        if (K >= lvl.m) lvl.edges.limit(0) // whole level walks on the driver
+        else {
+          val (pa, pb, pw) = aboveRaw.last // K-th largest = the pivot
+          lvl.edges.filter(col("w") < pw || (col("w") === pw &&
+            (col("a") < pa || (col("a") === pa && col("b") < pb))))
+        }
+      val belowCp = below.localCheckpoint()
+      retired += belowCp
+
+      // ---- below-forest components (≤ K + #trees super-nodes) ----
+      val cc = GraphAlgos.connectedComponents(
+        belowCp.select(col("a").as("src"), col("b").as("dst")))
+      val compOf = cc.select(col("node"), col("label").as("comp"))
+        .unionByName(lvl.nodes.join(cc, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("comp")))
+        .localCheckpoint()
+      graft.util.BlockRelease.release(cc)
+      retired += compOf
+      val compSizes = compOf.groupBy("comp").agg(count(lit(1)).as("sz"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val compIdx = compSizes.iterator.map(_._1).zipWithIndex.toMap
+      val nC = compSizes.length
+
+      // comps of the above endpoints: ≤ 2K driver rows via one semi-join
+      // (cheaper than joining the collected edges back through Spark)
+      val aboveNodes = aboveRaw.iterator
+        .flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+      val compOfAbove = compOf
+        .join(broadcast(aboveNodes.toDF("node")), Seq("node"), "left_semi")
+        .as[(Long, Long)].collect().toMap
+      val topEdges = aboveRaw.sortBy(e => (e._3, e._1, e._2)) // shared (w, a, b) order
+        .map(e => (compIdx(compOfAbove(e._1)), compIdx(compOfAbove(e._2)), e._3))
+      val (childL, childR, height, sz, roots, _) =
+        dendrogram(nC, topEdges, i => compSizes(i)._2)
+
+      def leavesOf(node: Int): List[Int] = {
+        var acc = List.empty[Int]
+        val stack = mutable.Stack(node)
         while (stack.nonEmpty) {
-          val (node, cid) = stack.pop()
-          val l = childL(node - nC); val r = childR(node - nC)
-          val lam = if (height(node - nC) > 0.0) 1.0 / height(node - nC) else 1e30
-          val bigL = sz(l) >= mcs; val bigR = sz(r) >= mcs
-          if (bigL && bigR) {
-            val cl = newCluster(lam, cid)
-            val cr = newCluster(lam, cid)
-            stab(cid) += (lam - lambdaBirth(cid)) * sz(l)
-            stab(cid) += (lam - lambdaBirth(cid)) * sz(r)
-            descend(l, cl, stack); descend(r, cr, stack)
-          } else if (bigL) {
-            leavesOf(r).foreach(ci => spill(ci, cid, lam))
-            descend(l, cid, stack)
-          } else if (bigR) {
-            leavesOf(l).foreach(ci => spill(ci, cid, lam))
-            descend(r, cid, stack)
+          val x = stack.pop()
+          if (x < nC) acc ::= x
+          else { stack.push(childL(x - nC)); stack.push(childR(x - nC)) }
+        }
+        acc
+      }
+
+      // ---- 2. top condensed walk on the component super-graph ----
+      val spills = mutable.ArrayBuffer[(Int, Long)]()  // comp leaf → cid
+      val continuations = mutable.LinkedHashMap[Int, Long]() // comp leaf → entry cid
+      def spill(ci: Int, cid: Long, lam: Double): Unit = {
+        stab(cid) += (lam - lambdaBirth(cid)) * compSizes(ci)._2
+        spills += ((ci, cid))
+      }
+      val stack = mutable.Stack[(Int, Long)]()
+      def descend(x: Int, cid: Long): Unit =
+        if (x >= nC) stack.push((x, cid)) else continuations(x) = cid
+      def drainWalk(): Unit = while (stack.nonEmpty) {
+        val (node, cid) = stack.pop()
+        val l = childL(node - nC); val r = childR(node - nC)
+        val lam = if (height(node - nC) > 0.0) 1.0 / height(node - nC) else 1e30
+        val bigL = sz(l) >= mcs; val bigR = sz(r) >= mcs
+        if (bigL && bigR) {
+          val cl = newCluster(lam, cid)
+          val cr = newCluster(lam, cid)
+          stab(cid) += (lam - lambdaBirth(cid)) * sz(l)
+          stab(cid) += (lam - lambdaBirth(cid)) * sz(r)
+          descend(l, cl); descend(r, cr)
+        } else if (bigL) {
+          leavesOf(r).foreach(ci => spill(ci, cid, lam))
+          descend(l, cid)
+        } else if (bigR) {
+          leavesOf(l).foreach(ci => spill(ci, cid, lam))
+          descend(r, cid)
+        } else {
+          (leavesOf(l) ++ leavesOf(r)).foreach(ci => spill(ci, cid, lam))
+        }
+      }
+      if (lvl.entry < 0L) { // root-mode: the true tops of the forest
+        val bigRoots = roots.count(r => sz(r) >= mcs)
+        roots.foreach { root =>
+          if (sz(root) >= mcs) {
+            val rootCluster = newCluster(0.0, virtualRoot)
+            stab(virtualRoot) += 0.0 // λ = λ_birth(virtualRoot) = 0 — explicit no-op
+            if (bigRoots == 1) rootLike += rootCluster
+            descend(root, rootCluster)
+            drainWalk()
           } else {
-            (leavesOf(l) ++ leavesOf(r)).foreach(ci => spill(ci, cid, lam))
+            leavesOf(root).foreach(ci => spill(ci, virtualRoot, 0.0))
           }
         }
       } else {
-        leavesOf(root).foreach(ci => spill(ci, virtualRoot, 0.0))
+        // resume-mode: this level IS one connected component, so its
+        // above-pivot super-graph is a single-rooted tree — the walk
+        // re-enters the entry cluster exactly as condenseComponent would
+        descend(roots.head, lvl.entry)
+        drainWalk()
+      }
+
+      // ---- 3. continuation components: executor walk or recursion ----
+      if (continuations.nonEmpty) {
+        val belowByComp = belowCp
+          .join(compOf.select(col("node").as("a"), col("comp")), "a")
+          .localCheckpoint()
+        retired += belowByComp
+        val ecnt = belowByComp.groupBy("comp").agg(count(lit(1)).as("ec"))
+          .as[(Long, Long)].collect().toMap
+        val smalls = mutable.LinkedHashMap[Long, Long]() // comp → entry cid
+        continuations.foreach { case (ci, cid) =>
+          val comp = compSizes(ci)._1
+          if (ecnt.getOrElse(comp, 0L) <= componentFit) smalls(comp) = cid
+          else queue.enqueue(Lvl( // oversized → recurse (used to flat-cut)
+            belowByComp.filter(col("comp") === comp)
+              .select(col("a"), col("b"), col("w")),
+            compOf.filter(col("comp") === comp).select(col("node")),
+            cid, ecnt(comp)))
+        }
+        if (smalls.nonEmpty) {
+          val contBases: Map[Long, (Long, Long)] = smalls.iterator
+            .map { case (comp, cid) =>
+              nextBase += 1
+              comp -> (cid, nextBase << 32)
+            }.toMap
+          val bcCont = spark.sparkContext.broadcast(contBases)
+          val contDf = broadcast(contBases.keys.toSeq.toDF("comp"))
+          val xr = belowByComp
+            .join(contDf, Seq("comp"), "left_semi")
+            .select(col("comp"), col("a"), col("b"), col("w"))
+            .as[(Long, Long, Long, Double)]
+            .groupByKey(_._1)
+            .flatMapGroups { (comp, rows) =>
+              val (entryCid, base) = bcCont.value(comp)
+              val edges = rows.map(r => (r._2, r._3, r._4)).toArray
+              condenseComponent(edges, entryCid, base, mcs)
+            }
+            .localCheckpoint()
+          bcCont.destroy()
+          xr.filter(_.kind == 1).collect().foreach { r =>
+            lambdaBirth(r.gid) = r.lam
+            clusterParent(r.gid) = r.pgid
+          }
+          xr.filter(_.kind == 2)
+            .groupByKey(_.pgid)
+            .mapGroups { (pg, rs) =>
+              var sls = 0.0; var ss = 0L
+              rs.foreach { r => sls += r.sls; ss += r.ss }
+              (pg, sls, ss)
+            }.collect().foreach { case (pg, sls, ss) =>
+              stab(pg) += sls - lambdaBirth(pg) * ss
+            }
+          memberParts += xr.filter(_.kind == 0)
+            .map(r => (r.id, r.pgid)).toDF("id", "pgid").localCheckpoint()
+          graft.util.BlockRelease.release(xr.toDF())
+        }
+      }
+      // per-level spill memberships, materialized node-sized (every point
+      // spills at exactly one level → ≤ n rows total across all levels)
+      if (spills.nonEmpty) {
+        val spillDf = broadcast(spills.iterator
+          .map { case (ci, cid) => (compSizes(ci)._1, cid) }
+          .toSeq.toDF("comp", "pgid"))
+        memberParts += compOf.join(spillDf, Seq("comp"))
+          .select(col("node").as("id"), col("pgid")).localCheckpoint()
       }
     }
-
-    // ---- 3. per-component condensed walks in executors ----
-    val contBases: Map[Long, (Long, Long)] = // compId → (entryCid, gidBase)
-      continuations.zipWithIndex.map { case ((ci, cid), k) =>
-        compSizes(ci)._1 -> (cid, (k + 1).toLong << 32)
-      }.toMap
-    val bcCont = spark.sparkContext.broadcast(contBases)
-    val contDf = broadcast(contBases.keys.toSeq.toDF("comp"))
-    val xr = below
-      .join(compOf.select(col("node").as("a"), col("comp")), "a")
-      .join(contDf, Seq("comp"), "left_semi")
-      .select(col("comp"), col("a"), col("b"), col("w"))
-      .as[(Long, Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (comp, rows) =>
-        val (entryCid, base) = bcCont.value(comp)
-        val edges = rows.map(r => (r._2, r._3, r._4)).toArray
-        condenseComponent(edges, entryCid, base, mcs)
-      }
-      .localCheckpoint()
-    bcCont.destroy()
-
-    val clusterRecs = xr.filter(_.kind == 1).collect()
-    val statRows = xr.filter(_.kind == 2)
-      .groupByKey(_.pgid)
-      .mapGroups { (pg, rs) =>
-        var sls = 0.0; var ss = 0L
-        rs.foreach { r => sls += r.sls; ss += r.ss }
-        (pg, sls, ss)
-      }.collect()
 
     // ---- 4. global EOM on the assembled cluster tree ----
-    clusterRecs.foreach { r =>
-      lambdaBirth(r.gid) = r.lam
-      clusterParent(r.gid) = r.pgid
-    }
-    statRows.foreach { case (pg, sls, ss) =>
-      stab(pg) += sls - lambdaBirth(pg) * ss
-    }
     val childrenOf = mutable.Map[Long, mutable.ArrayBuffer[Long]]()
     clusterParent.foreach { case (c, p) =>
       childrenOf.getOrElseUpdate(p, mutable.ArrayBuffer[Long]()) += c
@@ -485,20 +507,16 @@ object Hdbscan {
 
     // ---- 5. labels, fully distributed ----
     val winnerDf = broadcast(winner.toSeq.toDF("pgid", "wgid"))
-    val spillDf = broadcast(
-      spills.map { case (ci, cid) => (compSizes(ci)._1, cid) }
-        .toSeq.toDF("comp", "pgid"))
-    val members = xr.filter(_.kind == 0).map(r => (r.id, r.pgid))
-      .toDF("id", "pgid")
-      .unionByName(compOf.join(spillDf, Seq("comp"))
-        .select(col("node").as("id"), col("pgid")))
+    val members =
+      if (memberParts.isEmpty) spark.emptyDataset[(Long, Long)].toDF("id", "pgid")
+      else memberParts.reduce(_ unionByName _)
     val assigned = members.join(winnerDf, Seq("pgid"), "left")
     val minIds = broadcast(assigned.filter(col("wgid").isNotNull)
       .groupBy("wgid").agg(min(col("id")).as("clab")))
     val out = assigned.join(minIds, Seq("wgid"), "left")
       .select(col("id"), coalesce(col("clab"), lit(-1L)).as("label"))
       .localCheckpoint()
-    graft.util.BlockRelease.release(Seq(xr.toDF(), compOf))
+    (retired ++ memberParts).foreach(graft.util.BlockRelease.release)
     out
   }
 

@@ -133,7 +133,7 @@ class HdbscanSpec extends SparkSpec with Matchers {
     val seqLab = Hdbscan.extractLabels(edges, ids, 4)
     val distLab = Hdbscan.extractLabelsDistributed(
         edges.toSeq.toDF("a", "b", "w"), ids.toSeq.toDF("id"),
-        minClusterSize = 4, topFit = 5, componentFit = 10)
+        minClusterSize = 4, topFit = 5, componentFit = 10, minDriverBatch = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     distLab shouldBe seqLab
     distLab(300L) shouldBe -1L // isolated singleton component
@@ -177,10 +177,16 @@ class HdbscanSpec extends SparkSpec with Matchers {
       ids += nodeId + 1 // one isolated point per fixture
       val mcs = 2 + (mix(seed * 31).abs % 4).toInt
       val seqLab = Hdbscan.extractLabels(edges.toArray, ids.toArray.sorted, mcs)
+      // componentFit cycles 50 / 5 / 0 across seeds: 50 keeps every
+      // continuation in the executor tier, 5 mixes executor walks with
+      // recursion, 0 forces EVERY continuation to recurse (the walk
+      // bottoms out entirely on the driver, many levels deep)
+      val cfit = Seq(50L, 5L, 0L)(seed % 3)
       val distLab = Hdbscan.extractLabelsDistributed(
           edges.toSeq.toDF("a", "b", "w"), ids.toSeq.toDF("id"),
           minClusterSize = mcs,
-          topFit = 1 + (mix(seed * 41).abs % 10), componentFit = 50)
+          topFit = 1 + (mix(seed * 41).abs % 10), componentFit = cfit,
+          minDriverBatch = 1)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       withClue(s"seed=$seed mcs=$mcs nodes=${ids.size} edges=${edges.size}: ") {
         distLab shouldBe seqLab
@@ -188,20 +194,28 @@ class HdbscanSpec extends SparkSpec with Matchers {
     }
   }
 
-  test("no viable pivot: flat-cut fallback still separates the blobs, never aborts") {
-    // componentFit = 0 makes every pivot candidate fail → the documented
-    // last-resort flat cut (warns, degrades, survives)
+  test("oversized components recurse: EOM labels survive componentFit = 0 (no flat cut)") {
+    // componentFit = 0 rejects EVERY continuation component from the
+    // executor tier, so the r11 recursion must re-split each one at its
+    // own lexicographic pivot until the walk bottoms out on the driver —
+    // the case the pre-r11 code degraded to a non-EOM flat cut. The
+    // contract is now full exactness: labels ≡ the sequential condensed
+    // walk, including on UNIFORM (tie-heavy) chain weights, where no
+    // weight-only pivot exists at all.
     val s = spark
     import s.implicits._
     val chain = (0 until 30).map(i => (i.toLong, (i + 1).toLong, 0.1))
-    val far = Seq((30L, 100L, 9.0)) // huge gap → flat cut lands inside it
+    val far = Seq((30L, 100L, 9.0)) // the EOM split point
     val chainB = (0 until 30).map(i => (100L + i, 101L + i, 0.1))
-    val mst = (chain ++ far ++ chainB).toSeq.toDF("a", "b", "w")
-    val ids = ((0L to 30L) ++ (100L to 130L)).toSeq.toDF("id")
-    val out = Hdbscan.extractLabelsDistributed(mst, ids,
-        minClusterSize = 4, topFit = 5, componentFit = 0)
+    val edges = (chain ++ far ++ chainB).toArray
+    val ids = ((0L to 30L) ++ (100L to 130L)).toArray
+    val seqLab = Hdbscan.extractLabels(edges, ids, 4)
+    val out = Hdbscan.extractLabelsDistributed(
+        edges.toSeq.toDF("a", "b", "w"), ids.toSeq.toDF("id"),
+        minClusterSize = 4, topFit = 5, componentFit = 0, minDriverBatch = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    out.values.toSet.size shouldBe 2 // two flat clusters, no noise here
+    out shouldBe seqLab
+    out.values.toSet.size shouldBe 2 // the bridge splits the two chains
     out(0L) should not be out(130L)
   }
 
