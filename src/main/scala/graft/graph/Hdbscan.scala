@@ -1,12 +1,13 @@
 package graft.graph
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
 
 import graft.functions.VectorFunctions
+import graft.util.BlockPairs
 
 /** True HDBSCAN over embedding vectors (SURVEY.md G2; reference GDS call at
   * project/metrics/community_detection.py:49-54) — the real algorithm, not
@@ -686,19 +687,22 @@ object Hdbscan {
   // ---- EXACT at-scale candidate machinery (r10 — replaces the LSH
   // approximate kNN tier, the repo's last non-exact surface) ----
   //
-  // BLOCK-PAIR EDGE PARTITIONING: points hash into B ≈ n/taskTarget
-  // blocks; every unordered block pair (i ≤ j) is one task holding
-  // blocks i ∪ j, so every point PAIR co-occurs in EXACTLY ONE task
-  // (cross-block pairs in mixed tasks, same-block pairs in the diagonal
-  // task). Two passes, both map-side quadratic but memory- and
-  // shuffle-LINEAR:
+  // BLOCK-PAIR EDGE PARTITIONING ([[graft.util.BlockPairs]] — the shared
+  // replicate + pair-charging skeleton, also q102's): every point PAIR
+  // co-occurs in EXACTLY ONE task (cross-block pairs in mixed tasks,
+  // same-block pairs in the diagonal task). Two passes, both map-side
+  // quadratic, per-task memory-BOUNDED — but note (r10 verdict
+  // correction) the replicate itself shuffles n·B = n²/taskTarget
+  // full-vector rows into each pass's groupByKey, which dominates bytes
+  // moved and is quadratic in n for fixed taskTarget; only the passes'
+  // OUTPUT shuffles are small:
   //
   //  1. [[blockedCores]] — each task emits each point's minPts smallest
   //     in-task distances; a global per-point window takes the true
   //     minPts-th smallest. Exact: any of a point's global minPts
   //     nearest pairs is, inside its one task, preceded by at most
-  //     minPts−1 closer pairs, so it survives the local cut. Shuffle
-  //     ∝ n·B·minPts scalar rows.
+  //     minPts−1 closer pairs, so it survives the local cut. Output
+  //     shuffle ∝ n·B·minPts scalar rows.
   //  2. [[blockedMstEdges]] — each task runs dense Prim (O(P²) time,
   //     O(P) memory, NO edge materialization) over its local
   //     mutual-reachability graph under the global lexicographic
@@ -714,16 +718,11 @@ object Hdbscan {
   // Θ(n²) distance evaluations in total — the honest cost of exact
   // high-dimensional EMST (there is no sub-quadratic exact algorithm
   // once dim is large enough that space partitioning stops pruning) —
-  // but no n²-row shuffle ever exists, no task exceeds ~(2·taskTarget)²
-  // evaluations, and B grows ∝ n so executor memory stays FLAT at
-  // 100 TB: this is the same flops-distributed/memory-bounded contract
-  // as the q39 brute tier, minus its sampling concession.
-
-  /** Deterministic block id (balanced for dense, clustered or sparse id
-    * spaces; engine-internal, so no cross-engine hash contract needed —
-    * the final MST is blocking-invariant by the sparsification proof). */
-  private def blockOf(id: Column, nBlocks: Int): Column =
-    pmod(xxhash64(lit("hdb"), id), lit(nBlocks.toLong)).cast("int")
+  // but no n²-ROW shuffle ever exists (the replicate is n·B rows), no
+  // task exceeds ~(2·taskTarget)² evaluations, and B grows ∝ n so
+  // executor memory stays FLAT at 100 TB: this is the same
+  // flops-distributed/memory-bounded contract as the q39 brute tier,
+  // minus its sampling concession.
 
   /** Exact core distances (minPts-th nearest over ALL points) via
     * block-pair tasks. Returns (id, core); a point with fewer than
@@ -733,16 +732,12 @@ object Hdbscan {
       nBlocks: Int): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val rep = points
-      .select(blockOf(col("id"), nBlocks).as("blk"), col("id"), col("v"),
-        explode(sequence(lit(0), lit(nBlocks - 1))).as("o"))
-      .select((least(col("blk"), col("o")).cast("long") * nBlocks +
-          greatest(col("blk"), col("o"))).as("task"),
-        col("blk"), col("id"), col("v"))
+    val rep = BlockPairs.replicate(points.select(col("id"), col("v")),
+        "id", "hdb", nBlocks)
       .as[(Long, Int, Long, Array[Double])]
     val cand = rep.groupByKey(_._1).flatMapGroups { (task, it) =>
       val pts = it.toArray
-      val diag = (task / nBlocks) == (task % nBlocks)
+      val diag = BlockPairs.isDiagonal(task, nBlocks)
       val n = pts.length
       // per-point sorted array of the minPts smallest in-task distances
       val keep = Array.fill(n)(Array.fill(minPts)(Double.MaxValue))
@@ -756,10 +751,7 @@ object Hdbscan {
         val bx = pts(x)._2; val vx = pts(x)._4
         var y = x + 1
         while (y < n) {
-          // each PAIR is charged to exactly one task: cross-block pairs
-          // here only when the task is mixed, same-block pairs only on
-          // the diagonal — no distance is ever double-counted
-          if (diag || bx != pts(y)._2) {
+          if (BlockPairs.charged(diag, bx, pts(y)._2)) {
             val vy = pts(y)._4
             var s = 0.0; var d0 = 0
             while (d0 < vx.length) { val t = vx(d0) - vy(d0); s += t * t; d0 += 1 }
@@ -788,16 +780,13 @@ object Hdbscan {
       nBlocks: Int): DataFrame = {
     val spark = ptsWithCore.sparkSession
     import spark.implicits._
-    val rep = ptsWithCore
-      .select(blockOf(col("id"), nBlocks).as("blk"), col("id"), col("v"),
-        col("core"), explode(sequence(lit(0), lit(nBlocks - 1))).as("o"))
-      .select((least(col("blk"), col("o")).cast("long") * nBlocks +
-          greatest(col("blk"), col("o"))).as("task"),
-        col("blk"), col("id"), col("v"), col("core"))
+    val rep = BlockPairs.replicate(
+        ptsWithCore.select(col("id"), col("v"), col("core")),
+        "id", "hdb", nBlocks)
       .as[(Long, Int, Long, Array[Double], Double)]
     rep.groupByKey(_._1).flatMapGroups { (task, it) =>
       val pts = it.toArray.sortBy(_._3) // deterministic start point
-      val diag = (task / nBlocks) == (task % nBlocks)
+      val diag = BlockPairs.isDiagonal(task, nBlocks)
       val n = pts.length
       val ids = pts.map(_._3); val vs = pts.map(_._4)
       val cores = pts.map(_._5); val blks = pts.map(_._2)
@@ -834,7 +823,7 @@ object Hdbscan {
             // mixed tasks relax CROSS edges only (complete bipartite —
             // connected whenever both sides are non-empty); same-block
             // pairs belong to the diagonal task's subgraph
-            if (!inTree(i) && (diag || blks(i) != blks(cur))) {
+            if (!inTree(i) && BlockPairs.charged(diag, blks(i), blks(cur))) {
               val d = mreach(cur, i)
               if (bf(i) < 0 || less(d, cur, i, bw(i), bf(i), i)) {
                 bw(i) = d; bf(i) = cur

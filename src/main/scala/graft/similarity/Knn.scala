@@ -4,16 +4,17 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.BlockPairs
+
 /** EXACT distributed k-nearest-neighbor JOIN over an embedding column —
   * the kNN-GRAPH constructor (deduplication clustering, SemDeDup-style
   * semantic neighborhoods, graph-based curation all start from this
-  * join), built on the same BLOCK-PAIR EDGE PARTITIONING as the r10
-  * HDBSCAN exact tier ([[graft.graph.Hdbscan]] machinery notes):
+  * join), built on the shared BLOCK-PAIR EDGE PARTITIONING skeleton
+  * ([[graft.util.BlockPairs]] — one replicate + one pair-charging rule,
+  * also the HDBSCAN exact tier's):
   *
-  *  - points hash into B ≈ n/taskTarget blocks; every unordered block
-  *    pair is one task, so every point PAIR is evaluated in EXACTLY ONE
-  *    memory-bounded task (cross pairs in mixed tasks, same-block pairs
-  *    on the diagonal);
+  *  - every point PAIR is evaluated in EXACTLY ONE memory-bounded task
+  *    ([[graft.util.BlockPairs.charged]]);
   *  - each task keeps, per point, its local k smallest (d², nbr) under
   *    the strict lexicographic order; a point's true global k-th
   *    neighbor has at most k−1 closer pairs anywhere, so it survives its
@@ -22,13 +23,16 @@ import org.apache.spark.sql.functions._
   *  - one per-point window (row_number over (d², nbr)) takes the exact
   *    global answer.
   *
-  * Θ(n²) distance evaluations — the honest exact-kNN cost in high
-  * dimension — but the shuffle is n·B·k SCALAR rows (no n² anything, no
-  * vector bytes after the replicate), per-task memory is O(taskTarget ·
-  * (dim + k)), and B grows with n so executors stay flat at 100 TB.
-  * Distances are d² (no sqrt) accumulated in vector-index order — the
-  * same IEEE op sequence any engine replays, which is what puts the
-  * operator under a FULL hash oracle (q102) rather than a surface pin.
+  * Cost honesty (r10 verdict correction): Θ(n²) distance evaluations AND
+  * a quadratic replicate shuffle — the replicate moves n·B =
+  * n²/taskTarget full-vector rows into the groupByKey, which dominates
+  * bytes moved. The bounded guarantees are per-task memory
+  * (O(taskTarget · (dim + k))) and the POST-kernel shuffle (n·B·k scalar
+  * rows, never vectors, never n² rows); B grows with n so executors stay
+  * flat at 100 TB. Distances are d² (no sqrt) accumulated in
+  * vector-index order — the same IEEE op sequence any engine replays,
+  * which is what puts the operator under a FULL hash oracle (q102)
+  * rather than a surface pin.
   */
 object Knn {
 
@@ -42,20 +46,14 @@ object Knn {
     val spark = points.sparkSession
     import spark.implicits._
     val n = points.count()
-    val nBlocks = math.max(1, math.ceil(n.toDouble / taskTarget).toInt)
-    val rep = points
-      .select(pmod(xxhash64(lit("knn"), col(idCol)), lit(nBlocks.toLong))
-          .cast("int").as("blk"),
-        col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("blk"), col("id"), col("v"),
-        explode(sequence(lit(0), lit(nBlocks - 1))).as("o"))
-      .select((least(col("blk"), col("o")).cast("long") * nBlocks +
-          greatest(col("blk"), col("o"))).as("task"),
-        col("blk"), col("id"), col("v"))
+    val nBlocks = BlockPairs.numBlocks(n, taskTarget)
+    val rep = BlockPairs.replicate(
+        points.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "id", "knn", nBlocks)
       .as[(Long, Int, Long, Array[Double])]
     val cand = rep.groupByKey(_._1).flatMapGroups { (task, it) =>
       val pts = it.toArray
-      val diag = (task / nBlocks) == (task % nBlocks)
+      val diag = BlockPairs.isDiagonal(task, nBlocks)
       val m = pts.length
       // per-point local top-k under (d², nbr): parallel sorted arrays
       val kd = Array.fill(m)(Array.fill(k)(Double.MaxValue))
@@ -75,8 +73,7 @@ object Knn {
         val bx = pts(x)._2; val vx = pts(x)._4
         var y = x + 1
         while (y < m) {
-          // every pair charged to exactly one task (the HDBSCAN-tier rule)
-          if (diag || bx != pts(y)._2) {
+          if (BlockPairs.charged(diag, bx, pts(y)._2)) {
             val vy = pts(y)._4
             var s = 0.0; var d0 = 0
             while (d0 < vx.length) { val t = vx(d0) - vy(d0); s += t * t; d0 += 1 }
