@@ -113,16 +113,20 @@ object Ann {
   }
 
   /** Assign every corpus vector to its nearest cell (the IVF "index build";
-    * persist/bucket this by cell in production). */
+    * persist/bucket this by cell in production). Equal-sim ties break
+    * toward the SMALLEST cell id — the SAME order [[probeCells]] uses to
+    * pick the home cell c₀ (r11, ADVICE: with opposite tie orders an
+    * exactly-tied corpus vector could sit in a cell the margin ranking
+    * probes last or, at low nprobe, not at all). */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol), col("cell"),
         VectorFunctions.dot(col(vecCol), col("centroid")).as("sim"))
       .groupBy(col(idCol))
-      .agg(max(struct(col("sim"), col("cell"))).as("b"),
+      .agg(max(struct(col("sim"), (-col("cell")).as("negCell"))).as("b"),
         first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col(vecCol), col("b.cell").as("cell"))
+      .select(col(idCol), col(vecCol), (-col("b.negCell")).as("cell"))
 
   /** Persist the IVF index partitioned BY CELL: at query time only the
     * probed cells' files are read (partition pruning — `PartitionFilters`

@@ -142,4 +142,27 @@ class AnnSpec extends SparkSpec with Matchers {
     probed6 should be >= classic6
     probed6 should be >= 0.5
   }
+
+  test("ivfAssign and probeCells break exact-sim ties identically (smallest cell wins)") {
+    // two COINCIDENT centroids: every corpus vector ties exactly, and a
+    // query equal to a corpus vector ties in probeCells — before r11 the
+    // assignment took the LARGEST cell while the probe order's home cell
+    // c0 took the SMALLEST, so the tied vector's cell was probed LAST
+    val s = spark
+    import s.implicits._
+    val c = Array(1.0, 0.0, 0.0)
+    val cents = Seq((0L, c.toSeq), (1L, c.toSeq), (2L, Seq(0.0, 1.0, 0.0)))
+      .toDF("cell", "centroid")
+    val corpus = Seq((7L, Seq(1.0, 0.0, 0.0))).toDF("id", "v")
+    val assigned = Ann.ivfAssign(corpus, "id", "v", cents)
+      .select("cell").as[Long].head()
+    assigned shouldBe 0L // smallest tied cell
+    val qv = typedLit(Seq(1.0, 0.0, 0.0))
+    for (byMargin <- Seq(true, false)) {
+      val probes = Ann.probeCells(cents, qv, nprobe = 1, byMargin = byMargin)
+      withClue(s"byMargin=$byMargin: ") {
+        probes.head shouldBe assigned // nprobe=1 still finds the tied vector
+      }
+    }
+  }
 }
