@@ -54,9 +54,18 @@ object CmsSketch {
     * the per-row inner products are left-joined back onto the full row-id
     * range 0..d−1 with `coalesce(ip, 0)` so a disjoint row contributes a
     * provable 0 to the min (and fully disjoint grids estimate 0, never
-    * NULL). `d` must match the grids' build dimension. */
-  def joinSizeEstimate(gridA: DataFrame, gridB: DataFrame, d: Int = 3): DataFrame = {
-    require(d > 0, "d must match the grids' build dimension")
+    * NULL). `d` is DERIVED from the grids themselves (max row id + 1
+    * across both, one tiny agg over ≤ d·w-row frames — r11, ADVICE: a
+    * caller-passed d larger than the build dimension manufactured
+    * phantom all-zero rows, silently breaking the overestimate
+    * invariant; deriving makes the mismatch unrepresentable). Every
+    * build row 0..d−1 appears in a non-empty grid by construction
+    * (each token occurrence lands in all d rows), so the derived d is
+    * the build d whenever either input sketched at least one token;
+    * two empty grids estimate 0 via the d = 1 floor. */
+  def joinSizeEstimate(gridA: DataFrame, gridB: DataFrame): DataFrame = {
+    val d = gridA.select(col("r")).unionAll(gridB.select(col("r")))
+      .agg(coalesce(max(col("r")) + 1, lit(1))).collect()(0).getInt(0)
     val perRow = gridA.select(col("r"), col("b"), col("c").as("ca"))
       .join(gridB.select(col("r"), col("b"), col("c").as("cb")), Seq("r", "b"))
       .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))

@@ -69,6 +69,28 @@ class CmsSketchSpec extends SparkSpec with Matchers {
     row.getLong(0) shouldBe 0L
   }
 
+  test("join-size estimate derives d from the grids — no phantom-row underestimate (r11 ADVICE)") {
+    // pre-r11 a caller-passed d LARGER than the build dimension injected
+    // all-zero phantom rows whose ip=0 won the min → est 0, silently
+    // breaking admissibility; d is now max(r)+1 from the grids themselves
+    val a = tokFrame(Seq("x", "x", "y"))
+    val b = tokFrame(Seq("x", "y", "y", "z"))
+    val g2a = CmsSketch.sketch(a, "tok", d = 2)
+    val g2b = CmsSketch.sketch(b, "tok", d = 2)
+    // true join size 4; a d=2 build must still be admissible (pre-r11 the
+    // default d=3 would have manufactured a zero row here → est 0 < 4)
+    CmsSketch.joinSizeEstimate(g2a, g2b)
+      .collect()(0).getLong(0) should be >= 4L
+    // empty grids: derived d floors at 1, estimate is a provable 0
+    val empty = CmsSketch.sketch(tokFrame(Seq.empty), "tok")
+    val r1 = CmsSketch.joinSizeEstimate(empty, g2b).collect()(0)
+    r1.isNullAt(0) shouldBe false
+    r1.getLong(0) shouldBe 0L
+    val r2 = CmsSketch.joinSizeEstimate(empty, empty).collect()(0)
+    r2.isNullAt(0) shouldBe false
+    r2.getLong(0) shouldBe 0L
+  }
+
   test("w=1 degenerates to the total count for every probe — the epsilon*N bound's edge") {
     val s = spark
     import s.implicits._
