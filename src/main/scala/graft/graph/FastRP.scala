@@ -100,7 +100,7 @@ object FastRP {
     * seeded ±√3 init, v ← normalize(Σ w·v(nbr) / k), acc += β·v, final
     * normalize (zero vectors stay zero, matching the zero-guarded
     * l2normalize). */
-  private def runInMemory(symEdges: Array[(Long, Long, Double)], dim: Int,
+  private def runInMemory(symEdges: SymEdges, dim: Int,
       iterationWeights: Seq[Double]): Seq[(Long, Array[Double])] = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.{IntegerType, LongType}

@@ -174,4 +174,8 @@ object Leiden {
   private[graph] def leidenInMemory(symEdges: Array[(Long, Long, Double)],
       m2: Double): Map[Long, Long] =
     SeqCommunity.leiden(symEdges, m2)
+
+  private[graph] def leidenInMemory(symEdges: SymEdges,
+      m2: Double): Map[Long, Long] =
+    SeqCommunity.leiden(symEdges, m2)
 }

@@ -248,25 +248,41 @@ object Louvain {
     (sym, nEdges, m2)
   }
 
-  /** Collect-tier artifact cache (r10): (collected symmetrized edge
-    * array, m2) per (session, input DataFrame INSTANCE). q42/q45/q47 all
+  /** Collect-tier artifact cache (r10): (collected symmetrized edges,
+    * m2) per (session, input DataFrame INSTANCE). q42/q45/q47 all
     * collect the SAME symmetrized graph from the session-cached
     * projection — per-query [[symWithStats]] (symmetrize shuffle +
     * checkpoint + two actions) measured ~1 s × 3 queries × runs at
     * sf0.1. Instance identity is the right key: the projection cache
-    * hands every caller one DataFrame object per (session, dir); a fresh
-    * frame (specs, ad-hoc edges) simply misses. Values are plain driver
-    * arrays (edge-sized, no Spark resources), LRU-bounded. */
+    * hands every caller one DataFrame object per (session, dir), and a
+    * cached-and-materialized projection instance cannot change content
+    * under Spark's own cache semantics — a fresh frame (specs, ad-hoc
+    * edges) simply misses. Values are primitive parallel arrays
+    * ([[SymEdges]], r11 — boxed tuples pinned ~2.3× the driver bytes),
+    * LRU-bounded, and [[invalidateCollected]] drops an entry the moment
+    * its projection is dropped or evicted (r11, ADVICE: a drop-and-
+    * rebuild re-ingest must not serve stale edges, and a dead
+    * projection's edge array must not wait for LRU pressure to free
+    * ~50 MB of driver heap). */
   private val collectedSym = new graft.util.BoundedSessionCache[
       (org.apache.spark.sql.SparkSession, DataFrame),
-      (Array[(Long, Long, Double)], Double)](maxEntries = 4, _ => ())
+      (SymEdges, Double)](maxEntries = 4, _ => ())
+
+  /** Invalidation hook, called by [[Projection]]'s cache whenever a
+    * projection DataFrame is dropped or LRU-evicted: the collected edge
+    * array derived from that instance dies with it. */
+  private[graft] def invalidateCollected(df: DataFrame): Unit =
+    collectedSym.remove((df.sparkSession, df))
+
+  /** Spec observability only. */
+  private[graft] def collectedSymEntries: Int = collectedSym.size
 
   /** Tier dispatch: Right = collect-tier artifacts (cached; NOT owned by
     * the caller), Left = distributed-tier inputs (sym checkpointed;
     * ownership to the caller exactly as [[symWithStats]] hands it). A
     * forced-distributed run (threshold 0) never consults the cache. */
   private[graft] def symTiered(edges0: DataFrame, collectThreshold: Long)
-      : Either[(DataFrame, Long, Double), (Array[(Long, Long, Double)], Double)] = {
+      : Either[(DataFrame, Long, Double), (SymEdges, Double)] = {
     val key = (edges0.sparkSession, edges0)
     if (collectThreshold > 0) {
       collectedSym.peek(key) match {
@@ -279,7 +295,7 @@ object Louvain {
     if (nSymEdges <= collectThreshold) {
       val spark = edges0.sparkSession
       import spark.implicits._
-      val es = sym.as[(Long, Long, Double)].collect()
+      val es = SymEdges.fromTuples(sym.as[(Long, Long, Double)].collect())
       graft.util.BlockRelease.release(sym) // edge-sized; don't leak per call
       collectedSym.getOrElseUpdate(key, (es, m2))
       Right((es, m2))
@@ -354,6 +370,10 @@ object Louvain {
     * Self-loops (csrc==cdst) carry intra-community weight from
     * contraction. */
   private[graph] def localLouvain(symEdges: Array[(Long, Long, Double)],
+      m2: Double): Map[Long, Long] =
+    SeqCommunity.louvain(symEdges, m2)
+
+  private[graph] def localLouvain(symEdges: SymEdges,
       m2: Double): Map[Long, Long] =
     SeqCommunity.louvain(symEdges, m2)
 }

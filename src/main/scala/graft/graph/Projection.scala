@@ -71,10 +71,17 @@ object Projection {
     })
 
   /** LRU-bounded (round-2 audit: the unbounded map held cached DataFrames
-    * for the life of the session). */
+    * for the life of the session). Release cascades into Louvain's
+    * collected-sym cache (r11, ADVICE): a dropped or evicted projection
+    * takes its derived collect-tier edge array with it, so a
+    * drop-and-rebuild re-ingest can never serve stale edges and a dead
+    * projection's ~50 MB driver array is freed immediately. */
   private val projections =
     new graft.util.BoundedSessionCache[(SparkSession, String), DataFrame](
-      maxEntries = 8, _.unpersist(blocking = false))
+      maxEntries = 8, { df =>
+        Louvain.invalidateCollected(df)
+        df.unpersist(blocking = false)
+      })
 
   /** Invalidate a cached projection (the reference's drop-and-rebuild). */
   def dropGraph(spark: SparkSession, dir: String): Unit =

@@ -19,6 +19,29 @@ import scala.collection.mutable
   * sorted before indexing), and coarsened adjacency is sorted — identical
   * labels on identical input, every run.
   */
+/** Primitive-parallel symmetric weighted edge list — the storage form of
+  * the collect-tier session cache (r11, ADVICE: the cache pinned boxed
+  * `Array[(Long, Long, Double)]` on the driver for the session lifetime,
+  * ~56 bytes/edge with tuple headers and boxing vs 24 flat bytes here —
+  * a 2M-edge cached graph drops from ~110 MB to 48 MB). */
+private[graft] final class SymEdges(val src: Array[Long],
+    val dst: Array[Long], val w: Array[Double]) {
+  require(src.length == dst.length && dst.length == w.length,
+    "parallel arrays must align")
+  def length: Int = src.length
+}
+
+private[graft] object SymEdges {
+  def fromTuples(es: Array[(Long, Long, Double)]): SymEdges = {
+    val n = es.length
+    val s = new Array[Long](n); val d = new Array[Long](n)
+    val w = new Array[Double](n)
+    var i = 0
+    while (i < n) { s(i) = es(i)._1; d(i) = es(i)._2; w(i) = es(i)._3; i += 1 }
+    new SymEdges(s, d, w)
+  }
+}
+
 private[graph] object SeqCommunity {
 
   /** `ids` sorted ascending; `off`/`nbr`/`w` CSR over non-self directed
@@ -44,12 +67,16 @@ private[graph] object SeqCommunity {
     }
   }
 
-  def build(symEdges: Array[(Long, Long, Double)]): Csr = {
+  def build(symEdges: Array[(Long, Long, Double)]): Csr =
+    build(SymEdges.fromTuples(symEdges))
+
+  def build(se: SymEdges): Csr = {
+    val m = se.length
     // distinct sorted ids
-    val all = new Array[Long](symEdges.length * 2)
+    val all = new Array[Long](m * 2)
     var i = 0
-    while (i < symEdges.length) {
-      all(2 * i) = symEdges(i)._1; all(2 * i + 1) = symEdges(i)._2; i += 1
+    while (i < m) {
+      all(2 * i) = se.src(i); all(2 * i + 1) = se.dst(i); i += 1
     }
     java.util.Arrays.sort(all)
     var n = 0
@@ -66,10 +93,9 @@ private[graph] object SeqCommunity {
     val selfW = new Array[Double](n)
     val degCnt = new Array[Int](n)
     i = 0
-    while (i < symEdges.length) {
-      val e = symEdges(i)
-      if (e._1 == e._2) selfW(idx(e._1)) += e._3 / 2.0
-      else degCnt(idx(e._1)) += 1
+    while (i < m) {
+      if (se.src(i) == se.dst(i)) selfW(idx(se.src(i))) += se.w(i) / 2.0
+      else degCnt(idx(se.src(i))) += 1
       i += 1
     }
     val off = new Array[Int](n + 1)
@@ -79,12 +105,11 @@ private[graph] object SeqCommunity {
     val w = new Array[Double](off(n))
     val pos = java.util.Arrays.copyOf(off, n)
     i = 0
-    while (i < symEdges.length) {
-      val e = symEdges(i)
-      if (e._1 != e._2) {
-        val u = idx(e._1)
+    while (i < m) {
+      if (se.src(i) != se.dst(i)) {
+        val u = idx(se.src(i))
         val p = pos(u)
-        nbr(p) = idx(e._2); w(p) = e._3
+        nbr(p) = idx(se.dst(i)); w(p) = se.w(i)
         pos(u) = p + 1
       }
       i += 1
@@ -263,7 +288,10 @@ private[graph] object SeqCommunity {
 
   /** Classic sequential Louvain: local move + contract, iterated to a
     * fixed point. Returns original id → representative label id. */
-  def louvain(symEdges: Array[(Long, Long, Double)], m2: Double): Map[Long, Long] = {
+  def louvain(symEdges: Array[(Long, Long, Double)], m2: Double): Map[Long, Long] =
+    louvain(SymEdges.fromTuples(symEdges), m2)
+
+  def louvain(symEdges: SymEdges, m2: Double): Map[Long, Long] = {
     val csr0 = build(symEdges)
     var csr = csr0
     val mapping = Array.tabulate(csr0.n)(identity)
@@ -296,7 +324,10 @@ private[graph] object SeqCommunity {
   /** Sequential Leiden: local move → refine → contract by the REFINED
     * partition (labels follow the coarse one), iterated. Returns original
     * id → coarse community representative id. */
-  def leiden(symEdges: Array[(Long, Long, Double)], m2: Double): Map[Long, Long] = {
+  def leiden(symEdges: Array[(Long, Long, Double)], m2: Double): Map[Long, Long] =
+    leiden(SymEdges.fromTuples(symEdges), m2)
+
+  def leiden(symEdges: SymEdges, m2: Double): Map[Long, Long] = {
     val csr0 = build(symEdges)
     var csr = csr0
     val mapping = Array.tabulate(csr0.n)(identity)
@@ -346,7 +377,10 @@ private[graph] object SeqCommunity {
 
   /** Local moving only, no contraction — GDS-style modularity
     * optimization. Returns original id → representative label id. */
-  def localMoveOnly(symEdges: Array[(Long, Long, Double)], m2: Double): Map[Long, Long] = {
+  def localMoveOnly(symEdges: Array[(Long, Long, Double)], m2: Double): Map[Long, Long] =
+    localMoveOnly(SymEdges.fromTuples(symEdges), m2)
+
+  def localMoveOnly(symEdges: SymEdges, m2: Double): Map[Long, Long] = {
     val csr = build(symEdges)
     val (commOf, _) = localMove(csr, csr.degrees, m2)
     val out = Map.newBuilder[Long, Long]

@@ -74,6 +74,24 @@ class BucketingSpec extends SparkSpec with Matchers {
     graft.graph.Projection.dropGraph(spark, dir)
   }
 
+  test("dropGraph cascades into the collected-sym cache (r11 ADVICE: no stale edges)") {
+    val dir = "/root/testdata/sf0.001"
+    val g = graft.graph.Projection.supplierGraph(spark, dir)
+    // populate the collect-tier cache through the public entry point
+    graft.graph.Louvain.run(g).count() should be > 0L
+    val before = graft.graph.Louvain.collectedSymEntries
+    before should be >= 1
+    // dropping the projection must release its derived edge array too —
+    // a re-ingested rebuild can then never serve stale collected edges
+    graft.graph.Projection.dropGraph(spark, dir)
+    graft.graph.Louvain.collectedSymEntries shouldBe (before - 1)
+    val g2 = graft.graph.Projection.supplierGraph(spark, dir)
+    (g2 eq g) shouldBe false // a rebuild is a fresh instance (fresh key)
+    graft.graph.Louvain.run(g2).count() should be > 0L // fresh collect works
+    graft.graph.Projection.dropGraph(spark, dir)
+    graft.graph.Louvain.collectedSymEntries shouldBe (before - 1)
+  }
+
   test("BoundedSessionCache evicts least-recently-used and releases it") {
     val released = scala.collection.mutable.ArrayBuffer[Int]()
     val c = new graft.util.BoundedSessionCache[String, Int](2, released += _)
