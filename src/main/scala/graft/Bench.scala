@@ -14,6 +14,17 @@ import org.apache.spark.sql.SparkSession
   * which it can't (the r8 q15/q35 incidents). `value` is the sum of
   * medians. SPARK_GRAFT_ONLY=q41_label_prop,q44_fastrp restricts the run
   * (local profiling loop).
+  *
+  * Noise hardening (r11, VERDICT item 6 — after two rounds of drift
+  * forensics): (a) one DISCARDED warm-up sweep of every selected query
+  * runs before the recorded sweeps (JIT, shuffle-file, and session-cache
+  * first-use costs land there, not in run 1's medians; SPARK_GRAFT_WARMUP=0
+  * disables); (b) a box-health CANARY — q01 timed once, alone, right
+  * after table warm-up — is logged to stderr and carried in the JSON as
+  * `canary_sec`, so every recorded sweep ships its own drift control and
+  * cross-round comparisons can normalize for a slow box instead of
+  * re-litigating it (the r9→r10 forensics required rebuilding an old
+  * tree to get this number).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,6 +60,18 @@ object Bench {
     if (only.forall(_.exists(graphFamily)))
       try SparkEntry.queries("q43_connected_components")(spark, sfDir).count()
       catch { case _: Throwable => }
+
+    // box-health canary (r11): one timed run of a fixed reference query,
+    // alone, post-warmup — the per-sweep drift control. Not part of the
+    // scored total; lives in the JSON so BENCH_r*.json series carry their
+    // own box-speed normalizer.
+    val canary = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(f"BENCH-CANARY q01_pricing_summary $canary%8.3f s")
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -129,6 +152,21 @@ object Bench {
     // protocol-vs-session-pressure attribution (BENCH_LOCAL_r10 §2); the
     // contract default stays interleaved.
     val consecutive = sys.env.get("SPARK_GRAFT_CONSECUTIVE").contains("1")
+    // discarded warm-up sweep (r11): every query once, nothing recorded —
+    // first-use costs (JIT tiers, shuffle files, projection/sym caches)
+    // stop contaminating run 1 of the recorded sweeps
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      val t0 = System.nanoTime()
+      queries.foreach { case (name, fn) =>
+        var r: org.apache.spark.sql.DataFrame = null
+        try { r = fn(spark, sfDir); r.count() }
+        catch { case _: Throwable => }
+        finally if (r != null) graft.util.BlockRelease.release(r)
+        spark.streams.resetTerminated()
+      }
+      System.err.println(
+        f"BENCH-WARMUP-SWEEP discarded ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
     if (consecutive) {
       queries.foreach { case (name, fn) =>
         (1 to runs).foreach(_ => timeOne(name, fn))
@@ -169,11 +207,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"canary_sec":${num(canary, 3)},"queries":$qs}"""
     // Belt-and-braces for the driver's tail-capture: mirror the contract
     // line to a file the judge can read even if the tail parse fails.
+    // SPARK_GRAFT_BENCH_MIRROR redirects the mirror (tools/bench_forced.sh
+    // uses it so the forced-tier sweep never clobbers the canonical
+    // full-sweep BENCH_LAST.json — the r11 hygiene lesson).
     try {
-      val w = new java.io.PrintWriter(new java.io.File("BENCH_LAST.json"), "UTF-8")
+      val mirror = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIRROR", "BENCH_LAST.json")
+      val w = new java.io.PrintWriter(new java.io.File(mirror), "UTF-8")
       try w.println(line) finally w.close()
     } catch { case _: Throwable => }
     spark.stop()

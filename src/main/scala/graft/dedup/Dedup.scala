@@ -381,6 +381,27 @@ object Dedup {
     * dropped by the exact tier. */
   def incrementalIngestGate(docs: DataFrame, idCol: String, textCol: String,
       isNew: Column, n: Int = 8): DataFrame = {
+    val base = docSigGrams(docs, idCol, textCol, n, extra = Seq(isNew.as("nw")))
+      // four consumers (corpus sigs, corpus grams, batch grams, batch
+      // frame): shingle once
+      .localCheckpoint()
+    val r = gateAgainstStore(
+        base.filter(col("nw")).select(col("doc_id"), col("sig"), col("grams")),
+        base.filter(!col("nw")).select(col("sig")),
+        base.filter(!col("nw")).select(explode(col("grams")).as("h")))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(base)
+    r
+  }
+
+  /** The (sig, grams) fingerprint both gate tiers run on: sig =
+    * md5(whitespace-normalized lowercased text), grams = the doc's
+    * DISTINCT md5 `n`-token shingles. Shared by the batch gate above and
+    * the streaming store ([[graft.streaming.Streams.ingestGateSink]]) so
+    * a store bootstrapped from a batch corpus is bit-compatible with the
+    * fingerprints each micro-batch computes. */
+  private[graft] def docSigGrams(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, extra: Seq[Column] = Nil): DataFrame = {
     // null text normalizes to "" (the q99-oracle convention) — without it
     // concat_ws silently maps the null token array to "" on the Spark side
     // while a SQL oracle keeps sig NULL, breaking engine parity; with it
@@ -390,23 +411,29 @@ object Dedup {
     // one-pass kernel: the HOF formulation re-split the text per shingle
     // index in interpreted context (70 s at the 50k scale cell → see
     // Md5WordShingles scaladoc); this tokenizes once per row
-    val sh = md5_word_shingles(txt, n)
-    val base = docs.select(col(idCol).as("doc_id"), isNew.as("nw"),
-        md5(concat_ws(" ", toks)).as("sig"), sh.as("grams"))
-      // four consumers (corpus sigs, corpus grams, batch grams, batch
-      // frame): shingle once
-      .localCheckpoint()
-    val corpusSigs = base.filter(!col("nw")).select(col("sig")).distinct()
-    val exact = base.filter(col("nw"))
-      .join(corpusSigs, Seq("sig"), "left_semi")
+    docs.select(Seq(col(idCol).as("doc_id")) ++ extra ++ Seq(
+      md5(concat_ws(" ", toks)).as("sig"),
+      md5_word_shingles(txt, n).as("grams")): _*)
+  }
+
+  /** Gate core: verdicts for a fingerprinted batch (doc_id, sig, grams)
+    * against a signature/gram STORE — the store side is only ever the
+    * right side of LEFT SEMI joins, so duplicate store rows (the same
+    * sig or gram persisted by several increments) can never overcount:
+    * no store-wide distinct is needed, which is what lets the streaming
+    * sink append per-batch store partitions and leave compaction as a
+    * maintenance concern. Shuffle ∝ batch + store per call; never
+    * store × store, never batch × batch. */
+  private[graft] def gateAgainstStore(batch: DataFrame, storeSigs: DataFrame,
+      storeGrams: DataFrame): DataFrame = {
+    val exact = batch
+      .join(storeSigs.select(col("sig")), Seq("sig"), "left_semi")
       .select(col("doc_id"), lit(true).as("xd"))
-    val corpusGrams = base.filter(!col("nw"))
-      .select(explode(col("grams")).as("h")).distinct()
-    val shared = base.filter(col("nw"))
+    val shared = batch
       .select(col("doc_id"), explode(col("grams")).as("h"))
-      .join(corpusGrams, "h")
+      .join(storeGrams.select(col("h")), Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("ns")) // grams already distinct per doc
-    val r = base.filter(col("nw"))
+    batch
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
       .join(exact, Seq("doc_id"), "left")
       .join(shared, Seq("doc_id"), "left")
@@ -417,9 +444,6 @@ object Dedup {
         (coalesce(col("xd"), lit(false)) ||
           (col("n_grams") > 0 &&
             coalesce(col("ns"), lit(0L)) * 2 >= col("n_grams"))).as("drop_doc"))
-      .localCheckpoint()
-    graft.util.BlockRelease.release(base)
-    r
   }
 
   /** Cross-engine twin of [[simhashNearDups]] (the md5-twin precedent of
