@@ -17,28 +17,53 @@ import org.apache.spark.sql.functions._
   * est(t) = min_r grid(r, h_r(t)) ≥ true(t) always (admissibility), with
   * overestimate ≤ ε·N at w = ⌈e/ε⌉ w.p. 1−(1/2)^d.
   *
-  * Hashing is md5-derived (`u32(md5("cms:r:" + token)) mod w`) so any
-  * engine replays the grid bit-for-bit — the sketch itself goes under
-  * the q55/KMV-style EXACT oracle (deterministic given the hash family),
-  * not just an error-bound pin. Reference analog: the reference keeps
+  * Hashing is md5-derived — ONE u60 `md5("cms:" + token)` 15-hex-char
+  * prefix per occurrence (the q92/KMV u60 discipline), with hash row r
+  * reading bits [15r, 15r+15) (four disjoint 15-bit words ⇒ d ≤ 4,
+  * w ≤ 2^15; power-of-two w divides 2^15 ⇒ exactly uniform buckets) —
+  * so any engine replays the grid bit-for-bit: the sketch itself goes
+  * under the q55/KMV-style EXACT oracle (deterministic given the hash
+  * family), not just an error-bound pin. One digest + one hex parse
+  * instead of d of each (r12): md5 and `conv` dominate the build (the
+  * scan is one pruned column), and the digest must be materialized in a
+  * PROJECTION BELOW the explode — a generator expression gets no
+  * codegen subexpression elimination, so d "shared" md5 calls inside
+  * `explode(array(...))` really execute d times (measured 1.9 → 0.9 s
+  * on the sf0.1 lineitem build). Disjoint bits of one strong hash keep
+  * the pairwise independence the CM analysis needs. Reference analog:
+  * the reference keeps
   * exact counts in Postgres (A2-style aggregates, postgres/community.py)
   * — tractable at its scale; this is the operator that replaces them
   * when the vocabulary itself is shuffle-hostile.
   */
 object CmsSketch {
 
-  /** u32 bucket of a token under hash row r (md5-replayable). */
-  private def bucket(r: Int, tok: Column, w: Int): Column =
-    conv(substring(md5(concat(lit(s"cms:$r:"), tok)), 1, 8), 16, 10)
-      .cast("long") % w
+  /** The shared u60 digest: first 15 hex chars of `md5("cms:" + token)`
+    * parsed as a long. Compute this ONCE per token in a projection, then
+    * slice rows out of it with [[bucket]] (also the streaming grid's
+    * hash — graft.streaming.Streams.windowedTokenCms must produce
+    * bit-identical cells for streaming ≡ batch). */
+  private[graft] def hash60(tok: Column): Column =
+    conv(substring(md5(concat(lit("cms:"), tok)), 1, 15), 16, 10).cast("long")
+
+  /** Bucket of hash row r from a materialized [[hash60]] column: the
+    * r-th 15-bit word, mod w. Pure bit arithmetic — codegen'd longs,
+    * no strings past the hash60 projection. */
+  private[graft] def bucket(r: Int, u60: Column, w: Int): Column =
+    shiftrightunsigned(u60, 15 * r).bitwiseAND(lit((1L << 15) - 1)) % w
+
+  private[graft] def requireDims(d: Int, w: Int): Unit =
+    require(d > 0 && d <= 4 && w > 0 && w <= (1 << 15),
+      "sketch dims: 0 < d <= 4 (15-bit words of one u60 digest), 0 < w <= 32768")
 
   /** Build the d×w counter grid from a 1-column token frame
     * (`tokCol`: one row per token OCCURRENCE). Returns (r, b, c) —
-    * ≤ d·w rows. */
+    * ≤ d·w rows. d ≤ 4: rows are disjoint 15-bit words of one digest. */
   def sketch(toks: DataFrame, tokCol: String, d: Int = 3, w: Int = 512): DataFrame = {
-    require(d > 0 && w > 0, "sketch dims must be positive")
-    toks.select(explode(array((0 until d).map(r =>
-        struct(lit(r).as("r"), bucket(r, col(tokCol), w).as("b"))): _*)).as("rb"))
+    requireDims(d, w)
+    toks.select(hash60(col(tokCol)).as("_u60"))
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("_u60"), w).as("b"))): _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("c"))
   }
@@ -49,30 +74,34 @@ object CmsSketch {
     * OVERestimate (cross terms only add), so `est ≥ true` is decidable —
     * and at 100 TB this is the shuffle-vs-broadcast decision input: two
     * fixed-size summaries answer the cardinality question no scan has to.
-    * Returns one row (est_join_size). Inner join on (r, b) — absent
-    * cells contribute 0, INCLUDING whole hash rows with zero overlap:
-    * the per-row inner products are left-joined back onto the full row-id
-    * range 0..d−1 with `coalesce(ip, 0)` so a disjoint row contributes a
-    * provable 0 to the min (and fully disjoint grids estimate 0, never
-    * NULL). `d` is DERIVED from the grids themselves (max row id + 1
-    * across both, one tiny agg over ≤ d·w-row frames — r11, ADVICE: a
-    * caller-passed d larger than the build dimension manufactured
-    * phantom all-zero rows, silently breaking the overestimate
-    * invariant; deriving makes the mismatch unrepresentable). Every
-    * build row 0..d−1 appears in a non-empty grid by construction
-    * (each token occurrence lands in all d rows), so the derived d is
-    * the build d whenever either input sketched at least one token;
-    * two empty grids estimate 0 via the d = 1 floor. */
+    * Returns one row (est_join_size), lazily.
+    *
+    * FULL-OUTER cell join (r12): cells absent from one side read 0, so
+    * their products vanish — which makes a hash row with ZERO bucket
+    * overlap contribute a provable 0 to the min through its own
+    * non-overlapping cells, with NO row-id scaffolding. This closes the
+    * r11 phantom-row hole structurally: row ids come only from cells an
+    * actual grid produced, so a row that was never built cannot appear,
+    * and a caller-passed d cannot disagree with the build (there is no
+    * d parameter). Every build row 0..d−1 appears in every non-empty
+    * grid by construction (each token occurrence lands in all d rows),
+    * so the outer union covers exactly the build rows. One grid empty →
+    * all products 0 → est 0 (admissible: the true join is 0). Both
+    * empty → no rows → `coalesce` floors the min to 0, never NULL.
+    *
+    * Stays ONE lazy plan — r11's separate d-derivation action
+    * re-executed both uncached grid lineages before the estimate plan
+    * built them again (3.2× on q96), and an eager persist-then-collect
+    * repair loses the stage parallelism a single job gets for free
+    * (grid builds and the caller's other branches schedule
+    * concurrently). Each grid lineage appears exactly once here. */
   def joinSizeEstimate(gridA: DataFrame, gridB: DataFrame): DataFrame = {
-    val d = gridA.select(col("r")).unionAll(gridB.select(col("r")))
-      .agg(coalesce(max(col("r")) + 1, lit(1))).collect()(0).getInt(0)
     val perRow = gridA.select(col("r"), col("b"), col("c").as("ca"))
-      .join(gridB.select(col("r"), col("b"), col("c").as("cb")), Seq("r", "b"))
-      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
-    val rowIds = gridA.sparkSession.range(d).select(col("id").cast("int").as("r"))
-    broadcast(rowIds).join(perRow, Seq("r"), "left")
-      .select(coalesce(col("ip"), lit(0L)).as("ip"))
-      .agg(min(col("ip")).as("est_join_size"))
+      .join(gridB.select(col("r"), col("b"), col("c").as("cb")),
+        Seq("r", "b"), "full_outer")
+      .groupBy(col("r"))
+      .agg(sum(coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L))).as("ip"))
+    perRow.agg(coalesce(min(col("ip")), lit(0L)).as("est_join_size"))
   }
 
   /** Point-query the grid for every token in `probes` (a 1-column frame
@@ -81,9 +110,11 @@ object CmsSketch {
     * sketch); absent (r, b) cells read 0. */
   def estimates(grid: DataFrame, probes: DataFrame, tokCol: String,
       d: Int = 3, w: Int = 512): DataFrame = {
+    requireDims(d, w)
     val pb = probes.select(col(tokCol).as("token"))
+      .select(col("token"), hash60(col("token")).as("_u60"))
       .select(col("token"), explode(array((0 until d).map(r =>
-        struct(lit(r).as("r"), bucket(r, col("token"), w).as("b"))): _*)).as("rb"))
+        struct(lit(r).as("r"), bucket(r, col("_u60"), w).as("b"))): _*)).as("rb"))
       .select(col("token"), col("rb.r").as("r"), col("rb.b").as("b"))
     pb.join(broadcast(grid), Seq("r", "b"), "left")
       .select(col("token"), coalesce(col("c"), lit(0L)).as("c"))

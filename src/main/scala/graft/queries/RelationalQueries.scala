@@ -596,11 +596,11 @@ object RelationalQueries {
       """WITH ok AS (SELECT o_orderkey::VARCHAR AS k FROM orders),
         |lk AS (SELECT l_orderkey::VARCHAR AS k FROM lineitem),
         |go AS (SELECT rr.r,
-        |    ('0x' || substr(md5('cms:' || rr.r || ':' || k), 1, 8))::BIGINT % 512 AS b,
+        |    ((('0x' || substr(md5('cms:' || k), 1, 15))::BIGINT >> (15 * rr.r)) & 32767) % 512 AS b,
         |    count(*)::BIGINT AS c
         |  FROM ok, range(0, 3) rr(r) GROUP BY 1, 2),
         |gl AS (SELECT rr.r,
-        |    ('0x' || substr(md5('cms:' || rr.r || ':' || k), 1, 8))::BIGINT % 512 AS b,
+        |    ((('0x' || substr(md5('cms:' || k), 1, 15))::BIGINT >> (15 * rr.r)) & 32767) % 512 AS b,
         |    count(*)::BIGINT AS c
         |  FROM lk, range(0, 3) rr(r) GROUP BY 1, 2),
         |ip AS (SELECT go.r, sum(go.c * gl.c)::BIGINT AS ip

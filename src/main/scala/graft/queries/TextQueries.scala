@@ -1371,8 +1371,9 @@ object TextQueries {
         |  ((1000 * abs(est_hll - true_distinct)) // true_distinct)::BIGINT AS err_milli,
         |  v_zero > 0 AS lc_range
         |FROM e, tr""".stripMargin,
-    // q87 — the CMS grid re-derived: same tokenizer, same md5 u32 mod-w
-    // buckets per hash row, grid = exact (r, b) occurrence counts, probe
+    // q87 — the CMS grid re-derived: same tokenizer, same u60 md5-prefix
+    // digest with 15-bit words per hash row (r12 single-digest family),
+    // grid = exact (r, b) occurrence counts, probe
     // estimate = min over rows with absent cells read as 0, exact truth
     // for the same probes. Every count ::BIGINT.
     "q87_cms_counts" ->
@@ -1380,13 +1381,13 @@ object TextQueries {
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
         |tok AS (SELECT unnest(toks) AS tok FROM t),
         |pairs AS (SELECT rr.r,
-        |    ('0x' || substr(md5('cms:' || rr.r || ':' || tok.tok), 1, 8))::BIGINT % 512 AS b
+        |    ((('0x' || substr(md5('cms:' || tok.tok), 1, 15))::BIGINT >> (15 * rr.r)) & 32767) % 512 AS b
         |  FROM tok, range(0, 3) rr(r)),
         |grid AS (SELECT r, b, count(*)::BIGINT AS c FROM pairs GROUP BY r, b),
         |probes AS (SELECT unnest(['filter', 'batch', 'scan', 'hash', 'customer',
         |    'merge', 'stream', 'slow', 'the', 'spark', 'zebraquux', 'notoken']) AS token),
         |pb AS (SELECT probes.token, rr.r,
-        |    ('0x' || substr(md5('cms:' || rr.r || ':' || probes.token), 1, 8))::BIGINT % 512 AS b
+        |    ((('0x' || substr(md5('cms:' || probes.token), 1, 15))::BIGINT >> (15 * rr.r)) & 32767) % 512 AS b
         |  FROM probes, range(0, 3) rr(r)),
         |est AS (SELECT token, min(coalesce(grid.c, 0))::BIGINT AS est_count
         |  FROM pb LEFT JOIN grid ON pb.r = grid.r AND pb.b = grid.b
