@@ -548,14 +548,16 @@ object Streams {
       windowDur: String = "1 hour", watermark: String = "2 hours",
       d: Int = 3, w: Int = 512): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(d > 0 && w > 0, "sketch dims must be positive")
-    def bucket(r: Int): Column =
-      conv(substring(md5(concat(lit(s"cms:$r:"), col(tokCol))), 1, 8), 16, 10)
-        .cast("long") % w
+    import graft.functions.CmsSketch
+    CmsSketch.requireDims(d, w)
     stream.withWatermark(tsCol, watermark)
       .select(window(col(tsCol), windowDur).as("win"),
+        CmsSketch.hash60(col(tokCol)).as("_u60"))
+      .select(col("win"),
         explode(array((0 until d).map(r =>
-          struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
+          struct(lit(r).as("r"),
+            CmsSketch.bucket(r, col("_u60"), w).as("b"))): _*))
+          .as("rb"))
       .groupBy(col("win"), col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("c"))
   }
@@ -564,4 +566,109 @@ object Streams {
       watermark: String = "1 hour"): DataFrame =
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Fingerprint store schema for [[ingestGateSink]]: one row per
+    * accepted document — its exact-tier md5 signature and its DISTINCT
+    * md5 8-gram shingles ([[graft.dedup.Dedup.docSigGrams]] output minus
+    * the doc id, which the gate never reads on the store side). */
+  private[graft] val ingestStoreSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("grams",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+
+  /** Read the fingerprint store, optionally EXCLUDING one batch
+    * partition — a retried micro-batch must not gate against the
+    * fingerprints its own earlier (possibly partial) attempt appended,
+    * or every replayed doc reads as a duplicate of itself. Missing or
+    * empty store → empty frame (the bootstrap-less first increment). */
+  private[graft] def readIngestStore(spark: SparkSession, storePath: String,
+      excludeBatch: Option[Long]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filterNot(s => excludeBatch.exists(b => s.getPath.getName == s"batch=$b"))
+        .map(_.getPath.toString)
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ingestStoreSchema)
+    else spark.read.schema(ingestStoreSchema).parquet(parts.toIndexedSeq: _*)
+  }
+
+  /** Seed the [[ingestGateSink]] store from an already-deduplicated batch
+    * corpus: its fingerprints land in the `batch=bootstrap` partition —
+    * bit-compatible with what each micro-batch computes (same
+    * [[graft.dedup.Dedup.docSigGrams]] kernel), and never collides with
+    * the numeric per-batch partitions the sink writes. */
+  def bootstrapIngestStore(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, n: Int = 8): Unit =
+    graft.dedup.Dedup.docSigGrams(docs, idCol, textCol, n)
+      .select(col("sig"), col("grams"))
+      .write.mode("overwrite").parquet(s"$storePath/batch=bootstrap")
+
+  /** One micro-batch of the ingest gate (the [[ingestGateSink]] kernel,
+    * factored out so a retry is directly testable): fingerprint the
+    * batch, gate it against every store partition EXCEPT this batch's
+    * own, then idempotently (mode=overwrite per batch-keyed partition)
+    * write (a) the accepted docs' fingerprints into the store and (b)
+    * every verdict row (doc_id, exact_dup, n_grams, n_shared, drop_doc)
+    * to the output table. Deterministic given the batch content, so a
+    * foreachBatch retry with the same batchId converges to byte-equal
+    * state (ST2) — the self-exclusion above is what makes the retried
+    * gate read the same store the first attempt saw. */
+  private[graft] def ingestGateBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, storePath: String, outPath: String,
+      n: Int): Unit = {
+    val spark = batch.sparkSession
+    // four consumers (gate sigs, gate grams via the verdict plan, the
+    // accepted-fingerprint join, the store write): fingerprint once
+    val fp = graft.dedup.Dedup.docSigGrams(batch, idCol, textCol, n)
+      .localCheckpoint()
+    try {
+      val store = readIngestStore(spark, storePath, Some(batchId))
+      val verdicts = graft.dedup.Dedup.gateAgainstStore(
+          fp, store.select(col("sig")),
+          store.select(explode(col("grams")).as("h")))
+        .localCheckpoint()
+      try {
+        fp.join(verdicts.filter(!col("drop_doc")).select(col("doc_id")),
+            Seq("doc_id"))
+          .select(col("sig"), col("grams"))
+          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        verdicts.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      } finally graft.util.BlockRelease.release(verdicts)
+    } finally graft.util.BlockRelease.release(fp)
+  }
+
+  /** INCREMENTAL INGEST GATE as a streaming sink — completes the
+    * reference's crawl-increment dedup loop (producer_main.py:128-163
+    * dedups each crawl increment against everything already ingested
+    * before producing it): subscribe the document topic, then each
+    * micro-batch is gated against the persisted fingerprint store with
+    * [[graft.dedup.Dedup.gateAgainstStore]] and the store grows by the
+    * ACCEPTED docs' fingerprints only (the store side of the gate is
+    * left-semi, so the per-batch append-only partitions need no
+    * store-wide distinct — compaction stays a maintenance concern, never
+    * a correctness one). Verdicts land in `outPath`, one partition per
+    * batch; both writes are per-batchId overwrites, so same-checkpoint
+    * replays converge (ST2). A FRESH checkpoint over a non-empty store
+    * re-gates the topic against fingerprints of the same docs (batch ids
+    * restart at 0 but prior partitions persist) — bootstrap a new store
+    * (or [[bootstrapIngestStore]]) when re-consuming from earliest.
+    * Batch↔store only: within-batch duplicates are the upstream
+    * [[dedupStream]]'s job, matching the batch-tier
+    * [[graft.dedup.Dedup.incrementalIngestGate]] contract. */
+  def ingestGateSink(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, outPath: String, checkpoint: String,
+      n: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestGateBatch(batch, batchId, idCol, textCol, storePath, outPath, n)
+      }
 }

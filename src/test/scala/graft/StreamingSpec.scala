@@ -527,4 +527,105 @@ class StreamingSpec extends SparkSpec with Matchers {
     out.count() shouldBe 5000
     out.filter($"k" === "k1").select("v").as[String].head() shouldBe "UPDATED"
   }
+
+  test("ingestGateSink: streaming verdicts == batch gate on a two-increment corpus; retry converges (ST2)") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.dedup.Dedup
+
+    // corpus already ingested (deduplicated); two crawl increments follow.
+    // docs are >= 8 tokens so the near tier is live; c2near changes ONE
+    // trailing token of c2 (2 of 3 distinct 8-grams shared -> drop), and
+    // i1dupC1 is a whitespace/case variant of c1 (exact tier -> drop).
+    val c1 = "the quick brown fox jumps over the lazy dog today"
+    val c2 = "partition pruning keeps the parquet scan narrow and cheap always"
+    val i1dupC1 = "THE  quick   Brown fox jumps over the LAZY dog today"
+    val i1nearC2 = "partition pruning keeps the parquet scan narrow and cheap forever"
+    val i1novel = "streaming micro batches drain the topic with available now triggers"
+    val i2dupNovel = "streaming micro batches drain the topic with available now triggers"
+    val i2novel = "broadcast joins beat shuffles when one side fits executor memory"
+
+    val corpus = Seq(("c1", c1), ("c2", c2)).toDF("doc_id", "text")
+    val inc1 = Seq(("a", i1dupC1), ("b", i1nearC2), ("c", i1novel))
+      .toDF("doc_id", "text")
+    val inc2 = Seq(("d", i2dupNovel), ("e", i2novel)).toDF("doc_id", "text")
+
+    val root = Files.createTempDirectory("ingestgate").toFile.getAbsolutePath
+    val (topic, store, outP, ckpt) =
+      (s"$root/topic", s"$root/store", s"$root/out", s"$root/ckpt")
+    new java.io.File(topic).mkdirs()
+    def stage(name: String, docs: Seq[(String, String)]): Unit = {
+      val w = new java.io.PrintWriter(s"$topic/$name")
+      docs.foreach { case (id, t) =>
+        w.println(s"""{"doc_id":"$id","text":"$t"}""")
+      }
+      w.close()
+    }
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    Streams.bootstrapIngestStore(corpus, "doc_id", "text", store)
+    def drain(): Unit = {
+      val q = Streams.ingestGateSink(
+        Streams.subscribe(spark, topic, docSchema),
+        "doc_id", "text", store, outP, ckpt).start()
+      q.awaitTermination()
+    }
+    stage("inc1.json", Seq(("a", i1dupC1), ("b", i1nearC2), ("c", i1novel)))
+    drain()
+    stage("inc2.json", Seq(("d", i2dupNovel), ("e", i2novel)))
+    drain()
+
+    def verdictMap(df: org.apache.spark.sql.DataFrame): Map[String, (Boolean, Long, Long, Boolean)] =
+      df.select("doc_id", "exact_dup", "n_grams", "n_shared", "drop_doc")
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toMap
+    val streamed = verdictMap(spark.read.parquet(outP))
+    streamed.keySet shouldBe Set("a", "b", "c", "d", "e")
+    // spot semantics: exact dup via normalization, near dup via grams,
+    // novel accepted; d is an exact dup OF AN INC1 DOC -> the store grew
+    streamed("a")._1 shouldBe true
+    streamed("b") should matchPattern { case (false, 3L, 2L, true) => }
+    streamed("c")._4 shouldBe false
+    streamed("d")._1 shouldBe true
+    streamed("e")._4 shouldBe false
+
+    // batch twin: gate inc1 against the corpus, then inc2 against
+    // corpus + accepted(inc1) — streaming must agree verdict-for-verdict
+    val twin1 = verdictMap(Dedup.incrementalIngestGate(
+      corpus.withColumn("nw", lit(false))
+        .unionByName(inc1.withColumn("nw", lit(true))),
+      "doc_id", "text", col("nw")))
+    val acc1 = inc1.join(
+      Dedup.incrementalIngestGate(
+        corpus.withColumn("nw", lit(false))
+          .unionByName(inc1.withColumn("nw", lit(true))),
+        "doc_id", "text", col("nw"))
+        .filter(!col("drop_doc")).select("doc_id"), Seq("doc_id"))
+    val twin2 = verdictMap(Dedup.incrementalIngestGate(
+      corpus.unionByName(acc1).withColumn("nw", lit(false))
+        .unionByName(inc2.withColumn("nw", lit(true))),
+      "doc_id", "text", col("nw")))
+    (twin1 ++ twin2) shouldBe streamed
+
+    // ST2 retry: re-running batch 1's kernel with the same batchId must
+    // leave store and verdicts byte-equal (self-exclusion keeps the
+    // retried gate's input store identical to the first attempt's)
+    val storeBefore = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).mkString(","))).sorted
+    Streams.ingestGateBatch(inc2, 1L, "doc_id", "text", store, outP, 8)
+    val storeAfter = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).mkString(","))).sorted
+    storeAfter shouldBe storeBefore
+    verdictMap(spark.read.parquet(outP)) shouldBe streamed
+
+    // drained topic: another same-checkpoint run is a no-op
+    drain()
+    verdictMap(spark.read.parquet(outP)) shouldBe streamed
+  }
 }
