@@ -23,7 +23,8 @@ import graft.functions.{VectorFunctions, VectorSum}
   */
 object FastRP {
 
-  /** @param edges canonical (src, dst, weight)
+  /** @param edges canonical (src, dst, weight); content assumed fixed
+    *   for the instance's lifetime (see Louvain.symTiered's cache contract)
     * @param iterationWeights β_k per propagation round (round 1..k)
     * @return (node, embedding array<double> unit-norm) */
   def run(edges: DataFrame, dim: Int = 64,

@@ -54,7 +54,9 @@ object GraphAlgos {
     * tie-break), but each superstep is two shuffles of (node, label)
     * pairs with map-side combine instead of Pregel's per-vertex
     * Map[label,count] messages — dense graphs propagate an order of
-    * magnitude cheaper, and the same plan scales out. */
+    * magnitude cheaper, and the same plan scales out. Edge content is
+    * assumed fixed for the instance's lifetime (see Louvain.symTiered's
+    * cache contract). */
   def labelPropagationDF(edges: DataFrame, maxSteps: Int = 5,
       collectThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession

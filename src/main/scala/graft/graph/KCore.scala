@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** @param edges canonical (src, dst, weight) DataFrame; unweighted cores.
+  /** @param edges canonical (src, dst, weight) DataFrame; unweighted
+    *   cores. Content assumed fixed for the instance's lifetime (see
+    *   Louvain.symTiered's cache contract).
     * @return (node, core) DataFrame */
   def run(edges: DataFrame, maxIter: Int = 64,
       collectThreshold: Long = 2000000L): DataFrame = {

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object Leiden {
 
-  /** @param edges0 canonical (src, dst, weight)
+  /** @param edges0 canonical (src, dst, weight); content assumed fixed
+    *   for the instance's lifetime (see Louvain.symTiered's cache contract)
     * @return (node, label) */
   def run(edges0: DataFrame, distRounds: Int = 2,
       collectThreshold: Long = 2000000L, maxLevels: Int = 4): DataFrame = {

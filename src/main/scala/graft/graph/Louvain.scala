@@ -280,7 +280,20 @@ object Louvain {
   /** Tier dispatch: Right = collect-tier artifacts (cached; NOT owned by
     * the caller), Left = distributed-tier inputs (sym checkpointed;
     * ownership to the caller exactly as [[symWithStats]] hands it). A
-    * forced-distributed run (threshold 0) never consults the cache. */
+    * forced-distributed run (threshold 0) never consults the cache.
+    *
+    * CACHE CONTRACT (r12, the r11 verdict's latent-API hazard made
+    * explicit): collect-tier caching keys on the edge DataFrame
+    * INSTANCE and assumes its CONTENT is fixed for the instance's
+    * lifetime — true for every engine path (Projection hands out one
+    * cached+materialized frame per (session, dir) and cascades
+    * [[invalidateCollected]] on drop/evict) and for any immutable input.
+    * A caller that re-passes the SAME frame instance after rewriting its
+    * underlying files may be served the previously collected edges —
+    * identical to Spark's own `.cache()` semantics for that frame, and
+    * pinned by BucketingSpec. Re-reading rewritten files = make a new
+    * frame (`spark.read...` again) or route through Projection's
+    * drop-and-rebuild, both of which miss this cache by construction. */
   private[graft] def symTiered(edges0: DataFrame, collectThreshold: Long)
       : Either[(DataFrame, Long, Double), (SymEdges, Double)] = {
     val key = (edges0.sparkSession, edges0)
@@ -302,7 +315,8 @@ object Louvain {
     } else Left((sym, nSymEdges, m2))
   }
 
-  /** @param edges0 canonical (src, dst, weight)
+  /** @param edges0 canonical (src, dst, weight); content assumed fixed
+    *   for the instance's lifetime (see [[symTiered]]'s cache contract)
     * @return (node, label) */
   def run(edges0: DataFrame, distRounds: Int = 4,
       collectThreshold: Long = 2000000L, maxLevels: Int = 4): DataFrame = {

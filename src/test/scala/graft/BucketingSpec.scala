@@ -92,6 +92,31 @@ class BucketingSpec extends SparkSpec with Matchers {
     graft.graph.Louvain.collectedSymEntries shouldBe (before - 1)
   }
 
+  test("symTiered cache contract: a same-instance input serves its collected edges like .cache() (r12)") {
+    val s2 = spark
+    import s2.implicits._
+    // a NON-Projection edge frame whose underlying files get rewritten:
+    // the documented contract (Louvain.symTiered scaladoc) is instance-
+    // keyed caching — the same frame instance keeps serving the edges
+    // collected at first use, exactly like Spark's own .cache() would;
+    // a fresh read after the rewrite is a fresh instance and misses.
+    val dir = java.nio.file.Files.createTempDirectory("symcc").toFile.getAbsolutePath
+    val p = s"$dir/edges.parquet"
+    Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "weight")
+      .write.mode("overwrite").parquet(p)
+    val inst = spark.read.parquet(p)
+    val labels1 = graft.graph.Louvain.run(inst).count()
+    labels1 shouldBe 3L
+    // rewrite the files under the SAME instance
+    Seq((10L, 20L, 1.0), (20L, 30L, 1.0), (30L, 40L, 1.0), (40L, 50L, 1.0))
+      .toDF("src", "dst", "weight").write.mode("overwrite").parquet(p)
+    // same instance -> cached collected edges (the documented hazard)
+    graft.graph.Louvain.run(inst).count() shouldBe labels1
+    // fresh instance -> fresh key -> reads the rewritten files
+    graft.graph.Louvain.run(spark.read.parquet(p)).count() shouldBe 5L
+    graft.graph.Louvain.invalidateCollected(inst) // don't leak the entry
+  }
+
   test("BoundedSessionCache evicts least-recently-used and releases it") {
     val released = scala.collection.mutable.ArrayBuffer[Int]()
     val c = new graft.util.BoundedSessionCache[String, Int](2, released += _)
