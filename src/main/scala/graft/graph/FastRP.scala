@@ -45,6 +45,8 @@ object FastRP {
       val (es, _) = tiered.toOption.get
       return runInMemory(es, dim, iterationWeights).toSeq.toDF("node", "embedding")
     }
+    // cache-owned (r12, Louvain.symTiered) — correctly NOT released here;
+    // before r12 this branch leaked the per-call checkpoint it now shares
     val sym = tiered.swap.toOption.get._1
 
     // sparse ±√3 seeded init: hash(node, j) mod 6 → {0:+√3, 1:−√3, 2..5: 0}

@@ -98,11 +98,12 @@ object GraphAlgos {
       }
     }
     val out = labels.localCheckpoint() // lineage-free node-sized result
-    // superseded intermediates and the edge checkpoint are no longer
-    // reachable from `out` — release their blocks instead of letting
-    // repeated calls accumulate them
+    // superseded intermediates are no longer reachable from `out` —
+    // release their blocks instead of letting repeated calls accumulate
+    // them. The sym checkpoint itself is cache-owned (r12, see
+    // Louvain.symTiered) — releasing the derived `sym` frame here would
+    // cascade into the cached blocks through its plan leaves.
     if (prevCkpt != null) graft.util.BlockRelease.release(prevCkpt)
-    graft.util.BlockRelease.release(sym)
     out
   }
 

@@ -52,7 +52,7 @@ object KCore {
     // self-loops do not contribute to coreness (peel's CSR routes them
     // out of the adjacency) — drop them here so all tiers agree
     runDFSym(sym.filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")), maxIter)
+      .select(col("src"), col("dst")), maxIter, ownsSym = false)
   }
 
   /** h-index k-core as pure DataFrame iteration (no GraphX): per round,
@@ -75,8 +75,12 @@ object KCore {
 
   /** [[runDF]] over an ALREADY symmetric, deduped, materialized (src, dst)
     * edge set — run() hands its tier-gate sym straight in, so the
-    * at-scale path does not symmetrize the full edge set twice. */
-  private def runDFSym(sym: DataFrame, maxIter: Int): DataFrame = {
+    * at-scale path does not symmetrize the full edge set twice.
+    * `ownsSym` = false when the frame derives from the cache-owned tier
+    * sym (r12, Louvain.symTiered): releasing it would cascade into the
+    * cached checkpoint blocks through the plan leaves. */
+  private def runDFSym(sym: DataFrame, maxIter: Int,
+      ownsSym: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var est = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("int").as("est")).localCheckpoint()
@@ -111,7 +115,8 @@ object KCore {
       iter += 1
     }
     val out = est.localCheckpoint()
-    graft.util.BlockRelease.release(Seq(est, sym))
+    graft.util.BlockRelease.release(
+      if (ownsSym) Seq(est, sym) else Seq(est))
     out.select(col("node"), col("est").as("core"))
   }
 

@@ -72,9 +72,8 @@ object Leiden {
     // incumbent guard (see Louvain.incumbentGuard): the components
     // partition is connected per community, so the Leiden contract holds
     // for the substitute too
-    val guarded = Louvain.incumbentGuard(sym0, out, phase.m2, collectThreshold)
-    graft.util.BlockRelease.release(sym0)
-    guarded
+    // sym0 is cache-owned (r12, see Louvain.symTiered) — not released here
+    Louvain.incumbentGuard(sym0, out, phase.m2, collectThreshold)
   }
 
   /** Distributed Leiden refinement: within each coarse community, nodes

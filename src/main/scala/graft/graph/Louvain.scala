@@ -268,19 +268,46 @@ object Louvain {
       (org.apache.spark.sql.SparkSession, DataFrame),
       (SymEdges, Double)](maxEntries = 4, _ => ())
 
+  /** Distributed-tier artifact cache (r12): the CHECKPOINTED symmetric
+    * edge frame + (count, m2) per (session, input instance) — the
+    * distributed twin of [[collectedSym]]. Every sym-consuming algorithm
+    * (Louvain/Leiden/modularity/k-core/LPA/FastRP — q15/q40/q41/q42/q44/
+    * q45/q47) re-paid the symmetrize shuffle + checkpoint + count/m2
+    * actions on the SAME session-cached projection (~1.1 s at sf0.1; a
+    * full edge shuffle per query at 100 TB). Entries are EXECUTOR-
+    * resident checkpoint blocks, never driver arrays — this caches the
+    * at-scale formulation's input, not a driver tier, so a forced-
+    * distributed run (threshold 0) uses it too, exactly as it reuses the
+    * session projection cache. Same instance-identity contract as
+    * [[collectedSym]] (see [[symTiered]]); same invalidation cascade.
+    * Ownership: the CACHE owns the blocks — tier-gate consumers must
+    * not release the Left sym (eviction and invalidation do). */
+  private val checkpointedSym = new graft.util.BoundedSessionCache[
+      (org.apache.spark.sql.SparkSession, DataFrame),
+      (DataFrame, Long, Double)](maxEntries = 2,
+    { case (sym, _, _) => graft.util.BlockRelease.release(sym) })
+
   /** Invalidation hook, called by [[Projection]]'s cache whenever a
     * projection DataFrame is dropped or LRU-evicted: the collected edge
-    * array derived from that instance dies with it. */
-  private[graft] def invalidateCollected(df: DataFrame): Unit =
+    * array AND the checkpointed sym derived from that instance die with
+    * it (the latter's blocks are released by the cache). */
+  private[graft] def invalidateCollected(df: DataFrame): Unit = {
     collectedSym.remove((df.sparkSession, df))
+    checkpointedSym.remove((df.sparkSession, df))
+  }
 
   /** Spec observability only. */
   private[graft] def collectedSymEntries: Int = collectedSym.size
+  private[graft] def checkpointedSymEntries: Int = checkpointedSym.size
 
   /** Tier dispatch: Right = collect-tier artifacts (cached; NOT owned by
-    * the caller), Left = distributed-tier inputs (sym checkpointed;
-    * ownership to the caller exactly as [[symWithStats]] hands it). A
-    * forced-distributed run (threshold 0) never consults the cache.
+    * the caller), Left = distributed-tier inputs (sym checkpointed and
+    * CACHE-owned since r12 — callers must not release it; before r12
+    * ownership passed to the caller, and each of the seven sym-consuming
+    * entry points re-symmetrized per call). A forced-distributed run
+    * (threshold 0) never consults the COLLECT cache — the checkpointed-
+    * sym cache still serves it, because reusing an executor-resident
+    * shuffle product changes cost, not formulation.
     *
     * CACHE CONTRACT (r12, the r11 verdict's latent-API hazard made
     * explicit): collect-tier caching keys on the edge DataFrame
@@ -304,15 +331,22 @@ object Louvain {
         case _ => ()
       }
     }
-    val (sym, nSymEdges, m2) = symWithStats(edges0)
+    val cached = checkpointedSym.peek(key)
+    val (sym, nSymEdges, m2) = cached.getOrElse(symWithStats(edges0))
     if (nSymEdges <= collectThreshold) {
       val spark = edges0.sparkSession
       import spark.implicits._
       val es = SymEdges.fromTuples(sym.as[(Long, Long, Double)].collect())
-      graft.util.BlockRelease.release(sym) // edge-sized; don't leak per call
+      // edge-sized; don't leak per call — unless the checkpointed-sym
+      // cache owns these blocks (a prior over-threshold call cached them)
+      if (cached.isEmpty) graft.util.BlockRelease.release(sym)
       collectedSym.getOrElseUpdate(key, (es, m2))
       Right((es, m2))
-    } else Left((sym, nSymEdges, m2))
+    } else {
+      if (cached.isEmpty)
+        checkpointedSym.getOrElseUpdate(key, (sym, nSymEdges, m2))
+      Left((sym, nSymEdges, m2))
+    }
   }
 
   /** @param edges0 canonical (src, dst, weight); content assumed fixed
@@ -349,9 +383,8 @@ object Louvain {
       mapping.select(col("node"), col("comm").as("label"))
     }).localCheckpoint() // node-sized, lineage-free — lets everything below go
     graft.util.BlockRelease.release(Seq(ph.deg, ph.comm, mapping, contracted))
-    val guarded = incumbentGuard(sym, out, ph.m2, collectThreshold)
-    graft.util.BlockRelease.release(sym)
-    guarded
+    // sym is cache-owned (r12, see symTiered) — not released here
+    incumbentGuard(sym, out, ph.m2, collectThreshold)
   }
 
   /** Modularity optimization à la GDS (SURVEY.md G7; reference call at
@@ -372,9 +405,8 @@ object Louvain {
       val out = ph.comm.select(col("node"), col("comm").as("label"))
         .localCheckpoint()
       graft.util.BlockRelease.release(Seq(ph.deg, ph.comm))
-      val guarded = incumbentGuard(sym, out, m2, collectThreshold)
-      graft.util.BlockRelease.release(sym)
-      guarded
+      // sym is cache-owned (r12, see symTiered) — not released here
+      incumbentGuard(sym, out, m2, collectThreshold)
     }
   }
 

@@ -92,6 +92,29 @@ class BucketingSpec extends SparkSpec with Matchers {
     graft.graph.Louvain.collectedSymEntries shouldBe (before - 1)
   }
 
+  test("checkpointed-sym cache: forced-tier queries share one symmetrize; dropGraph releases it (r12)") {
+    val dir = "/root/testdata/sf0.001"
+    val g = graft.graph.Projection.supplierGraph(spark, dir)
+    val before = graft.graph.Louvain.checkpointedSymEntries
+    // threshold 0 forces the distributed ALGORITHM; the checkpointed sym
+    // (an executor-resident shuffle product) is still shared — reusing it
+    // changes cost, not formulation (see Louvain.symTiered scaladoc)
+    graft.graph.Louvain.run(g, collectThreshold = 0).count() should be > 0L
+    graft.graph.Louvain.checkpointedSymEntries shouldBe (before + 1)
+    // a second forced algorithm on the same instance hits the entry
+    // (same count — no second insertion) and still answers correctly
+    val cores = graft.graph.KCore.run(g, collectThreshold = 0)
+    cores.count() should be > 0L
+    graft.graph.Louvain.checkpointedSymEntries shouldBe (before + 1)
+    // the forced run must agree with the collect tier on the same graph
+    val coresSeq = graft.graph.KCore.run(g).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    cores.collect().map(r => (r.getLong(0), r.getInt(1))).toMap shouldBe coresSeq
+    // drop cascades into BOTH caches — no stale edges, blocks released
+    graft.graph.Projection.dropGraph(spark, dir)
+    graft.graph.Louvain.checkpointedSymEntries shouldBe before
+  }
+
   test("symTiered cache contract: a same-instance input serves its collected edges like .cache() (r12)") {
     val s2 = spark
     import s2.implicits._
