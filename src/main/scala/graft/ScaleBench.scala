@@ -56,6 +56,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("ingestgate")) {
+      runIngestGate(spark)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("skew")) {
       runSkew(spark)
       spark.stop()
@@ -619,6 +624,72 @@ object ScaleBench {
           f"SCALE-DEDUP n=$n%6d cosine_brute $tBrute%6.1f s (pairs=$nBrute)  lsh_recall=${nCos.toDouble / nBrute}%.4f")
       }
       graft.util.BlockRelease.release(Seq(docs, emb))
+    }
+  }
+
+  /** Incremental-ingest-gate decade-up (r12: the round's new streaming
+    * sink has a batch-tier kernel whose 100 TB claim is "shuffle ∝
+    * batch + store, never store × store, never batch × batch" —
+    * Dedup.gateAgainstStore scaladoc). The cell holds the BATCH fixed
+    * (5k docs, ~20% seeded near-dups of store docs) and scales the
+    * STORE 16× (50k → 800k fingerprinted docs, ~2.6M → 42M gram rows):
+    * a store×store or batch×store pair formation would scale the wall
+    * time superlinearly in store size; the semi-join shape should track
+    * the store SCAN (≲ linear), with verdict counts proving the gate
+    * still fires. Store fingerprints are staged untimed (they are the
+    * persisted table in production); the timed region is fingerprint-
+    * the-batch + gate — exactly one micro-batch of ingestGateSink. */
+  private def runIngestGate(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    def mix(x0: Long): Long = { // splitmix64 finalizer
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def docText(seed: Long, tokens: Int): String =
+      Seq.tabulate(tokens)(j => "w" + (mix(seed * 977L + j) & 0x3FFF)).mkString(" ")
+    def t[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val batchN = 5000
+    // batch: ids disjoint from every store; docs 0..999 are exact copies
+    // of store docs 0..999 (EVERY store size stages those seeds), docs
+    // 1000..1999 are near-dups (one trailing token appended), rest novel
+    val batch = spark.range(batchN.toLong).map { i =>
+      val text =
+        if (i < 1000) docText(i, 60)
+        else if (i < 2000) docText(i - 1000, 60) + " extra"
+        else docText(1000000L + i, 60)
+      ("b" + i, text)
+    }.toDF("doc_id", "text").localCheckpoint()
+    Seq(50000, 200000, 800000).foreach { storeN =>
+      val storeDocs = spark.range(storeN.toLong).map { i =>
+        ("s" + i, docText(i, 60))
+      }.toDF("doc_id", "text")
+      val store = graft.dedup.Dedup
+        .docSigGrams(storeDocs, "doc_id", "text", 8)
+        .select(col("sig"), col("grams"))
+        .localCheckpoint() // staged untimed: the persisted table
+      val (sec, (dropped, exact)) = t {
+        val fp = graft.dedup.Dedup
+          .docSigGrams(batch, "doc_id", "text", 8).localCheckpoint()
+        val v = graft.dedup.Dedup.gateAgainstStore(
+            fp, store.select(col("sig")),
+            store.select(explode(col("grams")).as("h")))
+          .localCheckpoint()
+        val d = v.filter(col("drop_doc")).count()
+        val x = v.filter(col("exact_dup")).count()
+        graft.util.BlockRelease.release(Seq(fp, v))
+        (d, x)
+      }
+      System.err.println(
+        f"SCALE-INGEST store=$storeN%7d batch=$batchN%5d gate $sec%7.1f s" +
+        f"  (dropped=$dropped exact=$exact)")
+      graft.util.BlockRelease.release(store)
     }
   }
 }

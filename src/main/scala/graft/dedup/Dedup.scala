@@ -373,8 +373,10 @@ object Dedup {
     * with itself). Two exact tiers, no LSH recall concerns:
     * exact tier = whitespace-normalized md5 signature semi-join
     * (batch ∩ corpus signatures); near tier = distinct 8-gram overlap
-    * via the inverted-index equality join (shuffle ∝ shingles + matches
-    * — batch↔corpus ONLY, never corpus × corpus, never batch × batch).
+    * via the inverted-index equality join (r12: the corpus side is
+    * SCANNED map-only against broadcast batch key sets, never shuffled
+    * — see [[gateAgainstStore]]; never corpus × corpus, never
+    * batch × batch).
     * Verdict: drop when exact-dup OR ≥ half the batch doc's distinct
     * 8-grams already exist in the store (2·shared ≥ total — rational,
     * no float threshold). Docs shorter than `n` tokens can only be
@@ -417,21 +419,54 @@ object Dedup {
   }
 
   /** Gate core: verdicts for a fingerprinted batch (doc_id, sig, grams)
-    * against a signature/gram STORE — the store side is only ever the
-    * right side of LEFT SEMI joins, so duplicate store rows (the same
-    * sig or gram persisted by several increments) can never overcount:
-    * no store-wide distinct is needed, which is what lets the streaming
-    * sink append per-batch store partitions and leave compaction as a
-    * maintenance concern. Shuffle ∝ batch + store per call; never
-    * store × store, never batch × batch. */
+    * against a signature/gram STORE.
+    *
+    * STORE-SCAN-ONLY discipline (r12, caught by the SCALE-INGEST decade-
+    * up cell): the store is the corpus — it must never be broadcast,
+    * collected, or even SHUFFLED per micro-batch. The r11 shape
+    * (`batch LEFT SEMI store`) let Spark pick the physical join, and at
+    * an 800k-doc store the planner chose to broadcast the 42M-row gram
+    * side — a driver-sized collect of the corpus (maxResultSize abort at
+    * 1 GiB; at 100 TB, fatal), while the sort-merge fallback would have
+    * shuffled the whole store once per micro-batch. Reversed form: the
+    * store side is semi-joined against the BROADCAST batch-derived key
+    * set (SizeGate'd — a corpus-sized "batch" degrades to the shuffled
+    * join instead of a corpus broadcast), so the store is scanned
+    * map-only, and the only exchanges are the match-set dedups, bounded
+    * by partitions × |batch keys| through map-side partial aggregation
+    * even when one boilerplate shingle occurs millions of times in the
+    * store. Matched sets are ≤ the batch set by construction, so their
+    * re-broadcast rides the same gate decision with no extra count.
+    *
+    * Duplicate store rows (the same sig or gram persisted by several
+    * increments) still can never overcount — the store remains a semi
+    * side — so no store-wide distinct is needed, which is what lets the
+    * streaming sink ([[graft.streaming.Streams.ingestGateSink]]) append
+    * per-batch store partitions and leave compaction as a maintenance
+    * concern. */
   private[graft] def gateAgainstStore(batch: DataFrame, storeSigs: DataFrame,
       storeGrams: DataFrame): DataFrame = {
+    import graft.util.SizeGate
+    val batchSigs = batch.select(col("sig")).distinct()
+    val nSigs = batchSigs.count()
+    val matchedSigs = storeSigs.select(col("sig"))
+      .join(SizeGate.maybeBroadcast(batchSigs, known = Some(nSigs)),
+        Seq("sig"), "left_semi")
+      .distinct()
     val exact = batch
-      .join(storeSigs.select(col("sig")), Seq("sig"), "left_semi")
+      .join(SizeGate.maybeBroadcast(matchedSigs, known = Some(nSigs)),
+        Seq("sig"), "left_semi")
       .select(col("doc_id"), lit(true).as("xd"))
-    val shared = batch
-      .select(col("doc_id"), explode(col("grams")).as("h"))
-      .join(storeGrams.select(col("h")), Seq("h"), "left_semi")
+    val batchG = batch.select(col("doc_id"), explode(col("grams")).as("h"))
+    val batchH = batchG.select(col("h")).distinct()
+    val nH = batchH.count()
+    val matchedH = storeGrams.select(col("h"))
+      .join(SizeGate.maybeBroadcast(batchH, known = Some(nH)),
+        Seq("h"), "left_semi")
+      .distinct()
+    val shared = batchG
+      .join(SizeGate.maybeBroadcast(matchedH, known = Some(nH)),
+        Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("ns")) // grams already distinct per doc
     batch
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
