@@ -61,6 +61,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("sweep")) {
+      runSweep(spark)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("skew")) {
       runSkew(spark)
       spark.stop()
@@ -690,6 +695,80 @@ object ScaleBench {
         f"SCALE-INGEST store=$storeN%7d batch=$batchN%5d gate $sec%7.1f s" +
         f"  (dropped=$dropped exact=$exact)")
       graft.util.BlockRelease.release(store)
+    }
+  }
+
+  /** FULL-ENGINE decade-up sweep (r12): every registered SparkEntry query
+    * against a K×-replicated, key-shifted testdata set — the harness that
+    * catches what sf0.1 hides: planner flips to corpus broadcasts,
+    * driver-sized collects, quadratic blowups past a tier gate, lineage
+    * growth. Replicas shift every entity key by i·10⁹ consistently across
+    * fact/dim tables (region/nation stay 1× — real dimension tables), so
+    * referential joins keep their exact semantics while every key space
+    * and the co-engagement edge set grow ~K×; at K=10 the supplier graph
+    * crosses the 2M-edge collect threshold and the graph family runs its
+    * DISTRIBUTED formulations under the default gates, exactly as a real
+    * 100 TB deployment would. Completion + wall time per query is the
+    * measurement (the DuckDB oracle certifies correctness at sf0.01;
+    * this cell certifies the PLAN survives scale). SPARK_GRAFT_SCALE_K
+    * picks the factor; SPARK_GRAFT_SWEEP_ONLY=q42,q45 restricts;
+    * SPARK_GRAFT_SWEEP_SKIP names queries to skip (logged, never
+    * silent). */
+  private def runSweep(spark: SparkSession): Unit = {
+    val k = sys.env.get("SPARK_GRAFT_SCALE_K").map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val dir = s"/tmp/graft_scale_sweep_k$k"
+    val shift = 1000000000L
+    // (table, key columns to shift per replica)
+    val plan: Seq[(String, Seq[String])] = Seq(
+      "region" -> Nil, "nation" -> Nil,
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    plan.foreach { case (t, keys) =>
+      val out = s"$dir/$t.parquet"
+      if (!new java.io.File(out).exists()) {
+        val base = Tables.load(spark, src, t)
+        val df =
+          if (keys.isEmpty) base
+          else (0 until k).map { i =>
+            keys.foldLeft(base)((d, c) =>
+              d.withColumn(c, col(c) + lit(i * shift)))
+          }.reduce(_ unionByName _)
+        df.write.mode("overwrite").parquet(out)
+        System.err.println(s"SCALE-SWEEP staged $t")
+      }
+    }
+    val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SWEEP_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      if (!only.forall(_.contains(name))) ()
+      else if (skip.contains(name))
+        System.err.println(f"SCALE-SWEEP k=$k%2d $name%-26s SKIPPED (env)")
+      else {
+        val t0 = System.nanoTime()
+        try {
+          val r = q(spark, dir)
+          val n = r.count()
+          graft.util.BlockRelease.release(r)
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"SCALE-SWEEP k=$k%2d $name%-26s $sec%8.1f s  (rows=$n)")
+        } catch {
+          case e: Throwable =>
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(
+              f"SCALE-SWEEP k=$k%2d $name%-26s $sec%8.1f s  FAILED: " +
+                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      }
     }
   }
 }
