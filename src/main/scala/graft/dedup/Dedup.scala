@@ -255,11 +255,37 @@ object Dedup {
     * normalized forms); only the verify predicate differs.
     *
     * Zero vectors (all tokens hash-cancelled) have no cosine and are
-    * excluded, mirrored by `n2 > 0` in SQL twins. */
+    * excluded, mirrored by `n2 > 0` in SQL twins.
+    *
+    * EXACT-DUP COLLAPSE tier (r12, from the 10× ScaleBench sweep):
+    * identical vectors produce identical hyperplane signatures in EVERY
+    * table, so banding each copy separately multiplies bucket-pair work
+    * by the SQUARE of the duplicate multiplicity for zero information —
+    * the sweep's 10-way-replicated corpus measured 309 s here (~100× the
+    * pair work of its 50k distinct vectors). Crawl corpora are exactly
+    * this shape (boilerplate, mirrors, re-posts), so when the dup ratio
+    * warrants it the operator bands ONE representative per distinct
+    * vector, then expands surviving group pairs back to member pairs (an
+    * output-sized join) and emits within-group pairs directly through
+    * the same predicate. The pair set is BIT-FOR-BIT the direct tier's
+    * at every SF and banding config: if u = v then (u,x) collides and
+    * verifies iff (v,x) does, and identical vectors always share every
+    * bucket, so within-group pairs were always emitted iff the predicate
+    * holds (cos = 1, i.e. iff tauDen ≥ tauNum) — which is exactly what
+    * the direct emission computes. DedupSpec's lsh-equals-brute pin and
+    * a forced-collapse twin certify the equivalence.
+    *
+    * The TIER GATE rides the maxN2 guard action (same scan, two more
+    * agg columns — no extra job): collapse only when members ≥ 1.25 ×
+    * approx-distinct vectors. Below that the banding savings (∝ 1−1/r²)
+    * cannot pay for the collapse machinery (a corpus-sized window
+    * shuffle + two output-sized expansion joins — measured 2.1× on the
+    * dup-free sf0.1 corpus), and the direct tier runs UNCHANGED. */
   def cosineNearDupsExact(vecs: DataFrame, idCol: String, vCol: String,
       tauNum: Long = 9, tauDen: Long = 10, bits: Int = 12, tables: Int = 48,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1, collapseRatio: Double = 1.25): DataFrame = {
     import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
     require(tauNum > 0 && tauDen > 0, "rational τ must be positive")
     val d = if (dim > 0) dim else vecs.select(size(col(vCol))).first().getInt(0)
     // FAT banding with verify-inside-join — deliberately NOT the float
@@ -280,31 +306,81 @@ object Dedup {
     // max(tauNum², tauDen²)·maxN2² an upper bound for both sides. A
     // corpus of long-enough documents to break 2^53 must fail LOUDLY
     // here — silently degrading to float rounding is exactly what this
-    // tier exists to rule out. One cheap max() aggregation per call.
-    val maxN2 = base.agg(coalesce(max(col("n2")), lit(0.0))).first().getDouble(0)
+    // tier exists to rule out. One cheap aggregation per call, which the
+    // collapse-tier gate rides for free (same scan, two more columns).
+    val probe = base.agg(coalesce(max(col("n2")), lit(0.0)),
+      count(lit(1)), approx_count_distinct(col("v"))).first()
+    val maxN2 = probe.getDouble(0)
+    val nMembers = probe.getLong(1)
+    val nDistinct = probe.getLong(2)
     val tauSq = math.max(tauNum.toDouble * tauNum, tauDen.toDouble * tauDen)
     require(tauSq * maxN2 * maxN2 <= math.pow(2, 53),
       f"cosineNearDupsExact: max |v|² = $maxN2%.0f makes τ²·dot² exceed 2^53 — " +
       "the integer predicate would round; shorten documents or rescale vectors")
+    def pred(dotC: Column, na2C: Column, nb2C: Column): Column =
+      dotC > 0 &&
+        lit(tauDen * tauDen) * dotC * dotC >= lit(tauNum * tauNum) * na2C * nb2C
     val allSigs = graft.functions.VectorExpressions
       .hyperplane_sigs(col("v"), d, "neardup", bits, tables)
-    val banded = base.select(col("id"), col("v"), col("n2"),
-        posexplode(allSigs).as(Seq("t", "s")))
-      .repartition(col("t"), col("s"))
-      .localCheckpoint()
-    val dotAB = VectorFunctions.dot(col("a.v"), col("b.v"))
-    val out = banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
-        col("a.t") === col("b.t") && col("a.s") === col("b.s") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        dotAB.as("dot"), col("a.n2").as("na2"), col("b.n2").as("nb2"))
-      .filter(col("dot") > 0 &&
-        lit(tauDen * tauDen) * col("dot") * col("dot") >=
-          lit(tauNum * tauNum) * col("na2") * col("nb2"))
-      .dropDuplicates("id_a", "id_b")
-      .localCheckpoint()
-    graft.util.BlockRelease.release(banded)
-    out
+    // banding self-join shared by both tiers: (la, lb, dot, na2, nb2)
+    // with la < lb, predicate-filtered, deduped
+    def bandPairs(src: DataFrame, la: String, lb: String): DataFrame = {
+      val banded = src.select(col("id"), col("v"), col("n2"),
+          posexplode(allSigs).as(Seq("t", "s")))
+        .repartition(col("t"), col("s"))
+        .localCheckpoint()
+      val dotAB = VectorFunctions.dot(col("a.v"), col("b.v"))
+      val out = banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
+          col("a.t") === col("b.t") && col("a.s") === col("b.s") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as(la), col("b.id").as(lb),
+          dotAB.as("dot"), col("a.n2").as("na2"), col("b.n2").as("nb2"))
+        .filter(pred(col("dot"), col("na2"), col("nb2")))
+        .dropDuplicates(la, lb)
+        .localCheckpoint()
+      graft.util.BlockRelease.release(banded)
+      out
+    }
+    if (nMembers < collapseRatio * nDistinct)
+      // direct tier: dup-light corpus — the collapse machinery cannot
+      // pay for itself; band every row exactly as before
+      bandPairs(base, "id_a", "id_b")
+    else {
+      // collapse tier: gid = min member id per distinct vector — ONE
+      // hash shuffle (window over v), no join-back; mem feeds banding
+      // (reps), both expansion probes and the within self-join.
+      val mem = base.select(col("id"), col("v"), col("n2"),
+          min(col("id")).over(Window.partitionBy(col("v"))).as("gid"))
+        .localCheckpoint()
+      val reps = mem.filter(col("id") === col("gid"))
+        .select(col("id"), col("v"), col("n2"))
+      val gout = bandPairs(reps, "ga", "gb")
+      // cross-group expansion: |A|·|B| member pairs per surviving group
+      // pair — output-sized by definition. Orientation is per MEMBER
+      // pair (least/greatest), so na2/nb2 swap with it. merge-hinted:
+      // mem is corpus-sized and checkpoint stats under-estimate (the
+      // banding broadcast hazard above).
+      val cross = gout.hint("merge")
+        .join(mem.select(col("gid").as("ga"), col("id").as("ida")).hint("merge"), "ga")
+        .hint("merge")
+        .join(mem.select(col("gid").as("gb"), col("id").as("idb")).hint("merge"), "gb")
+        .select(
+          least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"),
+          col("dot"),
+          when(col("ida") < col("idb"), col("na2")).otherwise(col("nb2")).as("na2"),
+          when(col("ida") < col("idb"), col("nb2")).otherwise(col("na2")).as("nb2"))
+      // within-group pairs: dot = |v|² exactly; the predicate is applied
+      // (not assumed) so τ > 1 configurations stay correct
+      val within = mem.as("x").hint("merge").join(mem.as("y").hint("merge"),
+          col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          col("x.n2").as("dot"), col("x.n2").as("na2"), col("y.n2").as("nb2"))
+        .filter(pred(col("dot"), col("na2"), col("nb2")))
+      val out = cross.unionByName(within).localCheckpoint()
+      graft.util.BlockRelease.release(Seq(gout, mem))
+      out
+    }
   }
 
   /** Exact all-pairs twin of [[cosineNearDupsExact]] (same rational

@@ -238,8 +238,34 @@ class DedupSpec extends SparkSpec with Matchers {
       truth should not be empty
       val lsh = Dedup.cosineNearDupsExact(docs, "doc_id", "v", 9, 10, tables = 96, dim = 16)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // r12 collapse-tier twin: forcing the exact-dup collapse on the
+      // same (dup-light) corpus must reproduce the pair set bit-for-bit
+      val collapsed = Dedup.cosineNearDupsExact(docs, "doc_id", "v", 9, 10,
+          tables = 96, dim = 16, collapseRatio = 0.0)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       graft.util.BlockRelease.release(docs)
       lsh shouldBe truth
+      collapsed shouldBe truth
     }
+  }
+
+  test("exact tier: dup-heavy corpus takes the collapse tier and matches brute (r12)") {
+    import graft.functions.TextFunctions.md5Embed
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5Embed(col("text")).as("v"))
+    // 3-way replicate under shifted ids: every vector has 3 exact copies,
+    // so the probe's members/distinct ≈ 3 trips the 1.25 collapse gate
+    // NATURALLY (no override) — and the pair set, within-group pairs
+    // included, must equal the all-pairs brute twin's
+    val docs = (0 until 3).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("v")))
+      .reduce(_ unionByName _).localCheckpoint()
+    val truth = Dedup.cosineNearDupsBruteExact(docs, "doc_id", "v", 9, 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.cosineNearDupsExact(docs, "doc_id", "v", 9, 10, tables = 96, dim = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.BlockRelease.release(docs)
+    truth should not be empty
+    lsh shouldBe truth
   }
 }
