@@ -29,18 +29,26 @@ object PipelineQueries {
     * evicted entry unpersists its centroids (the parquet index on disk is
     * simply overwritten by any rebuild). */
   private val ivfIndexes =
-    new graft.util.BoundedSessionCache[(SparkSession, String), (String, DataFrame)](
-      maxEntries = 8, { case (_, c) => c.unpersist(blocking = false) })
+    new graft.util.BoundedSessionCache[(SparkSession, String), (String, DataFrame, Int)](
+      maxEntries = 8, { case (_, c, _) => c.unpersist(blocking = false) })
 
-  private def ivfIndex(spark: SparkSession, dir: String): (String, DataFrame) =
+  private def ivfIndex(spark: SparkSession, dir: String): (String, DataFrame, Int) =
     ivfIndexes.getOrElseUpdate((spark, dir), {
       val pts = unitEmb(spark, dir)
-      val centroids = Ann.kmeansCentroids(pts, "id", "v", nlist = 16, iters = 2)
+      // production cell sizing — the q79/q86 [[graft.dedup.SemDedup
+      // .nlistBits]] rule (r12): cells grow ∝ corpus so a probe reads
+      // O(target) rows per cell at ANY scale. nlist was a fixed 16 —
+      // a fixture constant of exactly the class the r9 q79 fix purged
+      // (at 100 TB, 16 cells means every query scans 1/4 of the corpus).
+      // At the oracle SFs the rule lands on 16, so the oracle sees
+      // nothing new; the 10× sweep (20k vectors) lands on 64.
+      val nlist = 1 << graft.dedup.SemDedup.nlistBits(pts.count())
+      val centroids = Ann.kmeansCentroids(pts, "id", "v", nlist = nlist, iters = 2)
         .cache()
       centroids.count()
       val path = "/tmp/graft-ivf-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
       Ann.writeIvfIndex(pts, "id", "v", centroids, path)
-      (path, centroids)
+      (path, centroids, nlist)
     })
 
   /** ANN surface (the q44/q48 precedent applied to approximate search):
@@ -97,11 +105,13 @@ object PipelineQueries {
     * checkpoints, which hides the scan from the final explain). */
   private[graft] def q26Raw(spark: SparkSession, dir: String,
       qcol: Column): DataFrame = {
-    val (path, centroids) = ivfIndex(spark, dir)
+    val (path, centroids, nlist) = ivfIndex(spark, dir)
     // k+1 then re-limit: the query vector itself lives in the index and is
-    // excluded from its own neighbor list
+    // excluded from its own neighbor list. nprobe tracks nlist at a
+    // constant 1/4 fraction (recall-conservative; the per-workload
+    // recall knob) — 4/16 at the oracle SFs, unchanged there.
     Ann.ivfTopKFromIndex(spark, path, centroids, "id", "v", qcol,
-        k = 11, nprobe = 4)
+        k = 11, nprobe = math.max(4, nlist / 4))
       .filter(col("id") =!= 0)
       .orderBy(col("score").desc, col("id").asc)
       .limit(10)
