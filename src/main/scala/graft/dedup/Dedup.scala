@@ -88,20 +88,75 @@ object Dedup {
   /** Full MinHash near-dup pipeline: candidates → exact-verify → threshold.
     * Runs on shingle HASH sets end-to-end (one-pass shingling, long-array
     * intersections in the verify); signatures and surviving pairs are
-    * identical to the string-shingle formulation. */
+    * identical to the string-shingle formulation.
+    *
+    * EXACT-DUP COLLAPSE tier (r12 — the [[cosineNearDupsExact]]
+    * precedent, same argument in Jaccard space): identical shingle sets
+    * produce identical MinHash signatures and identical Jaccard against
+    * any third set, so banding each copy multiplies bucket-pair work by
+    * the square of the dup multiplicity for zero information. When the
+    * probe (one agg over the already-cached shingles — no extra scan)
+    * sees members ≥ collapseRatio × approx-distinct sets, the pipeline
+    * runs on one representative per distinct set and expands surviving
+    * group pairs back to member pairs (output-sized joins); within-group
+    * pairs have Jaccard ≡ 1.0 when the set is nonempty, and empty-set
+    * pairs have NO Jaccard (0/0 → null in the direct tier, dropped by
+    * the threshold) — mirrored by the nz guard. Pair set and Jaccard
+    * values are bit-for-bit the direct tier's (DedupSpec pins both a
+    * forced-collapse dup-light twin and a natural-trigger replicated
+    * corpus against brute truth). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, k: Int = 64, bands: Int = 16): DataFrame = {
+      threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
+      collapseRatio: Double = 1.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingledHashes(docs, idCol, textCol).cache()
-    // near-dup pairs are output-sized: materialize them and release the
-    // corpus-sized shingle cache and the candidate checkpoint before
-    // returning
-    val cand = minhashCandidates(sh, k, bands)
-    val out = jaccardOfPairs(cand, sh)
-      .filter(col("jaccard") >= threshold)
-      .localCheckpoint()
-    sh.unpersist(blocking = false)
-    graft.util.BlockRelease.release(cand)
-    out
+    val probe = sh.agg(count(lit(1)), approx_count_distinct(col("shingles"))).first()
+    val (nDocs, nDistinct) = (probe.getLong(0), probe.getLong(1))
+    if (nDocs < collapseRatio * nDistinct) {
+      // direct tier: dup-light corpus — near-dup pairs are output-sized:
+      // materialize them and release the corpus-sized shingle cache and
+      // the candidate checkpoint before returning
+      val cand = minhashCandidates(sh, k, bands)
+      val out = jaccardOfPairs(cand, sh)
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint()
+      sh.unpersist(blocking = false)
+      graft.util.BlockRelease.release(cand)
+      out
+    } else {
+      // collapse tier: gid = min member id per distinct shingle set
+      val withG = sh.select(col("doc_id"), col("shingles"),
+          min(col("doc_id")).over(Window.partitionBy(col("shingles"))).as("gid"))
+        .localCheckpoint()
+      sh.unpersist(blocking = false)
+      val reps = withG.filter(col("doc_id") === col("gid"))
+        .select(col("doc_id"), col("shingles")).cache()
+      val memIds = withG.select(col("doc_id"), col("gid"),
+        (size(col("shingles")) > 0).as("nz"))
+      val cand = minhashCandidates(reps, k, bands)
+      val gpairs = jaccardOfPairs(cand, reps)
+        .filter(col("jaccard") >= threshold)
+      // merge-hinted like the cosine tier: memIds is corpus-sized and
+      // checkpoint stats under-estimate (the banding broadcast hazard)
+      val cross = gpairs.hint("merge")
+        .join(memIds.select(col("gid").as("doc_a"), col("doc_id").as("ida"))
+          .hint("merge"), "doc_a")
+        .hint("merge")
+        .join(memIds.select(col("gid").as("doc_b"), col("doc_id").as("idb"))
+          .hint("merge"), "doc_b")
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
+      val within = memIds.as("x").hint("merge").join(memIds.as("y").hint("merge"),
+          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id") &&
+            col("x.nz"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(1.0).as("jaccard"))
+        .filter(lit(1.0) >= threshold)
+      val out = cross.unionByName(within).localCheckpoint()
+      graft.util.BlockRelease.release(Seq(withG, cand))
+      reps.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs at threshold `tau` via

@@ -69,6 +69,34 @@ class DedupSpec extends SparkSpec with Matchers {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     lsh shouldBe truth // LSH (16 bands × 4 rows) recalls all ≥0.5 pairs here,
     //                    and the exact-verify stage removes false positives
+    // r12 collapse-tier twin: forcing the exact-dup collapse on the same
+    // (dup-light) corpus must reproduce the pair set bit-for-bit
+    val collapsed = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5, collapseRatio = 0.0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    collapsed shouldBe truth
+  }
+
+  test("minhash near-dups: dup-heavy corpus takes the collapse tier and matches brute (r12)") {
+    // 3-way replicate under shifted ids: every shingle set has 3 exact
+    // copies, tripping the 1.25 collapse gate NATURALLY — the pair set
+    // (within-group 1.0-Jaccard pairs included) must equal brute truth
+    val base = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = (0 until 3).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).localCheckpoint()
+    val sh = Dedup.shingled(docs, "doc_id", "text").cache()
+    val truth = Dedup.jaccardOfPairs(
+      sh.select(col("doc_id").as("doc_a")).crossJoin(sh.select(col("doc_id").as("doc_b")))
+        .filter(col("doc_a") < col("doc_b")), sh)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sh.unpersist(blocking = false)
+    graft.util.BlockRelease.release(docs)
+    truth should not be empty
+    lsh shouldBe truth
   }
 
   test("cosine-LSH near-dups equal brute force on hashed doc embeddings (q24 ground truth)") {
