@@ -627,7 +627,8 @@ object Dedup {
     * one-shuffle shape: tokens explode locally, the 64 ±1 bit sums ride
     * ONE partial-aggregated groupBy. */
   def simhashNearDupsMd5(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      collapseRatio: Double = Double.PositiveInfinity): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
     require(width <= 32 && 32 % width == 0,
@@ -658,19 +659,10 @@ object Dedup {
       shiftrightunsigned(word, (c * width) % 32)
         .bitwiseAND(lit((1L << width) - 1))
     }
-    val banded = fp.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
-      posexplode(array(chunkCols: _*)).as(Seq("c", "chunk")))
-    banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
-        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.fp_lo").as("la"), col("a.fp_hi").as("ha"),
-        col("b.fp_lo").as("lb"), col("b.fp_hi").as("hb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        (bit_count(col("la").bitwiseXOR(col("lb"))) +
-          bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+    pigeonholePairs(fp, Seq("fp_lo", "fp_hi"), chunkCols, maxDist,
+      (a, b) => (bit_count(a("fp_lo").bitwiseXOR(b("fp_lo"))) +
+        bit_count(a("fp_hi").bitwiseXOR(b("fp_hi")))).cast("long"),
+      collapseRatio)
   }
 
   /** SimHash near-dup pairs with Hamming ≤ maxDist: pigeonhole banding —
@@ -678,22 +670,98 @@ object Dedup {
     * distance shares ≥1 exact chunk, so an equality join on
     * (chunk_idx, chunk_value) finds all of them without O(n²). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      collapseRatio: Double = Double.PositiveInfinity): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
     val fp = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sh"))
-    val banded = fp.select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(chunks - 1))).as("c"))
-      .withColumn("chunk",
-        expr(s"shiftrightunsigned(sh, c * $width)")
-          .bitwiseAND(lit((1L << width) - 1)))
-    banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
-        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"), hamming64(col("sha"), col("shb")).as("dist"))
-      .filter(col("dist") <= maxDist)
+    val chunkCols = (0 until chunks).map { c =>
+      shiftrightunsigned(col("sh"), c * width).bitwiseAND(lit((1L << width) - 1))
+    }
+    pigeonholePairs(fp, Seq("sh"), chunkCols, maxDist,
+      (a, b) => hamming64(a("sh"), b("sh")).cast("long"), collapseRatio)
+  }
+
+  /** Shared pigeonhole pair kernel for the SimHash tiers: band the
+    * fingerprint frame (doc_id, fpCols…) by `chunkCols`, self-join on
+    * (chunk_idx, chunk_value), distinct, compute `dist` and keep ≤
+    * maxDist — with an EXACT-DUP COLLAPSE tier (the
+    * [[cosineNearDupsExact]] argument in Hamming space): pair semantics
+    * depend ONLY on the fingerprint, so docs with equal fingerprints
+    * band identically and sit at distance 0 from each other; past the
+    * gate the banding runs on one representative per distinct
+    * fingerprint, group pairs expand to member pairs (output-sized
+    * joins), and within-group pairs emit at dist = 0. Pair set and
+    * distances are bit-for-bit the direct tier's (DedupSpec: forced
+    * twins both ways on a replicated corpus).
+    *
+    * MEASURED NEGATIVE RESULT (r12) — collapse is OPT-IN here
+    * (collapseRatio defaults to +∞), unlike the cosine/minhash tiers:
+    * SimHash's dominant cost is the per-doc fingerprint computation
+    * (the token explode + 64-sum groupBy), which collapse CANNOT touch
+    * — the fingerprint IS the group key, so it must be computed for
+    * every member first. On the 10×-replicated 500k-doc sweep corpus
+    * the collapse tier measured 20–21 s vs 16.9 s direct (same JVM
+    * protocol): the window + expansion machinery costs more than the
+    * shrunk banding join saves at any realistic dup ratio. Contrast
+    * minhash, where the 64-hash SIGNATURE stage runs on reps only and
+    * collapse won 20.0 → 11.9 s. The machinery is kept (and spec-pinned)
+    * for corpora with extreme fingerprint multiplicity, where the
+    * banding's dup-quadratic bucket pairs eventually dominate. */
+  private def pigeonholePairs(fp0: DataFrame, fpCols: Seq[String],
+      chunkCols: Seq[Column], maxDist: Int,
+      dist: (String => Column, String => Column) => Column,
+      collapseRatio: Double = 1.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = fp0.localCheckpoint()
+    val probe = fp.agg(count(lit(1)),
+      approx_count_distinct(struct(fpCols.map(col): _*))).first()
+    val (nDocs, nDistinct) = (probe.getLong(0), probe.getLong(1))
+    def bandJoin(src: DataFrame, la: String, lb: String): DataFrame = {
+      val banded = src.select(col("doc_id") +: fpCols.map(col) :+
+        posexplode(array(chunkCols: _*)).as(Seq("c", "chunk")): _*)
+      banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
+          col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as(la) +: col("b.doc_id").as(lb) +:
+          (fpCols.map(f => col(s"a.$f").as(s"${f}_a")) ++
+            fpCols.map(f => col(s"b.$f").as(s"${f}_b"))): _*)
+        .distinct()
+        .select(col(la), col(lb),
+          dist(f => col(s"${f}_a"), f => col(s"${f}_b")).as("dist"))
+        .filter(col("dist") <= maxDist)
+    }
+    if (nDocs < collapseRatio * nDistinct) {
+      val out = bandJoin(fp, "doc_a", "doc_b").localCheckpoint()
+      graft.util.BlockRelease.release(fp)
+      out
+    } else {
+      val withG = fp.select((col("doc_id") +: fpCols.map(col)) :+
+          min(col("doc_id")).over(Window.partitionBy(fpCols.map(col): _*))
+            .as("gid"): _*)
+        .localCheckpoint()
+      graft.util.BlockRelease.release(fp)
+      val reps = withG.filter(col("doc_id") === col("gid"))
+      val gpairs = bandJoin(reps, "ga", "gb")
+      val memIds = withG.select(col("doc_id"), col("gid"))
+      // merge-hinted like the cosine/minhash tiers: memIds is
+      // corpus-sized and checkpoint stats under-estimate
+      val cross = gpairs.hint("merge")
+        .join(memIds.select(col("gid").as("ga"), col("doc_id").as("ida"))
+          .hint("merge"), "ga")
+        .hint("merge")
+        .join(memIds.select(col("gid").as("gb"), col("doc_id").as("idb"))
+          .hint("merge"), "gb")
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"), col("dist"))
+      val within = memIds.as("x").hint("merge").join(memIds.as("y").hint("merge"),
+          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(0L).as("dist"))
+        .filter(lit(0L) <= maxDist)
+      val out = cross.unionByName(within).localCheckpoint()
+      graft.util.BlockRelease.release(withG)
+      out
+    }
   }
 }

@@ -138,6 +138,31 @@ class DedupSpec extends SparkSpec with Matchers {
     pairs should contain((1L, 2L))
     pairs should not contain ((1L, 3L))
     pairs should not contain ((2L, 3L))
+    // r12 collapse-tier twin: forced collapse must reproduce the pair set
+    val collapsed = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 8,
+        collapseRatio = 0.0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    collapsed shouldBe pairs
+  }
+
+  test("simhash md5 tier: dup-heavy corpus takes the collapse tier, pairs+distances match (r12)") {
+    // 3-way replicate: every fingerprint has 3 exact copies; collapse is
+    // OPT-IN for simhash (measured slower at realistic dup ratios — see
+    // pigeonholePairs scaladoc), so the twin forces BOTH tiers and pins
+    // (pair, dist) equality, within-group dist-0 pairs included
+    val base = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = (0 until 3).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).localCheckpoint()
+    def run(ratio: Double) =
+      Dedup.simhashNearDupsMd5(docs, "doc_id", "text", maxDist = 3,
+          collapseRatio = ratio)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = run(Double.PositiveInfinity)
+    val collapsed = run(1.25)
+    graft.util.BlockRelease.release(docs)
+    direct should not be empty
+    collapsed shouldBe direct
   }
 
   test("decontamination: planted 8-gram overlap flagged, 7-gram overlap is not") {
