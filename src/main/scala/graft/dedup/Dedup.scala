@@ -159,6 +159,87 @@ object Dedup {
     }
   }
 
+  /** Exact n-gram Jaccard near-dup pairs within each `scopeCol` value
+    * (q33's kernel, factored r12): hashed word-shingles → inverted index
+    * (one row per (doc, shingle), repartitioned by shingle so a
+    * single-file scan can't serialize the self-join) → per-pair
+    * intersection counts via one equality self-join + groupBy → exact
+    * Jaccard ≥ threshold. Shuffle ∝ postings + co-occurrences, never
+    * all pairs.
+    *
+    * EXACT-DUP COLLAPSE tier (the [[minhashNearDups]] argument — the
+    * inverted-index join is quadratic in duplicate multiplicity):
+    * identical (scope, shingle set) docs contribute identical posting
+    * rows, so past the gate the index is built over one representative
+    * per distinct (scope, shingle set), surviving group pairs expand to
+    * member pairs (output-sized joins), and within-group pairs emit at
+    * Jaccard ≡ 1.0 (nonempty sets only — empty sets have no postings in
+    * the direct tier and thus no pairs, mirrored by the nz guard).
+    * DedupSpec pins forced twins both ways on a replicated corpus. */
+  def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+      scopeCol: String, threshold: Double = 0.5, n: Int = 3,
+      collapseRatio: Double = 1.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingledHashes(docs, idCol, textCol, n, keep = Seq(scopeCol)).cache()
+    val probe = sh.agg(count(lit(1)),
+      approx_count_distinct(struct(col(scopeCol), col("shingles")))).first()
+    val (nDocs, nDistinct) = (probe.getLong(0), probe.getLong(1))
+    // inverted-index pair stage shared by both tiers
+    def pairs(src: DataFrame, la: String, lb: String): (DataFrame, DataFrame) = {
+      val ex = src.select(col("doc_id"), col(scopeCol),
+          size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
+        .repartition(col("s"))
+        .localCheckpoint() // shingling is the expensive part; never twice
+      val out = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") &&
+            col(s"a.$scopeCol") === col(s"b.$scopeCol") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as(la), col("b.doc_id").as(lb))
+        .agg(count(lit(1)).as("inter"), max(col("a.n")).as("na"),
+          max(col("b.n")).as("nb"))
+        .select(col(la), col(lb),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      (ex, out)
+    }
+    if (nDocs < collapseRatio * nDistinct) {
+      val (ex, out0) = pairs(sh, "doc_a", "doc_b")
+      val out = out0.localCheckpoint() // pair set is output-sized:
+      // materialize and free the corpus×shingles index blocks
+      sh.unpersist(blocking = false)
+      graft.util.BlockRelease.release(ex)
+      out
+    } else {
+      val withG = sh.select(col("doc_id"), col(scopeCol), col("shingles"),
+          min(col("doc_id"))
+            .over(Window.partitionBy(col(scopeCol), col("shingles"))).as("gid"))
+        .localCheckpoint()
+      sh.unpersist(blocking = false)
+      val reps = withG.filter(col("doc_id") === col("gid"))
+      val (exR, gpairs) = pairs(reps, "ga", "gb")
+      val memIds = withG.select(col("doc_id"), col("gid"),
+        (size(col("shingles")) > 0).as("nz"))
+      val cross = gpairs.hint("merge")
+        .join(memIds.select(col("gid").as("ga"), col("doc_id").as("ida"))
+          .hint("merge"), "ga")
+        .hint("merge")
+        .join(memIds.select(col("gid").as("gb"), col("doc_id").as("idb"))
+          .hint("merge"), "gb")
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
+      val within = memIds.as("x").hint("merge").join(memIds.as("y").hint("merge"),
+          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id") &&
+            col("x.nz"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(1.0).as("jaccard"))
+        .filter(lit(1.0) >= threshold)
+      val out = cross.unionByName(within).localCheckpoint()
+      graft.util.BlockRelease.release(Seq(withG, exR))
+      out
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs at threshold `tau` via
     * signed-random-projection LSH banding (the 100 TB path for vector
     * dedup): each vector gets `tables` b-bit hyperplane-sign signatures;

@@ -55,33 +55,14 @@ object TextQueries {
 
   /** q33 — n-gram (3-word-shingle) Jaccard near-duplicate pairs within each
     * source, via inverted shingle index (equality join) — never all-pairs. */
-  val q33NgramJaccard: Q = (spark, dir) => {
-    import spark.implicits._
+  val q33NgramJaccard: Q = (spark, dir) =>
     // one-pass hashed shingling (WordShingleHashes); 8-byte join keys give
     // the same counts as strings (64-bit collisions negligible) at ~60%
-    // less shuffle volume on the inverted-index self-join
-    val sh = Dedup.shingledHashes(docs(spark, dir), "doc_id", "text", 3,
-      keep = Seq("source"))
-    val ex = sh.select($"doc_id", $"source", size($"shingles").as("n"),
-      explode($"shingles").as("s"))
-      .repartition($"s") // spread the inverted index over the cluster —
-      //   a checkpoint inheriting a single-file scan's partitioning would
-      //   run the whole self-join in one task
-      .localCheckpoint() // shingling is the expensive part; never do it twice
-    // pair set is output-sized: materialize it and free the inverted
-    // index's corpus×shingles blocks (repeated calls in one session would
-    // otherwise stack them until memory pressure)
-    val out = ex.as("a").join(ex.as("b"),
-        $"a.s" === $"b.s" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("inter"), max($"a.n").as("na"), max($"b.n").as("nb"))
-      .select($"doc_a", $"doc_b",
-        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
-      .filter($"jaccard" >= 0.5)
-      .localCheckpoint()
-    graft.util.BlockRelease.release(ex)
-    out
-  }
+    // less shuffle volume on the inverted-index self-join. Kernel factored
+    // to [[Dedup.ngramJaccardNearDups]] (r12) — same inverted-index plan,
+    // plus the exact-dup collapse tier for dup-heavy corpora.
+    Dedup.ngramJaccardNearDups(docs(spark, dir), "doc_id", "text",
+      scopeCol = "source", threshold = 0.5, n = 3)
 
   /** q63 — GPT-style pre-tokenization (the "BPE-ish regex" tier of token
     * counting): per-doc pre-token count, distinct pre-token count, and the
