@@ -240,6 +240,108 @@ object Dedup {
     }
   }
 
+  /** Shingle-candidate + cosine-verify near-dup pairs (q38's kernel,
+    * factored r12): candidates are doc pairs sharing ≥1 exact hashed
+    * n-word shingle within a `scopeCol` value (inverted-index equality
+    * self-join, repartitioned by shingle), each verified by exact cosine
+    * ≥ tau over the [[graft.functions.TextFunctions.md5Embed]] vectors.
+    * The embedding projection is checkpointed BEFORE the pair join —
+    * Catalyst otherwise collapses it past the join and re-evaluates the
+    * (interpreted higher-order) md5 vector fold once per candidate pair
+    * side instead of once per document (measured 14 s → <1 s on 56k
+    * sf0.1 candidates).
+    *
+    * EXACT-DUP COLLAPSE tier — at the DOCUMENT level, upstream of every
+    * expensive stage: the group key (scope, text) determines the shingle
+    * set AND the embedding, so past the gate the shingling, the
+    * embedding fold, the inverted-index join and the verify all run on
+    * one representative per distinct (scope, text); surviving group
+    * pairs expand to member pairs (output-sized joins), and
+    * within-group pairs emit at cos ≡ 1.0 exactly (dot(v,v) is
+    * bit-equal to n² by identical fold order, and √(n²·n²) = n² exactly
+    * for these integer-valued sums) — guarded by the SAME conditions
+    * the direct tier imposes: a nonempty shingle set (no postings → no
+    * candidate) and n² > 0. DedupSpec pins forced twins both ways on a
+    * replicated corpus. */
+  def shingleCosineVerify(docs: DataFrame, idCol: String, textCol: String,
+      scopeCol: String, tauCos: Double = 0.6, n: Int = 3,
+      collapseRatio: Double = 1.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = docs.select(col(idCol).as("doc_id"), col(scopeCol).as("scope"),
+      col(textCol).as("text"))
+    // pair stage shared by both tiers: candidates + verify over `src`
+    def verifiedPairs(src: DataFrame, la: String, lb: String):
+        (DataFrame, DataFrame, DataFrame) = {
+      val shr = shingledHashes(src, "doc_id", "text", n, keep = Seq("scope"))
+        .localCheckpoint() // shingling runs once: postings + nz flags
+      val ex = shr.select(col("doc_id"), col("scope"),
+          explode(col("shingles")).as("k"))
+        .repartition(col("k")) // spread the inverted index
+        .localCheckpoint()
+      val cand = ex.as("a").join(ex.as("b"),
+          col("a.k") === col("b.k") && col("a.scope") === col("b.scope") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as(la), col("b.doc_id").as(lb)).distinct()
+        .localCheckpoint()
+      graft.util.BlockRelease.release(ex)
+      val emb = src.select(col("doc_id"), md5Embed(col("text")).as("v"))
+        .withColumn("n2", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+        .localCheckpoint()
+      val out = cand
+        .join(emb.select(col("doc_id").as(la), col("v").as("va"), col("n2").as("na2")), la)
+        .join(emb.select(col("doc_id").as(lb), col("v").as("vb"), col("n2").as("nb2")), lb)
+        .filter(col("na2") > 0 && col("nb2") > 0)
+        .select(col(la), col(lb),
+          round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / sqrt(col("na2") * col("nb2")), 4)
+            .as("cos"))
+        .filter(col("cos") >= tauCos)
+        .localCheckpoint()
+      graft.util.BlockRelease.release(cand)
+      (shr, emb, out)
+    }
+    val probe = d0.agg(count(lit(1)),
+      approx_count_distinct(struct(col("scope"), col("text")))).first()
+    val (nDocs, nDistinct) = (probe.getLong(0), probe.getLong(1))
+    if (nDocs < collapseRatio * nDistinct) {
+      val (shr, emb, out) = verifiedPairs(d0, "doc_a", "doc_b")
+      graft.util.BlockRelease.release(Seq(shr, emb))
+      out
+    } else {
+      val withG = d0.select(col("doc_id"), col("scope"), col("text"),
+          min(col("doc_id"))
+            .over(Window.partitionBy(col("scope"), col("text"))).as("gid"))
+        .localCheckpoint()
+      val reps = withG.filter(col("doc_id") === col("gid"))
+        .select(col("doc_id"), col("scope"), col("text"))
+      val (shr, emb, gout) = verifiedPairs(reps, "ga", "gb")
+      val memIds = withG.select(col("doc_id"), col("gid"))
+      val cross = gout.hint("merge")
+        .join(memIds.select(col("gid").as("ga"), col("doc_id").as("ida"))
+          .hint("merge"), "ga")
+        .hint("merge")
+        .join(memIds.select(col("gid").as("gb"), col("doc_id").as("idb"))
+          .hint("merge"), "gb")
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"), col("cos"))
+      // within-group pairs obey the direct tier's emission conditions:
+      // ≥1 shingle (else no candidate) and n² > 0 (the verify guard)
+      val repFlags = shr.select(col("doc_id").as("gid"),
+          (size(col("shingles")) > 0).as("nz"))
+        .join(emb.select(col("doc_id").as("gid"), (col("n2") > 0).as("pos")), "gid")
+      val within = memIds.as("x").hint("merge").join(memIds.as("y").hint("merge"),
+          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.gid").as("gid"))
+        .join(repFlags, "gid")
+        .filter(col("nz") && col("pos") && lit(1.0) >= tauCos)
+        .select(col("doc_a"), col("doc_b"), lit(1.0).as("cos"))
+      val out = cross.unionByName(within).localCheckpoint()
+      graft.util.BlockRelease.release(Seq(withG, shr, emb, gout))
+      out
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs at threshold `tau` via
     * signed-random-projection LSH banding (the 100 TB path for vector
     * dedup): each vector gets `tables` b-bit hyperplane-sign signatures;

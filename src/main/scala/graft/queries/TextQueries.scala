@@ -118,44 +118,17 @@ object TextQueries {
     * hash-match DuckDB exactly (integer-valued vectors → exact dot/norm);
     * q24 keeps exercising the SRP-LSH candidate tier, spec-proven equal to
     * its brute twin. */
-  val q38CosineVerify: Q = (spark, dir) => {
-    import spark.implicits._
-    val d = docs(spark, dir)
+  val q38CosineVerify: Q = (spark, dir) =>
     // candidate pairs via the one-pass HASHED shingle index (q33's
     // machinery): the oracle joins on md5 of the shingle string, but the
     // PAIR SET is what must match, and 64-bit content hashes produce the
     // same pairs (collisions negligible) at a fraction of the string+md5
     // cost — the md5 arithmetic is reserved for the verify stage, where
-    // bit-level parity is what the oracle checks
-    val ex = Dedup.shingledHashes(d, "doc_id", "text", 3, keep = Seq("source"))
-      .select($"doc_id", $"source", explode($"shingles").as("k"))
-      .repartition($"k") // spread the inverted index (q33 discipline)
-      .localCheckpoint() // shingling runs once for both self-join sides
-    val cand = ex.as("a").join(ex.as("b"),
-        $"a.k" === $"b.k" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-      .localCheckpoint()
-    graft.util.BlockRelease.release(ex)
-    // materialized BEFORE the pair join: Catalyst otherwise collapses the
-    // embedding projection past the join and re-evaluates the (interpreted
-    // higher-order) md5 vector fold once per candidate PAIR SIDE instead
-    // of once per document — measured 14 s → <1 s on 56k sf0.1 candidates
-    val emb = d.select($"doc_id", md5Embed($"text").as("v"))
-      .withColumn("n2", aggregate($"v", lit(0.0), (acc, x) => acc + x * x))
-      .localCheckpoint()
-    val out = cand
-      .join(emb.select($"doc_id".as("doc_a"), $"v".as("va"), $"n2".as("na2")), "doc_a")
-      .join(emb.select($"doc_id".as("doc_b"), $"v".as("vb"), $"n2".as("nb2")), "doc_b")
-      .filter($"na2" > 0 && $"nb2" > 0)
-      .select($"doc_a", $"doc_b",
-        round(aggregate(zip_with($"va", $"vb", (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / sqrt($"na2" * $"nb2"), 4).as("cos"))
-      .filter($"cos" >= 0.6)
-      .localCheckpoint()
-    graft.util.BlockRelease.release(cand)
-    graft.util.BlockRelease.release(emb)
-    out
-  }
+    // bit-level parity is what the oracle checks. Kernel factored to
+    // [[Dedup.shingleCosineVerify]] (r12) — same candidate + verify plan,
+    // plus the document-level exact-dup collapse tier.
+    Dedup.shingleCosineVerify(docs(spark, dir), "doc_id", "text",
+      scopeCol = "source", tauCos = 0.6, n = 3)
 
   /** q37 — document kNN over the cross-engine md5 feature-hash embedding
     * (the q38 precedent, closing the round-4 rows-only gap): embed all

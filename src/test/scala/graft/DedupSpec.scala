@@ -166,6 +166,27 @@ class DedupSpec extends SparkSpec with Matchers {
     collapsed shouldBe direct
   }
 
+  test("shingle-cosine verify: dup-heavy corpus takes the doc-level collapse tier and matches (r12)") {
+    // 3-way replicate: identical (source, text) docs trip the 1.25 gate
+    // NATURALLY; (pair, cos) rows must equal the direct tier's (forced
+    // via collapseRatio = +∞), within-group cos-1.0 pairs included
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val docs = (0 until 3).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text"), col("source")))
+      .reduce(_ unionByName _).localCheckpoint()
+    def run(ratio: Double) =
+      Dedup.shingleCosineVerify(docs, "doc_id", "text", scopeCol = "source",
+          tauCos = 0.6, collapseRatio = ratio)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = run(Double.PositiveInfinity)
+    val collapsed = run(1.25)
+    graft.util.BlockRelease.release(docs)
+    direct should not be empty
+    direct.exists(_._3 == 1.0) shouldBe true // within-group pairs present
+    collapsed shouldBe direct
+  }
+
   test("simhash md5 tier: dup-heavy corpus takes the collapse tier, pairs+distances match (r12)") {
     // 3-way replicate: every fingerprint has 3 exact copies; collapse is
     // OPT-IN for simhash (measured slower at realistic dup ratios — see
