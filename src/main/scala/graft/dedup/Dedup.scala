@@ -389,6 +389,16 @@ object Dedup {
     *    ~n·tables/4, so the candidate set is collision-sized, not
     *    dense-cluster-quadratic.
     *
+    * EXACT-DUP COLLAPSE tier (r12 — the [[cosineNearDupsExact]] argument,
+    * float edition): past members ≥ collapseRatio × approx-distinct
+    * normalized vectors (the gate rides the SAME probe action that feeds
+    * autoBanding's count — no extra scan), banding runs on one
+    * representative per distinct nv and group pairs expand output-sized;
+    * within-group sim is COMPUTED from the rep (the direct tier's own
+    * verify expression), never assumed 1.0. Pair set and sims bit-equal
+    * at any config (DedupSpec: forced twin at both spec SFs + replicated
+    * corpus vs brute).
+    *
     * @param vecs (id, vector) — vectors need not be pre-normalized
     * @param dim embedding width; callers know it (it's their embed config) —
     *            the default −1 falls back to a one-row probe, which costs a
@@ -397,26 +407,28 @@ object Dedup {
     */
   def cosineNearDups(vecs: DataFrame, idCol: String, vCol: String,
       tau: Double = 0.9, bits: Int = -1, tables: Int = -1,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1, collapseRatio: Double = 1.25): DataFrame = {
     import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
     val d = if (dim > 0) dim else vecs.select(size(col(vCol))).first().getInt(0)
-    val (b, t) =
-      if (bits > 0 && tables > 0) (bits, tables)
-      else autoBanding(tau, vecs.count(), bits, tables)
-    val n = vecs
+    val n0 = vecs
       .select(col(idCol).as("id"), VectorFunctions.l2normalize(col(vCol)).as("nv"))
       .localCheckpoint() // normalize once: banding AND verify read it
-    val allSigs = graft.functions.VectorExpressions
-      .hyperplane_sigs(col("nv"), d, "neardup", b, t)
+    // ONE probe action carries the autoBanding count AND the r12
+    // exact-dup collapse gate (members vs approx-distinct normalized
+    // vectors) — the separate vecs.count() scan is absorbed
+    val probe = n0.agg(count(lit(1)), approx_count_distinct(col("nv"))).first()
+    val (cnt, nDistinct) = (probe.getLong(0), probe.getLong(1))
+    val (b, t) =
+      if (bits > 0 && tables > 0) (bits, tables)
+      else autoBanding(tau, cnt, bits, tables)
     // SKINNY banding — (id, t, s) only, ~24 B/row: with auto-scaled bits
     // the banding carries each id `tables` times, and `tables` grows with
     // ⌈log2 n⌉, so banding bytes are what the self-join sorts/shuffles.
     // Carrying the vector through the banding (the old verify-in-join
     // shape) multiplied that by dim·8 B — measured 47 s vs 11 s at 50k
     // docs, 54 GB of banded state at 500k.
-    val banded = n.select(col("id"), posexplode(allSigs).as(Seq("t", "s")))
-      .repartition(col("t"), col("s"))
-      .localCheckpoint() // sigs computed once, spread over buckets
+    //
     // hint("merge") on BOTH sides (here and in every banding self-join):
     // the banded set is corpus×tables-sized BY CONSTRUCTION, never a
     // broadcast candidate — but localCheckpoint propagates the
@@ -432,26 +444,76 @@ object Dedup {
     // auto-scaled config bounds random collisions at ~n·tables/4, so the
     // distinct candidate set is collision-sized, and each candidate's
     // vectors are joined back exactly once for the verify dot product.
-    val candidates = banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
-        col("a.t") === col("b.t") && col("a.s") === col("b.s") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // merge-hinted verify joins: neither side may be a broadcast (the
+    // Merge-hinted verify joins: neither side may be a broadcast (the
     // stat-misestimate hazard above) nor a per-partition hash build (the
     // candidates+vectors intermediate of the second join measured ~7 GB
     // at 500k docs and blew the per-task memory grant as a hash
-    // relation); sort-merge streams both sides and AQE skew-splits it
-    val withA = candidates.hint("merge")
-      .join(n.select(col("id").as("id_a"), col("nv").as("va")), "id_a")
-    val out = withA.hint("merge")
-      .join(n.select(col("id").as("id_b"), col("nv").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(VectorFunctions.dot(col("va"), col("vb")), 4).as("sim"))
-      .filter(col("sim") >= tau)
-      .localCheckpoint()
-    graft.util.BlockRelease.release(Seq(banded, n))
-    out
+    // relation); sort-merge streams both sides and AQE skew-splits it.
+    def bandPairs(src: DataFrame, la: String, lb: String): DataFrame = {
+      val allSigs = graft.functions.VectorExpressions
+        .hyperplane_sigs(col("nv"), d, "neardup", b, t)
+      val banded = src.select(col("id"), posexplode(allSigs).as(Seq("t", "s")))
+        .repartition(col("t"), col("s"))
+        .localCheckpoint() // sigs computed once, spread over buckets
+      val candidates = banded.as("a").hint("merge").join(banded.as("b").hint("merge"),
+          col("a.t") === col("b.t") && col("a.s") === col("b.s") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as(la), col("b.id").as(lb))
+        .dropDuplicates(la, lb)
+      val withA = candidates.hint("merge")
+        .join(src.select(col("id").as(la), col("nv").as("va")), la)
+      val out = withA.hint("merge")
+        .join(src.select(col("id").as(lb), col("nv").as("vb")), lb)
+        .select(col(la), col(lb),
+          round(VectorFunctions.dot(col("va"), col("vb")), 4).as("sim"))
+        .filter(col("sim") >= tau)
+        .localCheckpoint()
+      graft.util.BlockRelease.release(banded)
+      out
+    }
+    if (cnt < collapseRatio * nDistinct) {
+      // direct tier: dup-light corpus — band every row as before
+      val out = bandPairs(n0, "id_a", "id_b")
+      graft.util.BlockRelease.release(n0)
+      out
+    } else {
+      // r12 EXACT-DUP COLLAPSE tier (the [[cosineNearDupsExact]]
+      // argument, float edition): identical normalized vectors sign
+      // identically in every table and score identically against any
+      // third vector, so band one representative per distinct nv and
+      // expand group pairs output-sized. Within-group sim is COMPUTED
+      // from the rep (round(dot(nv,nv), 4) — the exact expression the
+      // direct tier's verify evaluates for such a pair), never assumed
+      // 1.0: zero or denormal vectors fall out of the threshold the
+      // same way in both tiers.
+      val withG = n0.select(col("id"), col("nv"),
+          min(col("id")).over(Window.partitionBy(col("nv"))).as("gid"))
+        .localCheckpoint()
+      graft.util.BlockRelease.release(n0)
+      val reps = withG.filter(col("id") === col("gid")).select(col("id"), col("nv"))
+      val gout = bandPairs(reps, "ga", "gb")
+      val memIds = withG.select(col("id"), col("gid"))
+      val cross = gout.hint("merge")
+        .join(memIds.select(col("gid").as("ga"), col("id").as("ida"))
+          .hint("merge"), "ga")
+        .hint("merge")
+        .join(memIds.select(col("gid").as("gb"), col("id").as("idb"))
+          .hint("merge"), "gb")
+        .select(least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"), col("sim"))
+      val repSim = reps.select(col("id").as("gid"),
+          round(VectorFunctions.dot(col("nv"), col("nv")), 4).as("sim"))
+        .filter(col("sim") >= tau)
+      val within = memIds.as("x").hint("merge").join(memIds.as("y").hint("merge"),
+          col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          col("x.gid").as("gid"))
+        .join(repSim, "gid")
+        .select(col("id_a"), col("id_b"), col("sim"))
+      val out = cross.unionByName(within).localCheckpoint()
+      graft.util.BlockRelease.release(Seq(withG, gout))
+      out
+    }
   }
 
   /** The banding-resolution law (see [[cosineNearDups]] scaladoc):

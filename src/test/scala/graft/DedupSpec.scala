@@ -113,7 +113,32 @@ class DedupSpec extends SparkSpec with Matchers {
       lsh shouldBe truth // banding recalls every ≥0.9 pair here (miss ≈ 2.6e-3
       //                    per borderline pair, deterministic hyperplanes);
       //                    the exact-verify stage removes all false positives
+      // r12 collapse-tier twin: forced collapse must reproduce
+      // (pair, sim) rows bit-for-bit on the same dup-light corpus
+      val collapsed = Dedup.cosineNearDups(docs, "doc_id", "v", tau = 0.9,
+          collapseRatio = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      collapsed shouldBe truth
     }
+  }
+
+  test("cosine-LSH float tier: dup-heavy corpus takes the collapse tier and matches brute (r12)") {
+    import graft.functions.TextExpressions.embed_text
+    // 3-way replicate: identical embeddings trip the 1.25 gate NATURALLY;
+    // (pair, sim) rows — within-group sim computed from the rep, not
+    // assumed — must equal the brute twin's
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), embed_text(col("text"), 64).as("v"))
+    val docs = (0 until 3).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("v")))
+      .reduce(_ unionByName _).localCheckpoint()
+    val truth = Dedup.cosineNearDupsBrute(docs, "doc_id", "v", tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.cosineNearDups(docs, "doc_id", "v", tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.util.BlockRelease.release(docs)
+    truth should not be empty
+    lsh shouldBe truth
   }
 
   test("exact dedup groups: one group per normalized text") {
