@@ -748,6 +748,21 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).toSet)
     val skip = sys.env.get("SPARK_GRAFT_SWEEP_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    // the Bench protocol's drift controls, sweep edition (r12 — the
+    // post-fix sweep hit a 20-min degraded-box window that inflated the
+    // untouched graph family 3×, caught only by a bench canary minutes
+    // later): one DISCARDED q01 run absorbs JIT + session init, and a
+    // timed q01 canary brackets the sweep on each end so any window of
+    // box drift inside a long sweep is visible in the log itself.
+    def canary(tag: String): Unit = SparkEntry.queries.get("q01_pricing_summary")
+      .foreach { q =>
+        val t0 = System.nanoTime()
+        val r = q(spark, dir); r.count(); graft.util.BlockRelease.release(r)
+        System.err.println(
+          f"SCALE-SWEEP k=$k%2d canary-$tag q01 ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      }
+    canary("warmup") // discarded: first-use costs land here, not in q01's row
+    canary("pre")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
       if (!only.forall(_.contains(name))) ()
       else if (skip.contains(name))
@@ -770,5 +785,6 @@ object ScaleBench {
         }
       }
     }
+    canary("post")
   }
 }

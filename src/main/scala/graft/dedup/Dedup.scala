@@ -13,6 +13,19 @@ import graft.functions.TextExpressions._
   * LSH bands, SimHash chunks), so the shuffle is proportional to
   * data-plus-collisions, not pairs. That is the only formulation that
   * survives 100 TB.
+  *
+  * Exact-dup collapse (r12): the near-dup operators additionally detect
+  * duplicate-heavy corpora (members ≥ ~1.25 × distinct content keys —
+  * the shape of every real crawl) and run their candidate machinery on
+  * one representative per distinct key, expanding surviving group pairs
+  * back to member pairs with output-sized joins — bit-identical pair
+  * sets at a fraction of the bucket-join work. One honest limit: the
+  * pair-complete CONTRACT is itself quadratic in dup-group size (a
+  * 10M-copy boilerplate group owes 5·10¹³ within-pairs from ANY
+  * implementation), so at extreme multiplicities consume the compact
+  * form instead — [[exactDuplicateGroups]] for canonicalization, or the
+  * collapse tier's group-pair stage, which is exactly the pre-expansion
+  * representation.
   */
 object Dedup {
 
