@@ -89,6 +89,31 @@ object WavCodec extends Codec {
     } catch { case _: Exception => None }
 }
 
+/** Canonical WAV container for 16-bit mono PCM — the 44-byte RIFF
+  * header javax.sound's WAVE writer emits for this format, hand-rolled
+  * (r12): `AudioSystem.write` routes every call through the JDK's
+  * synchronized SPI provider registry, which serializes concurrent
+  * encode tasks (measured on the 10× sweep's q61: 12.5 s at 32 CPUs vs
+  * 21.6 s at 4 — 8× threads bought 1.7×). Fixture GENERATION is not the
+  * operator under test, so it skips the registry; the DECODE side
+  * ([[WavCodec]]) stays on javax.sound — that is the real-codec claim.
+  * Byte-for-byte equality with the JDK writer's output is spec-pinned
+  * (MultimodalSpec), so every downstream hash is unchanged. */
+private[graft] object WavEncode {
+  def wavBytes(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44 + pcm.length)
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); le32(36 + pcm.length); tag("WAVE")
+    tag("fmt "); le32(16); le16(1) /* PCM */ ; le16(1) /* mono */
+    le32(sampleRate); le32(sampleRate * 2); le16(2); le16(16)
+    tag("data"); le32(pcm.length); out.write(pcm)
+    out.toByteArray
+  }
+}
+
 /** Per-JVM ImageIO configuration: the default stream cache is
   * DISK-backed — every encode/decode call creates and deletes a temp
   * file, which at corpus scale is thousands of filesystem round-trips

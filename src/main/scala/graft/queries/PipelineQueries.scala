@@ -234,13 +234,10 @@ object PipelineQueries {
           pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
           k += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, 256)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        (d, "audio", bos.toByteArray)
+        // hand-rolled canonical container (spec-pinned byte-equal to the
+        // AudioSystem.write output) — the JDK writer's synchronized SPI
+        // lookup serialized concurrent encode tasks (see WavEncode doc)
+        (d, "audio", graft.multimodal.WavEncode.wavBytes(pcm, 8000))
       }
     }.toDF("media_id", "kind", "payload")
       .withColumn("meta", expr(

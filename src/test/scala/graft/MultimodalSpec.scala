@@ -102,6 +102,11 @@ class MultimodalSpec extends SparkSpec with Matchers {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     val wav = bos.toByteArray
 
+    // r12: the hand-rolled fixture container (q61's encode path, which
+    // skips the synchronized AudioSystem SPI registry) must be
+    // BYTE-FOR-BYTE the JDK writer's output — downstream hashes unchanged
+    graft.multimodal.WavEncode.wavBytes(pcm, 8000) shouldBe wav
+
     val feats = WavCodec.features(wav, 16).get
     feats.foreach(_ shouldBe (1.0 / 16) +- 1e-9) // uniform sweep → uniform bins
     feats.sum shouldBe 1.0 +- 1e-9
