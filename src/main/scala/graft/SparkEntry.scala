@@ -30,7 +30,8 @@ object SparkEntry {
       TextQueries.defs ++
       GraphQueries.defs ++
       PipelineQueries.defs ++
-      IngestQueries.defs
+      IngestQueries.defs ++
+      CorpusQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
@@ -38,5 +39,6 @@ object SparkEntry {
       TextQueries.oracles ++
       GraphQueries.oracles ++
       PipelineQueries.oracles ++
-      IngestQueries.oracles
+      IngestQueries.oracles ++
+      CorpusQueries.oracles
 }

@@ -104,6 +104,29 @@ object CmsSketch {
     perRow.agg(coalesce(min(col("ip")), lit(0L)).as("est_join_size"))
   }
 
+  /** The grid as ONE broadcastable row — map (r·w + b) → c, ≤ d·w
+    * entries by construction — for MAP-SIDE per-occurrence probing via
+    * [[estimateFromMap]]. This is q109's candidate generator: token
+    * occurrences probe the broadcast map BEFORE any exchange, so the
+    * open vocabulary never crosses the wire (the thing [[estimates]]'
+    * probe-frame join cannot avoid when the probe set IS the vocab). */
+  def gridAsMap(grid: DataFrame, w: Int = 512): DataFrame =
+    grid.agg(map_from_entries(collect_list(
+      struct((col("r") * w + col("b")).as("k"), col("c").as("v")))).as("cms_map"))
+
+  /** Map-side point estimate against a [[gridAsMap]] column: d
+    * element_at lookups + least — pure codegen, zero shuffle, absent
+    * cells (and the empty-grid empty map) read 0. `u60Col` should be a
+    * materialized [[hash60]] projection (the q87 r12 CSE discipline). */
+  def estimateFromMap(u60Col: Column, cmsMap: Column, d: Int = 3,
+      w: Int = 512): Column = {
+    requireDims(d, w)
+    val cells = (0 until d).map(r =>
+      coalesce(element_at(cmsMap, lit(r.toLong * w) + bucket(r, u60Col, w)),
+        lit(0L)))
+    if (d == 1) cells.head else least(cells: _*)
+  }
+
   /** Point-query the grid for every token in `probes` (a 1-column frame
     * of DISTINCT tokens): (token, est_count). The GRID broadcasts (≤ d·w
     * rows by construction — that fixed size is the whole point of the
