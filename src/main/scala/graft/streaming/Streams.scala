@@ -562,6 +562,45 @@ object Streams {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** WINDOWED MEMBERSHIP SKETCH over a stream — the Bloom leg of the
+    * streaming sketch family ([[windowedDistinctHll]] = cardinality,
+    * [[windowedTokenCms]] = frequency, this = membership: "has this
+    * gram/url/id appeared in this window?" at 100 TB/day rates): the
+    * [[graft.functions.BloomSketch]] bitset AS the streaming
+    * aggregation, held as (win, word) → mask rows so state is ≤ k·m/64
+    * rows per open window regardless of key cardinality, with bitwise-OR
+    * (the Bloom merge) as the state update — idempotent, so late or
+    * replayed data inside the watermark cannot corrupt a bit. The word
+    * layout matches [[graft.functions.BloomSketch.bloom_build_hex]]
+    * exactly (word = r·m/64 + p≫6, bit = p∧63): a closed window's rows
+    * assemble into the batch bitset bit-for-bit (spec-pinned), so the
+    * batch probe ([[graft.functions.BloomSketch.bloom_probe_hex]]) and
+    * the q106 gate run unchanged against windows drained from a stream.
+    * `hexCol` = md5-hex keys (the docSigGrams/Md5WordShingles output).
+    * Returns the streaming (win, word, mask) frame — attach any sink. */
+  def windowedGramBloom(stream: DataFrame, tsCol: String, hexCol: String,
+      windowDur: String = "1 hour", watermark: String = "2 hours",
+      mBits: Int = 1 << 17, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomSketch
+    BloomSketch.requireDims(mBits, k)
+    val wordsPerRow = mBits / 64
+    val u = conv(substring(col(hexCol), 1, 15), 16, 10).cast("long")
+    stream.withWatermark(tsCol, watermark)
+      // u60 materialized BELOW the generator (the q87 r12 CSE discipline)
+      .select(window(col(tsCol), windowDur).as("win"), u.as("_u60"))
+      .select(col("win"), explode(array((0 until k).map { r =>
+        val p = shiftrightunsigned(col("_u60"), 17 * r)
+          .bitwiseAND(lit((mBits - 1).toLong))
+        struct(
+          (shiftrightunsigned(p, 6) + lit(r.toLong * wordsPerRow)).as("word"),
+          call_function("shiftleft", lit(1L),
+            p.bitwiseAND(lit(63L)).cast("int")).as("mask"))
+      }: _*)).as("wm"))
+      .groupBy(col("win"), col("wm.word").as("word"))
+      .agg(bit_or(col("wm.mask")).as("mask"))
+  }
+
   def dedupStream(stream: DataFrame, tsCol: String, keyCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     stream.withWatermark(tsCol, watermark)

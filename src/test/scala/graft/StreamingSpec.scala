@@ -423,6 +423,47 @@ class StreamingSpec extends SparkSpec with Matchers {
     byWin("2024-01-01 01:00:00.0") shouldBe batch1
   }
 
+  test("windowed Bloom: bounded word state, streaming bitset == batch build bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    def md5Hex(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // hour 0: 200 distinct keys, several repeated (OR idempotence);
+    // the 03:00 event closes the window
+    val keys = (0 until 200).map(i => md5Hex(s"gram$i"))
+    val h0 = (keys ++ keys.take(40)).zipWithIndex.map { case (h, i) =>
+      s"""{"ts":"2024-01-01T00:${i % 50}:00.000Z","h":"$h"}"""
+    }
+    val closer = Seq(s"""{"ts":"2024-01-01T03:00:00.000Z","h":"${md5Hex("zz")}"}""")
+    val dir = writeTopic(h0 ++ closer)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType)))
+    val (m, k) = (4096, 3)
+    val words = Streams.windowedGramBloom(
+      Streams.subscribe(spark, dir, schema), "ts", "h",
+      windowDur = "1 hour", watermark = "30 minutes", mBits = m, k = k)
+    val q = words.writeStream.format("memory").queryName("bloom_t")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT win.start AS st, word, mask FROM bloom_t").collect()
+    rows.map(_.getTimestamp(0).toString).toSet shouldBe Set("2024-01-01 00:00:00.0")
+    rows.length should be <= k * m / 64 // word-bounded state, whatever the key count
+    // the streaming rows assemble into EXACTLY the batch bitset
+    val dense = new Array[Long](k * m / 64)
+    rows.foreach(r => dense(r.getLong(1).toInt) |= r.getLong(2))
+    val batch = keys.toDF("h")
+      .agg(graft.functions.BloomSketch.bloom_build_hex($"h", m, k))
+      .collect()(0).getSeq[Long](0).toArray
+    dense shouldBe batch
+    // and the batch probe reads the drained window: no false negatives
+    val bloomDf = Seq(Tuple1(dense.toSeq)).toDF("bloom")
+    keys.toDF("h").crossJoin(bloomDf)
+      .filter(!graft.functions.BloomSketch.bloom_probe_hex($"h", $"bloom", m, k))
+      .count() shouldBe 0L
+  }
+
   test("windowed CMS: bounded grid state, streaming grid == batch sketch exactly") {
     val s = spark
     import s.implicits._
