@@ -209,7 +209,9 @@ object CorpusQueries {
     val toks = docs(spark, dir)
       .select(explode(tokens($"text")).as("tok"))
       .localCheckpoint()
-    val grid = CmsSketch.sketch(toks, "tok")
+    // two consumers (gridAsMap's broadcast row, the final estimates
+    // join): build the <= d*w-row grid once
+    val grid = CmsSketch.sketch(toks, "tok").localCheckpoint()
     val gm = CmsSketch.gridAsMap(grid)
     val tot = toks.agg(count(lit(1)).as("n_total"))
     val candidates = toks
@@ -232,7 +234,7 @@ object CorpusQueries {
         ($"true_count" >= expr("n_total DIV 200")).as("is_heavy"),
         ($"est_count" >= $"true_count").as("admissible"))
       .localCheckpoint()
-    graft.util.BlockRelease.release(Seq(toks, candidates))
+    graft.util.BlockRelease.release(Seq(toks, candidates, grid))
     r
   }
 
