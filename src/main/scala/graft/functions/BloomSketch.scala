@@ -15,8 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct sample, Bloom = set membership with NO false negatives).
   *
   * The 100 TB shape this buys (q106): a benchmark/eval gram set — however
-  * it is distributed — aggregates into ONE fixed-size bitset (m bits =
-  * m/8 bytes; 2^17 bits = 16 KiB) whose partial aggregation is the Bloom
+  * it is distributed — aggregates into ONE fixed-size bitset (k·m bits =
+  * k·m/8 bytes; k=3 rows of 2^17 bits = 48 KiB) whose partial aggregation is the Bloom
   * merge itself (bitwise OR, so map-side combine ships one bitset per
   * partition, never keys). The corpus side then probes the broadcast
   * bitset entirely MAP-SIDE: the expensive decontamination equality join
@@ -114,13 +114,18 @@ case class BloomHexAgg(
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String].toString
-      // first 15 hex chars = u60; identical to conv(substring(h,1,15),16,10)
-      val u = java.lang.Long.parseLong(s.substring(0, 15), 16)
-      var r = 0
-      while (r < k) {
-        val p = ((u >>> (17 * r)) & (mBits - 1)).toInt
-        buf(r * wordsPerRow + (p >>> 6)) |= 1L << (p & 63)
-        r += 1
+      // first 15 hex chars = u60; identical to conv(substring(h,1,15),16,10).
+      // Keys that are not >= 15 hex chars are SKIPPED (treated like null) so
+      // a malformed input degrades the same way the conv()-based probe path
+      // does, instead of killing the whole aggregation with a parse throw.
+      if (s.length >= 15 && BloomHexAgg.isHex15(s)) {
+        val u = java.lang.Long.parseLong(s.substring(0, 15), 16)
+        var r = 0
+        while (r < k) {
+          val p = ((u >>> (17 * r)) & (mBits - 1)).toInt
+          buf(r * wordsPerRow + (p >>> 6)) |= 1L << (p & 63)
+          r += 1
+        }
       }
     }
     buf
@@ -160,4 +165,21 @@ case class BloomHexAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): BloomHexAgg =
     copy(child = newChildren.head)
+}
+
+object BloomHexAgg {
+  /** Lowercase/uppercase hex check over the first 15 chars — the md5-hex
+    * contract ([[graft.functions.TextExpressions.Md5WordShingles]] emits
+    * lowercase; uppercase tolerated to match conv()'s case-insensitivity). */
+  private[functions] def isHex15(s: String): Boolean = {
+    var i = 0
+    while (i < 15) {
+      val c = s.charAt(i)
+      val hex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F')
+      if (!hex) return false
+      i += 1
+    }
+    true
+  }
 }

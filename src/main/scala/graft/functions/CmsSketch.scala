@@ -109,10 +109,19 @@ object CmsSketch {
     * [[estimateFromMap]]. This is q109's candidate generator: token
     * occurrences probe the broadcast map BEFORE any exchange, so the
     * open vocabulary never crosses the wire (the thing [[estimates]]'
-    * probe-frame join cannot avoid when the probe set IS the vocab). */
-  def gridAsMap(grid: DataFrame, w: Int = 512): DataFrame =
+    * probe-frame join cannot avoid when the probe set IS the vocab).
+    *
+    * The (d, w) pair MUST match the grid's build dims and the probe's
+    * [[estimateFromMap]] dims — the map key space is r·w + b, so a w
+    * mismatch between the two sides silently coalesces every lookup to
+    * 0. `requireDims` here (and the d parameter, unused by the layout
+    * but validated) makes a mismatched call fail loudly at plan time
+    * instead. */
+  def gridAsMap(grid: DataFrame, d: Int = 3, w: Int = 512): DataFrame = {
+    requireDims(d, w)
     grid.agg(map_from_entries(collect_list(
       struct((col("r") * w + col("b")).as("k"), col("c").as("v")))).as("cms_map"))
+  }
 
   /** Map-side point estimate against a [[gridAsMap]] column: d
     * element_at lookups + least — pure codegen, zero shuffle, absent

@@ -587,6 +587,11 @@ object Streams {
     val wordsPerRow = mBits / 64
     val u = conv(substring(col(hexCol), 1, 15), 16, 10).cast("long")
     stream.withWatermark(tsCol, watermark)
+      // null keys are skipped exactly like the batch build (BloomHexAgg
+      // ignores null input) — without this a null hexCol row would emit a
+      // spurious (win, null, null) state row, breaking the <= k*m/64
+      // state bound and the bit-for-bit batch parity pin
+      .filter(col(hexCol).isNotNull)
       // u60 materialized BELOW the generator (the q87 r12 CSE discipline)
       .select(window(col(tsCol), windowDur).as("win"), u.as("_u60"))
       .select(col("win"), explode(array((0 until k).map { r =>
