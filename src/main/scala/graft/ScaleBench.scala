@@ -632,21 +632,27 @@ object ScaleBench {
     }
   }
 
-  /** Incremental-ingest-gate decade-up (r12: the round's new streaming
-    * sink has a batch-tier kernel whose 100 TB claim is "shuffle ∝
-    * batch + store, never store × store, never batch × batch" —
-    * Dedup.gateAgainstStore scaladoc). The cell holds the BATCH fixed
-    * (5k docs, ~20% seeded near-dups of store docs) and scales the
-    * STORE 16× (50k → 800k fingerprinted docs, ~2.6M → 42M gram rows):
-    * a store×store or batch×store pair formation would scale the wall
-    * time superlinearly in store size; the semi-join shape should track
-    * the store SCAN (≲ linear), with verdict counts proving the gate
-    * still fires. Store fingerprints are staged untimed (they are the
-    * persisted table in production); the timed region is fingerprint-
-    * the-batch + gate — exactly one micro-batch of ingestGateSink. */
+  /** Incremental-ingest-gate decade-up — r13: the cell now measures the
+    * INDEXED gate (IngestIndex.gateWithIndex — the bloom-prefilter +
+    * shard-pruned exact verify that closes the r12 "unpruned per-batch
+    * store scan" finding) against the r12 full-scan comparator, holding
+    * the BATCH fixed and scaling the STORE 64× (50k → 3.2M fingerprinted
+    * docs, ~2.6M → ~170M gram rows; SPARK_GRAFT_SCALE_STORES overrides).
+    * Two batch shapes per store size:
+    *   - mixed (the r12 batch: 20% exact dups, 20% near-dups, 60% novel)
+    *     — survivors include ~100k TRUE shared grams, so the verify tier
+    *     reads survivor shards proportional to real overlap;
+    *   - novel (every doc new — the common crawl-increment case) —
+    *     survivors are bloom false positives only, so per-batch time
+    *     should be bounded by batch-derived evidence (bloom read +
+    *     probe ∝ batch keys + a near-empty verify), i.e. measurably
+    *     sublinear in store size where the full scan is linear.
+    * Store fingerprints + sidecars are staged untimed to disk (they are
+    * the persisted table in production, laid out as ONE compacted
+    * partition); the timed region is fingerprint-the-batch + gate +
+    * verdict counts — exactly one micro-batch of ingestGateSink. */
   private def runIngestGate(spark: SparkSession): Unit = {
     import spark.implicits._
-    import org.apache.spark.sql.DataFrame
     def mix(x0: Long): Long = { // splitmix64 finalizer
       var z = x0 + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -661,41 +667,82 @@ object ScaleBench {
       ((System.nanoTime() - t0) / 1e9, r)
     }
     val batchN = 5000
-    // batch: ids disjoint from every store; docs 0..999 are exact copies
-    // of store docs 0..999 (EVERY store size stages those seeds), docs
-    // 1000..1999 are near-dups (one trailing token appended), rest novel
-    val batch = spark.range(batchN.toLong).map { i =>
+    // mixed batch: ids disjoint from every store; docs 0..999 are exact
+    // copies of store docs 0..999 (EVERY store size stages those seeds),
+    // docs 1000..1999 are near-dups (one trailing token appended), rest
+    // novel. Novel seeds sit at 8e9/9e9 — far outside ANY store's seed
+    // range (r13: the r12 cell's 1e6-based "novel" seeds fell INSIDE a
+    // 3.2M-doc store, silently turning the novel batch into an all-dup
+    // one at the new decade).
+    val mixed = spark.range(batchN.toLong).map { i =>
       val text =
         if (i < 1000) docText(i, 60)
         else if (i < 2000) docText(i - 1000, 60) + " extra"
-        else docText(1000000L + i, 60)
+        else docText(8000000000L + i, 60)
       ("b" + i, text)
     }.toDF("doc_id", "text").localCheckpoint()
-    Seq(50000, 200000, 800000).foreach { storeN =>
+    val novel = spark.range(batchN.toLong).map { i =>
+      ("n" + i, docText(9000000000L + i, 60))
+    }.toDF("doc_id", "text").localCheckpoint()
+
+    def gateIndexed(batch: org.apache.spark.sql.DataFrame,
+        root: String): (Long, Long) = {
+      val fp = graft.dedup.Dedup
+        .docSigGrams(batch, "doc_id", "text", 8).localCheckpoint()
+      val v = graft.dedup.IngestIndex.gateWithIndex(fp, root, None)
+      val d = v.filter(col("drop_doc")).count()
+      val x = v.filter(col("exact_dup")).count()
+      graft.util.BlockRelease.release(Seq(fp, v))
+      (d, x)
+    }
+
+    val stores = sys.env.get("SPARK_GRAFT_SCALE_STORES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(50000, 200000, 800000, 3200000))
+    stores.foreach { storeN =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"ingeststore$storeN").toFile.getAbsolutePath
       val storeDocs = spark.range(storeN.toLong).map { i =>
         ("s" + i, docText(i, 60))
       }.toDF("doc_id", "text")
       val store = graft.dedup.Dedup
         .docSigGrams(storeDocs, "doc_id", "text", 8)
         .select(col("sig"), col("grams"))
-        .localCheckpoint() // staged untimed: the persisted table
-      val (sec, (dropped, exact)) = t {
+      // staged untimed: the persisted, compacted production table
+      store.write.mode("overwrite").parquet(s"$root/batch=0")
+      val storeFp = spark.read
+        .schema(graft.streaming.Streams.ingestStoreSchema)
+        .parquet(s"$root/batch=0")
+      graft.dedup.IngestIndex.writeSidecars(storeFp, root, "batch=0")
+
+      // r12 comparator: the full-scan gate (linear in store by design)
+      val (secScan, (dS, xS)) = t {
         val fp = graft.dedup.Dedup
-          .docSigGrams(batch, "doc_id", "text", 8).localCheckpoint()
+          .docSigGrams(mixed, "doc_id", "text", 8).localCheckpoint()
         val v = graft.dedup.Dedup.gateAgainstStore(
-            fp, store.select(col("sig")),
-            store.select(explode(col("grams")).as("h")))
+            fp, storeFp.select(col("sig")),
+            storeFp.select(explode(col("grams")).as("h")))
           .localCheckpoint()
         val d = v.filter(col("drop_doc")).count()
         val x = v.filter(col("exact_dup")).count()
         graft.util.BlockRelease.release(Seq(fp, v))
         (d, x)
       }
+      val (secMixed, (dM, xM)) = t(gateIndexed(mixed, root))
+      val (secNovel, (dN, xN)) = t(gateIndexed(novel, root))
       System.err.println(
-        f"SCALE-INGEST store=$storeN%7d batch=$batchN%5d gate $sec%7.1f s" +
-        f"  (dropped=$dropped exact=$exact)")
-      graft.util.BlockRelease.release(store)
+        f"SCALE-INGEST store=$storeN%7d batch=$batchN%5d " +
+        f"fullscan $secScan%7.1f s (dropped=$dS exact=$xS)  " +
+        f"indexed_mixed $secMixed%7.1f s (dropped=$dM exact=$xM)  " +
+        f"indexed_novel $secNovel%7.1f s (dropped=$dN exact=$xN)")
+      require(dM == dS && xM == xS,
+        s"indexed gate verdicts diverged from full scan at store=$storeN")
+      require(dN == 0 && xN == 0,
+        s"novel batch must gate clean at store=$storeN")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
     }
+    graft.util.BlockRelease.release(Seq(mixed, novel))
   }
 
   /** FULL-ENGINE decade-up sweep (r12): every registered SparkEntry query

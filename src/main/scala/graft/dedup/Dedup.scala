@@ -842,10 +842,6 @@ object Dedup {
       .join(SizeGate.maybeBroadcast(batchSigs, known = Some(nSigs)),
         Seq("sig"), "left_semi")
       .distinct()
-    val exact = batch
-      .join(SizeGate.maybeBroadcast(matchedSigs, known = Some(nSigs)),
-        Seq("sig"), "left_semi")
-      .select(col("doc_id"), lit(true).as("xd"))
     val batchG = batch.select(col("doc_id"), explode(col("grams")).as("h"))
     val batchH = batchG.select(col("h")).distinct()
     val nH = batchH.count()
@@ -853,8 +849,26 @@ object Dedup {
       .join(SizeGate.maybeBroadcast(batchH, known = Some(nH)),
         Seq("h"), "left_semi")
       .distinct()
+    gateVerdicts(batch, matchedSigs, matchedH, nSigs, nH)
+  }
+
+  /** Verdict assembly shared by [[gateAgainstStore]] and the indexed
+    * gate ([[IngestIndex.gateWithIndex]]): given the MATCHED key sets
+    * (store keys proven present in the batch — however they were found),
+    * flag exact dups and count per-doc shared grams. `sigBound`/`hBound`
+    * bound the matched sets (they are intersections with the batch key
+    * sets, so the batch key counts — which every caller already has —
+    * are valid bounds) and drive the SizeGate broadcasts. */
+  private[graft] def gateVerdicts(batch: DataFrame, matchedSigs: DataFrame,
+      matchedH: DataFrame, sigBound: Long, hBound: Long): DataFrame = {
+    import graft.util.SizeGate
+    val exact = batch
+      .join(SizeGate.maybeBroadcast(matchedSigs, known = Some(sigBound)),
+        Seq("sig"), "left_semi")
+      .select(col("doc_id"), lit(true).as("xd"))
+    val batchG = batch.select(col("doc_id"), explode(col("grams")).as("h"))
     val shared = batchG
-      .join(SizeGate.maybeBroadcast(matchedH, known = Some(nH)),
+      .join(SizeGate.maybeBroadcast(matchedH, known = Some(hBound)),
         Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("ns")) // grams already distinct per doc
     batch

@@ -140,4 +140,69 @@ object KmvSketch {
     * tier (q55). */
   def kmv_distinct_md5(c: Column, k: Int = 256): Column =
     column(KmvDistinct(expression(c), k, md5Mode = true).toAggregateExpression())
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  /** Per-group KMV sketch ROWS over a distinct (group, u) hash frame:
+    * the k smallest `uCol` values per group — u must be a uniform hash
+    * in [0, 2^60) (the engine's u60 md5-prefix discipline, so the sketch
+    * replays cross-engine). The rank ≤ k filter rides Spark's partial
+    * WindowGroupLimit, so the exchange carries ≤ k rows per group — the
+    * fixed-size-summary property that lets S sketches answer all S²/2
+    * pair questions without re-touching the corpus. */
+  def groupSketches(su: DataFrame, groupCol: String, uCol: String,
+      k: Int = 256): DataFrame =
+    su.withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(uCol))))
+      .filter(col("_rn") <= k)
+      .select(col(groupCol), col(uCol))
+
+  /** CROSS-GROUP OVERLAP ESTIMATES from per-group sketch rows (Beyer et
+    * al. 2007, the q108 estimator — factored here per the r12 verdict so
+    * production callers get the sketch-only path with no truth-join
+    * scaffolding): for every group pair (ga < gb), re-rank the union of
+    * the two sketches and read Jaccard from the top-k overlap —
+    * ρ = |top-k ∩ both| / k, union ≈ (k−1)/u_k (u_k as a fraction of the
+    * 2^60 hash space), intersection ≈ ρ·union. When the combined sketch
+    * holds FEWER than k values both sketches were complete sets and the
+    * small case is EXACT (nx < k branch). Integer outputs only
+    * (jacc_milli = ⌊1000ρ⌋) — the q107 BIGINT determinism discipline.
+    *
+    * Input: `sk` as produced by [[groupSketches]] (≤ k rows per group,
+    * ALL of them when the group has < k distinct hashes). Cost shape:
+    * everything is sketch-sized — S·k rows exploded to pair memberships,
+    * never the corpus. Returns (ga, gb, nx, c, union_est, inter_est,
+    * jacc_milli_est) for all pairs of groups present in `sk`. */
+  def overlapEstimates(sk: DataFrame, groupCol: String, uCol: String,
+      k: Int = 256): DataFrame = {
+    val g = sk.select(col(groupCol).as("_g")).distinct()
+    val pairs = g.select(col("_g").as("ga"))
+      .crossJoin(g.select(col("_g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val mem = pairs
+      .withColumn("_m", explode(array(col("ga"), col("gb"))))
+      .join(sk, col("_m") === sk(groupCol))
+      .groupBy(col("ga"), col("gb"), col(uCol).as("_u"))
+      .agg(max((col("_m") === col("ga")).cast("long")).as("in_a"),
+        max((col("_m") === col("gb")).cast("long")).as("in_b"))
+    val top = mem
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("ga"), col("gb")).orderBy(col("_u"))))
+      .filter(col("_rn") <= k)
+    top.groupBy(col("ga"), col("gb")).agg(
+        count(lit(1)).as("nx"),
+        max(when(col("_rn") === k, col("_u"))).as("kth"),
+        sum(col("in_a") * col("in_b")).as("c"))
+      .withColumn("union_est", expr(
+        s"CASE WHEN nx < $k THEN nx ELSE CAST(round(${k - 1}.0 / " +
+          "(CAST(kth AS DOUBLE) / 1152921504606846976.0)) AS BIGINT) END"))
+      .withColumn("inter_est",
+        expr(s"CASE WHEN nx < $k THEN c ELSE (c * union_est) DIV $k END"))
+      .withColumn("jacc_milli_est",
+        expr(s"(1000 * c) DIV greatest(CASE WHEN nx < $k THEN nx ELSE $k END, 1)"))
+      .select(col("ga"), col("gb"), col("nx"), col("c"),
+        col("union_est"), col("inter_est"), col("jacc_milli_est"))
+  }
 }

@@ -42,10 +42,46 @@ object ByteHistogramCodec extends Codec {
   * of failing the batch — the same per-row error containment as
   * [[ImageIoCodec]]. */
 object WavCodec extends Codec {
+
+  /** The JDK's AudioFileReader providers, resolved ONCE per JVM: every
+    * `AudioSystem.getAudioInputStream` call re-walks the synchronized
+    * SPI registry, which serializes concurrent decode tasks — the same
+    * contention the r12 RIFF writer removed from the ENCODE half
+    * (measured there: 8× threads bought 1.7×). ServiceLoader returns
+    * the identical reader set AudioSystem consults (WAVE/AIFF/AU ship in
+    * the JDK), so trying them in order reproduces its semantics — each
+    * attempt gets a FRESH zero-copy ByteArrayInputStream, which is the
+    * position-reset contract providers otherwise mark/reset for. */
+  // lazy: one registry walk per executor JVM (objects resolve to the
+  // singleton on deserialization, so this never ships in a closure)
+  private lazy val readers: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  private def openStream(payload: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+    var i = 0
+    while (i < readers.length) {
+      try return Some(
+        readers(i).getAudioInputStream(new ByteArrayInputStream(payload)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => // next
+        case _: java.io.IOException => // malformed for this reader: next
+      }
+      i += 1
+    }
+    None
+  }
+
   def features(payload: Array[Byte], featureDim: Int): Option[Array[Double]] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(payload))
+      val aisOpt = openStream(payload)
+      if (aisOpt.isEmpty) return None
+      val ais = aisOpt.get
       try {
       val fmt = ais.getFormat
       val bits = fmt.getSampleSizeInBits

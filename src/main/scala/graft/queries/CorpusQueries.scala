@@ -37,21 +37,39 @@ object CorpusQueries {
     * `n_bloom_hits − n_bench_shared` surfaces the false-positive cost the
     * gate pays for skipping the corpus-wide shuffle. md5-prefix bit
     * positions ⇒ DuckDB replays every set bit and every FP bit-for-bit. */
-  val q106BloomDecontam: Q = (spark, dir) => {
+  val q106BloomDecontam: Q = (spark, dir) =>
+    bloomDecontamGate(docs(spark, dir), streamBloom = None)
+
+  /** The q106 gate body over any corpus frame, with the BITSET SOURCE
+    * pluggable (r13, closing the r12 "registered-query surface for the
+    * streaming Bloom" item): `streamBloom = Some(row)` gates against an
+    * externally-built single-row (bloom: array<long>) frame — e.g. a
+    * window drained from [[graft.streaming.Streams.windowedGramBloom]]
+    * and densified by [[graft.streaming.Streams.assembleWindowBloom]],
+    * whose word layout is bit-identical to `bloom_build_hex` by the
+    * StreamingSpec pin — so a stream-accumulated benchmark set gates a
+    * batch corpus with NO re-aggregation of the bench grams. `None`
+    * builds the bitset from the corpus's own bench rows (the registered
+    * q106). Verdict columns are identical either way whenever the
+    * supplied bitset was built over the same bench gram set. */
+  private[graft] def bloomDecontamGate(allDocs: DataFrame,
+      streamBloom: Option[DataFrame], mBits: Int = 1 << 17,
+      k: Int = 3): DataFrame = {
+    val spark = allDocs.sparkSession
     import spark.implicits._
     import graft.functions.BloomSketch._
-    val M = 1 << 17
-    val K = 3
     // three consumers (bloom build, probe, verify join): shingle once
-    val grams = docs(spark, dir)
+    val grams = allDocs
       .select($"doc_id", ($"doc_id" % 97 === 0).as("b"),
         explode(md5_word_shingles($"text", 8)).as("h"))
       .localCheckpoint()
-    val bloomRow = grams.filter($"b").agg(bloom_build_hex($"h", M, K).as("bloom"))
+    val bloomRow = streamBloom.getOrElse(
+      grams.filter($"b").agg(bloom_build_hex($"h", mBits, k).as("bloom")))
     // two consumers (per-doc counts, verify left side): probe once
     val probed = grams.filter(!$"b")
       .crossJoin(broadcast(bloomRow))
-      .select($"doc_id", $"h", bloom_probe_hex($"h", $"bloom", M, K).as("hit"))
+      .select($"doc_id", $"h",
+        bloom_probe_hex($"h", $"bloom", mBits, k).as("hit"))
       .localCheckpoint()
     val perDoc = probed.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"), sum($"hit".cast("long")).as("n_bloom_hits"))
@@ -60,7 +78,7 @@ object CorpusQueries {
     // whole point of the gate; equal to the full join by the no-FN law
     val verify = probed.filter($"hit").join(benchSet, "h")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_true"))
-    val r = docs(spark, dir).filter($"doc_id" % 97 =!= 0).select($"doc_id")
+    val r = allDocs.filter($"doc_id" % 97 =!= 0).select($"doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .join(verify, Seq("doc_id"), "left")
       .select($"doc_id",
@@ -127,6 +145,7 @@ object CorpusQueries {
     * sketches, estimator arithmetic, truth — replays in DuckDB. */
   val q108SourceOverlap: Q = (spark, dir) => {
     import spark.implicits._
+    import graft.functions.KmvSketch
     val K = 256
     // distinct (source, u60) gram space — three consumers (counts,
     // sketches, truth self-join): shingle + distinct once
@@ -136,37 +155,19 @@ object CorpusQueries {
       .distinct()
       .localCheckpoint()
     val counts = su.groupBy($"source").agg(count(lit(1)).as("nd"))
-    val sk = su
-      .withColumn("rn", row_number().over(Window.partitionBy($"source").orderBy($"u")))
-      .filter($"rn" <= K).select($"source", $"u")
+    // sketch build + estimator are the library
+    // ([[graft.functions.KmvSketch.overlapEstimates]] — factored r13 per
+    // the r12 verdict); the truth columns below are ORACLE SCAFFOLDING a
+    // production caller omits (their self-join is shuffle ∝ distinct
+    // grams — fine here, never required for the estimates)
+    val sk = KmvSketch.groupSketches(su, "source", "u", K)
     val srcs = counts.select($"source")
     val pairs = srcs.select($"source".as("sa"))
       .crossJoin(srcs.select($"source".as("sb")))
       .filter($"sa" < $"sb")
-    // union of the two sketches per pair (sketch frames are S·k rows —
-    // the pair stage never touches the corpus)
-    val mem = pairs.withColumn("m", explode(array($"sa", $"sb")))
-      .join(sk, $"m" === sk("source"))
-      .groupBy($"sa", $"sb", $"u")
-      .agg(max(($"m" === $"sa").cast("long")).as("in_a"),
-        max(($"m" === $"sb").cast("long")).as("in_b"))
-    val top = mem
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"sa", $"sb").orderBy($"u")))
-      .filter($"rn" <= K)
-    val est = top.groupBy($"sa", $"sb").agg(
-      count(lit(1)).as("nx"),
-      max(when($"rn" === K, $"u")).as("kth"),
-      sum($"in_a" * $"in_b").as("c"))
-    // nx < k ⇒ both sketches were complete sets ⇒ the small case is EXACT
-    val withEst = est
-      .withColumn("union_est", expr(
-        s"CASE WHEN nx < $K THEN nx ELSE CAST(round(${K - 1}.0 / " +
-          "(CAST(kth AS DOUBLE) / 1152921504606846976.0)) AS BIGINT) END"))
-      .withColumn("inter_est",
-        expr(s"CASE WHEN nx < $K THEN c ELSE (c * union_est) DIV $K END"))
-      .withColumn("jacc_milli_est",
-        expr(s"(1000 * c) DIV greatest(CASE WHEN nx < $K THEN nx ELSE $K END, 1)"))
+    val withEst = KmvSketch.overlapEstimates(sk, "source", "u", K)
+      .select($"ga".as("sa"), $"gb".as("sb"), $"union_est", $"inter_est",
+        $"jacc_milli_est")
     val tj = su.as("x").join(su.as("y"),
         $"x.u" === $"y.u" && $"x.source" < $"y.source")
       .groupBy($"x.source".as("sa"), $"y.source".as("sb"))

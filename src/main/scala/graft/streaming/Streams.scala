@@ -606,6 +606,27 @@ object Streams {
       .agg(bit_or(col("wm.mask")).as("mask"))
   }
 
+  /** Densify ONE drained window's [[windowedGramBloom]] rows into the
+    * single-row (bloom: array<long>) frame the batch probe tier reads
+    * ([[graft.functions.BloomSketch.bloom_probe_hex]], the q106 gate via
+    * [[graft.queries.CorpusQueries.bloomDecontamGate]]): absent words
+    * read 0, duplicate word rows (a retried append re-emitting a window)
+    * bit_or together — assembly is idempotent like every other step of
+    * the bloom family. Caller selects the target window's rows first
+    * (`drained.filter($"win.start" === ...)`); the result is
+    * broadcast-sized by construction (k·m/64 longs). */
+  def assembleWindowBloom(rows: DataFrame, mBits: Int = 1 << 17,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.BloomSketch.requireDims(mBits, k)
+    val n = k.toLong * mBits / 64
+    rows.groupBy(col("word")).agg(bit_or(col("mask")).as("mask"))
+      .agg(map_from_entries(collect_list(
+        struct(col("word"), col("mask")))).as("wm"))
+      .select(transform(sequence(lit(0L), lit(n - 1)),
+        i => coalesce(element_at(col("wm"), i), lit(0L))).as("bloom"))
+  }
+
   def dedupStream(stream: DataFrame, tsCol: String, keyCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     stream.withWatermark(tsCol, watermark)
@@ -622,67 +643,74 @@ object Streams {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType))))
 
-  /** Read the fingerprint store, optionally EXCLUDING one batch
-    * partition — a retried micro-batch must not gate against the
-    * fingerprints its own earlier (possibly partial) attempt appended,
-    * or every replayed doc reads as a duplicate of itself. Missing or
-    * empty store → empty frame (the bootstrap-less first increment). */
-  private[graft] def readIngestStore(spark: SparkSession, storePath: String,
-      excludeBatch: Option[Long]): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(storePath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val parts =
-      if (!fs.exists(root)) Array.empty[String]
-      else fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .filterNot(s => excludeBatch.exists(b => s.getPath.getName == s"batch=$b"))
-        .map(_.getPath.toString)
-    if (parts.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ingestStoreSchema)
-    else spark.read.schema(ingestStoreSchema).parquet(parts.toIndexedSeq: _*)
-  }
-
   /** Seed the [[ingestGateSink]] store from an already-deduplicated batch
     * corpus: its fingerprints land in the `batch=bootstrap` partition —
     * bit-compatible with what each micro-batch computes (same
     * [[graft.dedup.Dedup.docSigGrams]] kernel), and never collides with
     * the numeric per-batch partitions the sink writes. */
   def bootstrapIngestStore(docs: DataFrame, idCol: String, textCol: String,
-      storePath: String, n: Int = 8): Unit =
-    graft.dedup.Dedup.docSigGrams(docs, idCol, textCol, n)
+      storePath: String, n: Int = 8): Unit = {
+    val fp = graft.dedup.Dedup.docSigGrams(docs, idCol, textCol, n)
       .select(col("sig"), col("grams"))
-      .write.mode("overwrite").parquet(s"$storePath/batch=bootstrap")
+      .localCheckpoint() // three consumers: store write, idx, bloom
+    try {
+      graft.dedup.IngestIndex
+        .invalidatePart(docs.sparkSession, storePath, "batch=bootstrap")
+      fp.write.mode("overwrite").parquet(s"$storePath/batch=bootstrap")
+      graft.dedup.IngestIndex.writeSidecars(fp, storePath, "batch=bootstrap")
+    } finally graft.util.BlockRelease.release(fp)
+  }
+
+  /** Fold all fingerprint-store partitions (and sidecars) into one —
+    * offline maintenance; see [[graft.dedup.IngestIndex.compact]] for
+    * the quiescence contract and crash-safety ordering. */
+  def compactIngestStore(spark: SparkSession, storePath: String): Unit =
+    graft.dedup.IngestIndex.compact(spark, storePath)
 
   /** One micro-batch of the ingest gate (the [[ingestGateSink]] kernel,
     * factored out so a retry is directly testable): fingerprint the
     * batch, gate it against every store partition EXCEPT this batch's
-    * own, then idempotently (mode=overwrite per batch-keyed partition)
-    * write (a) the accepted docs' fingerprints into the store and (b)
+    * own via the INDEXED gate ([[graft.dedup.IngestIndex.gateWithIndex]]
+    * — bloom-probe the batch keys, exact-verify only the survivors
+    * against shard-pruned idx partitions, raw-scan only partitions that
+    * lack sidecars; verdicts identical to the full-store
+    * [[graft.dedup.Dedup.gateAgainstStore]] scan by the no-FN argument
+    * in IngestIndex's scaladoc), then idempotently (mode=overwrite per
+    * batch-keyed partition) write (a) the accepted docs' fingerprints
+    * into the store WITH their idx/bloom sidecar partitions and (b)
     * every verdict row (doc_id, exact_dup, n_grams, n_shared, drop_doc)
     * to the output table. Deterministic given the batch content, so a
     * foreachBatch retry with the same batchId converges to byte-equal
-    * state (ST2) — the self-exclusion above is what makes the retried
-    * gate read the same store the first attempt saw. */
+    * state (ST2) — the self-exclusion (applied to store, idx, AND bloom
+    * partitions alike) is what makes the retried gate read the same
+    * store the first attempt saw. */
   private[graft] def ingestGateBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, storePath: String, outPath: String,
       n: Int): Unit = {
-    val spark = batch.sparkSession
-    // four consumers (gate sigs, gate grams via the verdict plan, the
-    // accepted-fingerprint join, the store write): fingerprint once
+    // five consumers (gate keys, gate grams via the verdict plan, the
+    // accepted-fingerprint join, the store write, the sidecar writes):
+    // fingerprint once
     val fp = graft.dedup.Dedup.docSigGrams(batch, idCol, textCol, n)
       .localCheckpoint()
     try {
-      val store = readIngestStore(spark, storePath, Some(batchId))
-      val verdicts = graft.dedup.Dedup.gateAgainstStore(
-          fp, store.select(col("sig")),
-          store.select(explode(col("grams")).as("h")))
-        .localCheckpoint()
+      // a retry overwrites its own partition in place — drop any cached
+      // plan over its previous attempt's files before gating/writing
+      graft.dedup.IngestIndex
+        .invalidatePart(fp.sparkSession, storePath, s"batch=$batchId")
+      val verdicts = graft.dedup.IngestIndex
+        .gateWithIndex(fp, storePath, Some(batchId))
       try {
-        fp.join(verdicts.filter(!col("drop_doc")).select(col("doc_id")),
+        val accepted = fp
+          .join(verdicts.filter(!col("drop_doc")).select(col("doc_id")),
             Seq("doc_id"))
           .select(col("sig"), col("grams"))
-          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          .localCheckpoint()
+        try {
+          accepted.write.mode("overwrite")
+            .parquet(s"$storePath/batch=$batchId")
+          graft.dedup.IngestIndex
+            .writeSidecars(accepted, storePath, s"batch=$batchId")
+        } finally graft.util.BlockRelease.release(accepted)
         verdicts.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       } finally graft.util.BlockRelease.release(verdicts)
     } finally graft.util.BlockRelease.release(fp)

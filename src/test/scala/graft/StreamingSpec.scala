@@ -462,6 +462,53 @@ class StreamingSpec extends SparkSpec with Matchers {
     keys.toDF("h").crossJoin(bloomDf)
       .filter(!graft.functions.BloomSketch.bloom_probe_hex($"h", $"bloom", m, k))
       .count() shouldBe 0L
+    // the distributed assembly matches the hand-rolled one (and is what
+    // the q106 gate below consumes)
+    Streams.assembleWindowBloom(
+        spark.sql("SELECT word, mask FROM bloom_t"), m, k)
+      .collect()(0).getSeq[Long](0).toArray shouldBe dense
+  }
+
+  test("stream-built window Bloom gates the q106 corpus identically to the batch bitset") {
+    val s = spark
+    import s.implicits._
+    // the q106 benchmark set (doc_id % 97 == 0) of the sf0.001 documents
+    // table arrives AS A STREAM — grams accumulate into one window's
+    // bitset — and the drained window must gate the corpus with verdicts
+    // identical to the registered q106 (whose bitset is batch-built from
+    // the same grams): the end-to-end wire for the streaming sketch
+    // family's flagship member.
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.schemas.Tables.load(spark, sfDir, "documents")
+    val benchGrams = docs.filter($"doc_id" % 97 === 0)
+      .select(explode(graft.functions.TextExpressions
+        .md5_word_shingles($"text", 8)).as("h"))
+      .collect().map(_.getString(0))
+    benchGrams.length should be > 50 // the stream is non-trivial
+    val lines = benchGrams.zipWithIndex.map { case (h, i) =>
+      s"""{"ts":"2024-01-01T00:${i % 50}:00.000Z","h":"$h"}"""
+    } :+ """{"ts":"2024-01-01T03:00:00.000Z","h":"ffffffffffffffffffffffffffffffff"}"""
+    val dir = writeTopic(lines)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType)))
+    val words = Streams.windowedGramBloom(
+      Streams.subscribe(spark, dir, schema), "ts", "h",
+      windowDur = "1 hour", watermark = "30 minutes")
+    val q = words.writeStream.format("memory").queryName("bloom_gate_t")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamRow = Streams.assembleWindowBloom(spark.sql(
+      "SELECT word, mask FROM bloom_gate_t WHERE win.start = timestamp'2024-01-01 00:00:00'"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getLong(5))).toSet
+    val streamed = asSet(graft.queries.CorpusQueries
+      .bloomDecontamGate(docs, Some(streamRow)))
+    val registered = asSet(graft.queries.CorpusQueries
+      .q106BloomDecontam(spark, sfDir))
+    streamed shouldBe registered
+    streamed.size should be > 400 // sf0.001 corpus minus bench docs
   }
 
   test("windowed CMS: bounded grid state, streaming grid == batch sketch exactly") {
