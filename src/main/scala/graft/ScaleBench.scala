@@ -61,6 +61,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("ingeststream")) {
+      runIngestStream(spark)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("sweep")) {
       runSweep(spark)
       spark.stop()
@@ -743,6 +748,74 @@ object ScaleBench {
         .deleteDirectory(new java.io.File(root))
     }
     graft.util.BlockRelease.release(Seq(mixed, novel))
+  }
+
+  /** STREAMING-CADENCE ingest cell (r13): the decade cell above times ONE
+    * micro-batch against stores of different sizes; this cell times a
+    * SEQUENCE of micro-batches against ONE growing store — the actual
+    * production shape of ingestGateSink — so it measures what the decade
+    * cell cannot: the warm bloom-cache path (per-batch bloom DISK reads
+    * should vanish after batch 0), the incremental cache growth as each
+    * accepted batch adds its partition, and the in-stream auto-compaction
+    * cadence (compactEvery=4 here; compaction batches pay the fold,
+    * everyone after reads ONE partition set). Each batch is ~90% novel +
+    * ~10% dups of the PREVIOUS batch (the crawl re-fetch shape), so the
+    * gate fires every batch. The timed region per batch is the full
+    * ingestGateBatch (gate + store/sidecar/verdict writes) + the
+    * compaction when its turn comes — exactly what a sink micro-batch
+    * pays. Expect: flat per-batch times with compaction spikes, against a
+    * store that grows by 5k docs/batch over a 200k bootstrap. */
+  private def runIngestStream(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def mix(x0: Long): Long = { // splitmix64 finalizer
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def docText(seed: Long, tokens: Int): String =
+      Seq.tabulate(tokens)(j => "w" + (mix(seed * 977L + j) & 0x3FFF)).mkString(" ")
+    val batches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+      .map(_.toInt).getOrElse(12)
+    val bootstrapN = sys.env.get("SPARK_GRAFT_STREAM_BOOTSTRAP")
+      .map(_.toInt).getOrElse(200000)
+    val batchN = 5000
+    val compactEvery = 4
+    val root = java.nio.file.Files
+      .createTempDirectory("ingeststream").toFile.getAbsolutePath
+    val boot = spark.range(bootstrapN.toLong).map { i =>
+      ("s" + i, docText(i, 60))
+    }.toDF("doc_id", "text")
+    graft.streaming.Streams
+      .bootstrapIngestStore(boot, "doc_id", "text", s"$root/store")
+    def dirCount() = new java.io.File(s"$root/store").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    (0 until batches).foreach { b =>
+      // seeds: 90% novel (disjoint 7e9+ band per batch), 10% re-fetches
+      // of the previous batch's novel docs (exact dups -> dropped)
+      val batch = spark.range(batchN.toLong).map { i =>
+        val seed =
+          if (i < 500 && b > 0) 7000000000L + (b - 1) * 10000L + 500 + i
+          else 7000000000L + b * 10000L + i
+        ("b" + b + "_" + i, docText(seed, 60))
+      }.toDF("doc_id", "text").localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.ingestGateBatch(
+        batch, b.toLong, "doc_id", "text", s"$root/store", s"$root/out", 8)
+      val compacted = compactEvery > 0 && b > 0 && b % compactEvery == 0
+      if (compacted)
+        graft.dedup.IngestIndex.compact(spark, s"$root/store",
+          onlyBelow = Some(b.toLong), includeCompacted = false)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val dropped = spark.read.parquet(s"$root/out/batch=$b")
+        .filter(col("drop_doc")).count()
+      System.err.println(
+        f"SCALE-INGESTSTREAM batch=$b%3d gate+write $sec%6.1f s" +
+        f"  dropped=$dropped%5d  store_parts=${dirCount()}%3d" +
+        (if (compacted) "  [compacted]" else ""))
+      graft.util.BlockRelease.release(batch)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
   /** FULL-ENGINE decade-up sweep (r12): every registered SparkEntry query

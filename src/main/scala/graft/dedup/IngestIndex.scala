@@ -533,27 +533,74 @@ object IngestIndex {
   // Compaction (r12 verdict item 2)
   // -------------------------------------------------------------------
 
-  /** Fold every store partition (and its sidecars, building any that are
+  /** Fold store partitions (and their sidecars, building any that are
     * missing) into ONE generation-numbered partition
     * `batch=compacted_<g>`. Gate semantics are unaffected — the store is
     * a semi-join side, so the union of partitions answers identically —
     * and after compaction a micro-batch reads ONE sharded bloom set and
     * prunes ONE partitioned idx instead of one per historical batch.
     *
-    * OFFLINE MAINTENANCE ONLY: run with no active [[graft.streaming.Streams.ingestGateSink]]
-    * stream. A compacted partition folds prior batches' fingerprints, so
-    * a micro-batch retried ACROSS a compaction would find its own
-    * earlier writes inside the compacted partition, which per-batch
-    * self-exclusion cannot see. Crash-safe ordering: the new partition
-    * is staged under an underscore temp (invisible to every reader),
-    * renamed visible, and only then are the old partitions deleted —
-    * between rename and deletes the store briefly holds duplicates,
-    * which the semi-join side makes harmless by construction
-    * ([[Dedup.gateAgainstStore]] scaladoc). Re-running converges. */
-  def compact(spark: SparkSession, storePath: String): Unit = {
-    val parts = partNames(spark, storePath, None)
-    if (parts.isEmpty) return
-    val gen = 1 + parts.flatMap { n =>
+    * With `onlyBelow = None` this is OFFLINE MAINTENANCE: run with no
+    * active [[graft.streaming.Streams.ingestGateSink]] stream, because a
+    * compacted partition folds prior batches' fingerprints and a
+    * micro-batch retried ACROSS a compaction would find its own earlier
+    * writes inside it, which per-batch self-exclusion cannot see.
+    *
+    * With `onlyBelow = Some(b)` only partitions that can NEVER be
+    * retried again are folded — `batch=bootstrap`, previous
+    * `batch=compacted_*` generations, and numeric batches < b — which is
+    * what makes the IN-STREAM auto-compaction of
+    * [[graft.streaming.Streams.ingestGateSink]] safe: structured
+    * streaming replays at most the current (uncommitted) micro-batch, so
+    * when batch b calls this after its own writes, every folded
+    * partition is immutable history and a retry of b still reads exactly
+    * the store its first attempt saw (the retried gate excludes
+    * `batch=b`, never the compacted part). A retry re-running the
+    * compaction converges (generation bump over the same content); the
+    * ≤ 1-foldable-part no-op below keeps that cheap.
+    *
+    * `includeCompacted = false` is the TIERED (LSM-shaped) variant the
+    * in-stream path uses: previous `compacted_*` generations are left
+    * untouched and only the small recent partitions fold into a NEW
+    * generation, so the in-stream fold costs ∝ the data ingested since
+    * the last fold, never ∝ the store — the first cut folded everything
+    * and the streaming-cadence cell measured the full-store rewrite
+    * growing linearly (31.9 → 43.7 s two folds apart at a 220k-doc
+    * store; exactly the O(corpus)-per-batch shape this module exists to
+    * kill). Multiple compacted generations coexisting is fine by
+    * construction (any partition set answers identically); the offline
+    * full merge (`includeCompacted = true`) folds the levels when run.
+    *
+    * Crash-safe ordering either way: the new partition is staged under
+    * an underscore temp (invisible to every reader), renamed visible,
+    * and only then are the old partitions deleted — between rename and
+    * deletes the store briefly holds duplicates, which the semi-join
+    * side makes harmless by construction ([[Dedup.gateAgainstStore]]
+    * scaladoc). Re-running converges. */
+  def compact(spark: SparkSession, storePath: String,
+      onlyBelow: Option[Long] = None,
+      includeCompacted: Boolean = true): Unit = {
+    val allParts = partNames(spark, storePath, None)
+    val parts = allParts.filter { n =>
+      val p = n.stripPrefix("batch=")
+      val retireSafe = onlyBelow match {
+        case None => true
+        case Some(b) =>
+          p == "bootstrap" || p.startsWith("compacted_") ||
+            p.toLongOption.exists(_ < b)
+      }
+      retireSafe && (includeCompacted || !p.startsWith("compacted_"))
+    }
+    // nothing to fold (keeps in-stream retries cheap) — unless the lone
+    // part is a legacy one still missing sidecars, which folding builds
+    val idxP = partNames(spark, s"$storePath/$IdxDirName", None)
+    val bloomP = partNames(spark, s"$storePath/$BloomDirName", None)
+    val allCovered =
+      parts.forall(n => idxP.contains(n) && bloomP.contains(n))
+    if (parts.isEmpty || (parts.size == 1 && allCovered)) return
+    // generation from ALL names, not just the folded ones — the tiered
+    // path keeps old generations alive and must not collide with them
+    val gen = 1 + allParts.flatMap { n =>
       val p = n.stripPrefix("batch=")
       if (p.startsWith("compacted_")) p.stripPrefix("compacted_").toIntOption
       else None

@@ -733,14 +733,29 @@ object Streams {
     * (or [[bootstrapIngestStore]]) when re-consuming from earliest.
     * Batch↔store only: within-batch duplicates are the upstream
     * [[dedupStream]]'s job, matching the batch-tier
-    * [[graft.dedup.Dedup.incrementalIngestGate]] contract. */
+    * [[graft.dedup.Dedup.incrementalIngestGate]] contract.
+    *
+    * `compactEvery = k > 0` auto-compacts IN-STREAM every k batches,
+    * TIERED: after batch B's writes commit, the small recent partitions
+    * that can never be retried again (bootstrap + numeric batches < B —
+    * see the safety argument on [[graft.dedup.IngestIndex.compact]])
+    * fold into a new generation while earlier compacted generations stay
+    * untouched, so the fold costs ∝ data since the last fold, never
+    * ∝ store, and a long-lived stream holds O(k + generations) store
+    * partitions instead of one per historical batch. Verdicts are
+    * unaffected (spec-pinned against an uncompacted twin); 0 disables
+    * and leaves maintenance to the offline [[compactIngestStore]], whose
+    * full merge also folds the generations. */
   def ingestGateSink(docs: DataFrame, idCol: String, textCol: String,
       storePath: String, outPath: String, checkpoint: String,
-      n: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+      n: Int = 8, compactEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestGateBatch(batch, batchId, idCol, textCol, storePath, outPath, n)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.dedup.IngestIndex.compact(batch.sparkSession, storePath,
+            onlyBelow = Some(batchId), includeCompacted = false)
       }
 }

@@ -188,6 +188,24 @@ class IngestIndexSpec extends SparkSpec with Matchers {
     dataDirs().toSeq shouldBe Seq("batch=compacted_1")
     val after = verdictMap(IngestIndex.gateWithIndex(fp, root, None))
     after shouldBe before // z1 is novel w.r.t. the batch: no verdict change
+
+    // tiered (in-stream) fold: new numeric parts fold into a FRESH
+    // generation, the existing one stays untouched, verdicts unchanged;
+    // the offline full merge then folds the levels
+    Seq(9, 10).foreach { b =>
+      val part = storeFp.filter(pmod(hash(col("doc_id")), lit(4)) === (b % 4))
+        .select(col("sig"), col("grams"))
+      part.write.mode("overwrite").parquet(s"$root/batch=$b")
+      IngestIndex.writeSidecars(part, root, s"batch=$b")
+    }
+    IngestIndex.compact(spark, root, onlyBelow = Some(11L),
+      includeCompacted = false)
+    dataDirs().sorted.toSeq shouldBe
+      Seq("batch=compacted_1", "batch=compacted_2")
+    verdictMap(IngestIndex.gateWithIndex(fp, root, None)) shouldBe before
+    Streams.compactIngestStore(spark, root)
+    dataDirs().toSeq shouldBe Seq("batch=compacted_3")
+    verdictMap(IngestIndex.gateWithIndex(fp, root, None)) shouldBe before
   }
 
   test("wide bloom: no false negatives; FP rate within an order of the budget") {

@@ -715,5 +715,46 @@ class StreamingSpec extends SparkSpec with Matchers {
     // drained topic: another same-checkpoint run is a no-op
     drain()
     verdictMap(spark.read.parquet(outP)) shouldBe streamed
+
+    // in-stream auto-compaction twin (compactEvery=1): verdicts
+    // identical, store folds to O(1) partitions as the stream runs, and
+    // a retry of the LAST batch (the only one structured streaming can
+    // replay) still converges — the folded partitions are all
+    // pre-current-batch history, so self-exclusion semantics hold
+    val root2 = Files.createTempDirectory("ingestgate_ac").toFile.getAbsolutePath
+    val (topic2, store2, outP2, ckpt2) =
+      (s"$root2/topic", s"$root2/store", s"$root2/out", s"$root2/ckpt")
+    new java.io.File(topic2).mkdirs()
+    def stage2(name: String, docs: Seq[(String, String)]): Unit = {
+      val w = new java.io.PrintWriter(s"$topic2/$name")
+      docs.foreach { case (id, t) =>
+        w.println(s"""{"doc_id":"$id","text":"$t"}""")
+      }
+      w.close()
+    }
+    Streams.bootstrapIngestStore(corpus, "doc_id", "text", store2)
+    def drain2(): Unit = {
+      val q = Streams.ingestGateSink(
+        Streams.subscribe(spark, topic2, docSchema),
+        "doc_id", "text", store2, outP2, ckpt2, compactEvery = 1).start()
+      q.awaitTermination()
+    }
+    // same two-increment cadence as the uncompacted flow above
+    stage2("inc1.json", Seq(("a", i1dupC1), ("b", i1nearC2), ("c", i1novel)))
+    drain2()
+    stage2("inc2.json", Seq(("d", i2dupNovel), ("e", i2novel)))
+    drain2()
+    verdictMap(spark.read.parquet(outP2)) shouldBe streamed
+    def dataDirs(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).sorted.toSeq
+    // batch 1 compacted {bootstrap, batch=0} away; itself remains
+    dataDirs(store2) shouldBe Seq("batch=1", "batch=compacted_0")
+    val before2 = spark.read.parquet(store2).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).mkString(","))).sorted
+    Streams.ingestGateBatch(inc2, 1L, "doc_id", "text", store2, outP2, 8)
+    spark.read.parquet(store2).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).mkString(","))).sorted shouldBe before2
+    verdictMap(spark.read.parquet(outP2)) shouldBe streamed
   }
 }
