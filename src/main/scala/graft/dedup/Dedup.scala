@@ -696,6 +696,73 @@ object Dedup {
     }
   }
 
+  /** COMPACT GROUP-REPRESENTATIVE near-dup output — the escape hatch for
+    * the pair-complete contract's quadratic ceiling, located by the r13
+    * k=30 dup-multiplicity cell (BENCH_LOCAL_r13.md §7: q24's
+    * pair-complete form is 23.3 s at multiplicity 10 but 125.5 s at 30,
+    * all of it C(k,2) within-group pair materialization). Instead of
+    * every near-dup PAIR, emit every doc's CANONICAL representative
+    * (doc_id, canon_id, group_size), where canon_id = the smallest doc
+    * id in the doc's connected component under the near-dup relation —
+    * the r12 collapse tier's group structure EXPOSED rather than
+    * expanded, and the form a dedup pipeline actually consumes
+    * (keep-canonical, drop the rest — the q73 canonicalization shape).
+    *
+    * Cost is linear where the pair form is quadratic: exact-dup groups
+    * ride ONE window shuffle (gid = min id per identical vector),
+    * banding runs on REPRESENTATIVES only (identical vectors band
+    * identically — the collapse-tier argument at `cosineNearDupsExact`),
+    * and components are computed over the rep graph (∝ reps + rep
+    * pairs). No within-group or cross-group member-pair expansion ever
+    * happens, so dup-group size k costs k rows, not C(k,2).
+    *
+    * Exactness: gid is exact (vector equality); rep pairs carry the
+    * integer-rational predicate of the exact tier; components over the
+    * rep graph equal components over the full member graph because each
+    * member connects to its rep (identical vectors are near-dups at any
+    * τ ≤ 1) and a member-level edge (a, b) exists iff the rep-level edge
+    * (rep(a), rep(b)) does (the collapse equivalence). Zero vectors have
+    * no cosine: they group by exact equality only (identical zero
+    * vectors share a gid) and never cross-link. */
+  def cosineNearDupGroups(vecs: DataFrame, idCol: String, vCol: String,
+      tauNum: Long = 9, tauDen: Long = 10, bits: Int = 12,
+      tables: Int = 48, dim: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+      col(vCol).as("v"),
+      VectorFunctions.dot(col(vCol), col(vCol)).as("n2"))
+    // exact-dup groups: one window shuffle, the collapse tier's shape
+    val mem = base.select(col("id"), col("v"), col("n2"),
+        min(col("id")).over(Window.partitionBy(col("v"))).as("gid"))
+      .localCheckpoint()
+    val reps = mem.filter(col("id") === col("gid") && col("n2") > 0)
+      .select(col("id"), col("v"))
+    val repEdges = cosineNearDupsExact(reps, "id", "v", tauNum, tauDen,
+        bits, tables, dim)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = graft.graph.GraphAlgos.connectedComponents(repEdges)
+    // normalize component labels to the component's MIN member id (the
+    // union-find root choice is arbitrary; min-id is the canonical form
+    // every oracle replays)
+    val canon = comp.join(
+        comp.groupBy(col("label")).agg(min(col("node")).as("canon")),
+        "label")
+      .select(col("node").as("gid"), col("canon"))
+    val out = mem.select(col("id").as("doc_id"), col("gid"))
+      .join(graft.util.SizeGate.maybeBroadcast(canon), Seq("gid"), "left")
+      // isolated reps (no near-dup edge) and zero-vector groups keep
+      // their exact-dup gid as the canonical id
+      .select(col("doc_id"),
+        coalesce(col("canon"), col("gid")).as("canon_id"))
+    val sized = out.select(col("doc_id"), col("canon_id"),
+        count(lit(1)).over(Window.partitionBy(col("canon_id")))
+          .as("group_size"))
+      .localCheckpoint()
+    graft.util.BlockRelease.release(mem)
+    sized
+  }
+
   /** Exact all-pairs twin of [[cosineNearDupsExact]] (same rational
     * predicate, O(n²)) — the ground-truth side of the q24 surface. */
   def cosineNearDupsBruteExact(vecs: DataFrame, idCol: String, vCol: String,

@@ -530,7 +530,30 @@ object VectorQueries {
       .select($"id".as("vec_id"), $"rank", $"nbr", round($"d2", 4).as("d2"))
   }
 
+  /** q110 — COMPACT NEAR-DUP GROUPS ([[graft.dedup.Dedup.cosineNearDupGroups]]):
+    * the pair-complete q24 surface's escape hatch past its quadratic
+    * dup-multiplicity ceiling (the r13 k=30 cell, BENCH_LOCAL_r13.md §7)
+    * — every doc's canonical representative + group size instead of
+    * every pair, at cost linear in members. Oracle: the same md5Embed
+    * twin and integer-rational predicate as q24, exact-dup groups via a
+    * min-id window over identical vectors, TRUE rep pairs by brute join
+    * (oracle SF only), min-label recursive-CTE components (the q43
+    * pattern). Engine-side rep pairs come from the 96-table banding
+    * whose set-equality to the true pair set is exactly what q24 pins at
+    * the oracle SFs — so the component structures agree, and with them
+    * every canonical id and group size. */
+  val q110NearDupGroups: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Embed
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", md5Embed($"text").as("v"))
+    graft.dedup.Dedup
+      .cosineNearDupGroups(docs, "doc_id", "v", 9, 10, tables = 96, dim = 16)
+      .select($"doc_id", $"canon_id", $"group_size")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q110_neardup_groups" -> q110NearDupGroups,
     "q102_knn_join" -> q102KnnJoin,
     "q81_semantic_decontam" -> q81SemanticDecontam,
     "q84_pq_codes" -> q84Pq,
@@ -551,6 +574,39 @@ object VectorQueries {
     "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
 
   val oracles: Map[String, String] = Map(
+    // q110 — md5Embed twin (the q24 fragment) → exact-dup gid window →
+    // brute TRUE rep pairs under the identical integer predicate →
+    // q43-pattern min-label fixpoint → member canon + group sizes. The
+    // engine's banded rep pairs equal this true set at the oracle SFs
+    // (q24's lsh_equals_true pin), so components match exactly.
+    "q110_neardup_groups" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |v AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |      list_sum(list_transform(toks, tk ->
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1 = i
+        |          THEN (CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 3, 1)) >= 9
+        |            THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))) AS v FROM t),
+        |n AS (SELECT doc_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM v),
+        |g AS (SELECT doc_id, v, n2, min(doc_id) OVER (PARTITION BY v) AS gid FROM n),
+        |reps AS (SELECT doc_id AS id, v, n2 FROM g WHERE doc_id = gid AND n2 > 0),
+        |e0 AS (SELECT a.id AS u1, b.id AS u2 FROM reps a JOIN reps b ON a.id < b.id
+        |  WHERE list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i])) > 0
+        |    AND 100 * list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i])) ** 2
+        |        >= 81 * a.n2 * b.n2),
+        |sym AS (SELECT u1, u2 FROM e0 UNION ALL SELECT u2, u1 FROM e0),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT u1 AS node, u1 AS lbl FROM sym
+        |  UNION
+        |  SELECT sym.u2, reach.lbl FROM reach JOIN sym ON reach.node = sym.u1
+        |  WHERE reach.lbl < sym.u2),
+        |canon AS (SELECT node AS gid, min(lbl) AS canon FROM reach GROUP BY node),
+        |m AS (SELECT g.doc_id, coalesce(canon.canon, g.gid) AS canon_id
+        |  FROM g LEFT JOIN canon ON g.gid = canon.gid)
+        |SELECT doc_id, canon_id,
+        |  (count(*) OVER (PARTITION BY canon_id))::BIGINT AS group_size
+        |FROM m""".stripMargin,
     // q102 — the kNN join re-derived as the honest n² cross join (oracle
     // SF only): same float→double widening, same index-order d² sum,
     // same strict (d², nbr) ranking, same post-ranking round.

@@ -388,4 +388,52 @@ class DedupSpec extends SparkSpec with Matchers {
     truth should not be empty
     lsh shouldBe truth
   }
+
+  test("cosineNearDupGroups == components of the pair tier; zero vectors group by exact equality only") {
+    import graft.functions.TextFunctions.md5Embed
+    val s2 = spark
+    import s2.implicits._
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5Embed(col("text")).as("v"))
+      .limit(80)
+    // multiplicity 4 (trips the collapse regime the operator exists
+    // for) + two identical zero-vector docs and one lone zero
+    val zeros = Seq(
+      (900001L, Seq.fill(16)(0.0)), (900002L, Seq.fill(16)(0.0)))
+      .toDF("doc_id", "v")
+    val docs = (0 until 4).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("v")))
+      .reduce(_ unionByName _)
+      .unionByName(zeros)
+      .localCheckpoint()
+    val groups = Dedup
+      .cosineNearDupGroups(docs, "doc_id", "v", 9, 10, tables = 96, dim = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // expected: union-find over the PAIR tier's output plus the
+    // exact-dup relation (identical vectors), canon = component min
+    val pairs = Dedup
+      .cosineNearDupsExact(docs, "doc_id", "v", 9, 10, tables = 96, dim = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val sameVec = docs.select(col("doc_id"),
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("v"))).as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val uf = new graft.util.UnionFind.Longs
+    pairs.foreach { case (a, b) => uf.union(a, b) }
+    sameVec.foreach { case (a, g) => uf.union(a, g) }
+    val byRoot = ids.groupBy(uf.find)
+    val expected = byRoot.values.flatMap { members =>
+      val canon = members.min
+      members.map(m => m -> (canon, members.length.toLong))
+    }.toMap
+    groups shouldBe expected
+    // the zero twins share a group; no zero ever links to a nonzero doc
+    groups(900001L)._1 shouldBe groups(900002L)._1
+    groups(900001L)._2 shouldBe 2L
+    // dup-heavy corpus: groups are real (multiplicity >= 4 somewhere)
+    groups.values.map(_._2).max should be >= 4L
+    graft.util.BlockRelease.release(docs)
+  }
 }
