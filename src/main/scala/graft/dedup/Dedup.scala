@@ -741,7 +741,12 @@ object Dedup {
     val repEdges = cosineNearDupsExact(reps, "id", "v", tauNum, tauDen,
         bits, tables, dim)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val comp = graft.graph.GraphAlgos.connectedComponents(repEdges)
+    // rep-graph components; SPARK_GRAFT_COLLECT_THRESHOLD=0 forces the
+    // distributed Pregel tier (the q40-q49 discipline) — the rep graph
+    // is dup-collapsed but still corpus-shaped in the dup-free worst case
+    val comp = graft.graph.GraphAlgos.connectedComponents(repEdges,
+      collectThreshold = sys.env.get("SPARK_GRAFT_COLLECT_THRESHOLD")
+        .map(_.toLong).getOrElse(2000000L))
     // normalize component labels to the component's MIN member id (the
     // union-find root choice is arbitrary; min-id is the canonical form
     // every oracle replays)
