@@ -429,12 +429,15 @@ class StreamingSpec extends SparkSpec with Matchers {
     def md5Hex(v: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // hour 0: 200 distinct keys, several repeated (OR idempotence);
-    // the 03:00 event closes the window
+    // hour 0: 200 distinct keys, several repeated (OR idempotence), one
+    // NULL key (must be skipped exactly like the batch build — r13
+    // ADVICE pin: a null row must not add a (win, null, null) state row
+    // or break the bit-for-bit parity below); the 03:00 event closes the
+    // window
     val keys = (0 until 200).map(i => md5Hex(s"gram$i"))
     val h0 = (keys ++ keys.take(40)).zipWithIndex.map { case (h, i) =>
       s"""{"ts":"2024-01-01T00:${i % 50}:00.000Z","h":"$h"}"""
-    }
+    } :+ """{"ts":"2024-01-01T00:10:00.000Z","h":null}"""
     val closer = Seq(s"""{"ts":"2024-01-01T03:00:00.000Z","h":"${md5Hex("zz")}"}""")
     val dir = writeTopic(h0 ++ closer)
     val schema = org.apache.spark.sql.types.StructType(Seq(
