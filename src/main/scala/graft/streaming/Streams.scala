@@ -739,13 +739,16 @@ object Streams {
     * TIERED: after batch B's writes commit, the small recent partitions
     * that can never be retried again (bootstrap + numeric batches < B —
     * see the safety argument on [[graft.dedup.IngestIndex.compact]])
-    * fold into a new generation while earlier compacted generations stay
-    * untouched, so the fold costs ∝ data since the last fold, never
-    * ∝ store, and a long-lived stream holds O(k + generations) store
-    * partitions instead of one per historical batch. Verdicts are
-    * unaffected (spec-pinned against an uncompacted twin); 0 disables
-    * and leaves maintenance to the offline [[compactIngestStore]], whose
-    * full merge also folds the generations. */
+    * fold into a new generation, and prior generations merge under the
+    * size-tiered GEOMETRIC carry (r14: a generation is rewritten only
+    * into one at least twice its size), so the amortized fold cost stays
+    * O(1) per batch while a stream of ANY length holds O(k + log store)
+    * store partitions — generation count no longer grows with stream
+    * length, and no stream-stopping maintenance window is ever needed.
+    * Verdicts are unaffected (spec-pinned against an uncompacted twin);
+    * 0 disables and leaves maintenance to the offline
+    * [[compactIngestStore]], whose full merge folds everything to one
+    * generation. */
   def ingestGateSink(docs: DataFrame, idCol: String, textCol: String,
       storePath: String, outPath: String, checkpoint: String,
       n: Int = 8, compactEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =

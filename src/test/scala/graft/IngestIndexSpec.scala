@@ -208,6 +208,117 @@ class IngestIndexSpec extends SparkSpec with Matchers {
     verdictMap(IngestIndex.gateWithIndex(fp, root, None)) shouldBe before
   }
 
+  test("re-bootstrap evicts the cached bloom frame — no stale false negatives") {
+    val root = Files.createTempDirectory("idxreboot").toFile.getAbsolutePath
+    val docsA = docsDf(Seq.tabulate(20)(i => (s"a$i", docText(i, 40))))
+    val docsB = docsDf(Seq.tabulate(20)(i => (s"c$i", docText(100000L + i, 40))))
+    Streams.bootstrapIngestStore(docsA, "doc_id", "text", root)
+    // prime the session bloom cache with the FIRST bootstrap's keys
+    val warm = docsDf(Seq(("w0", docText(500000L, 40))))
+    verdictMap(IngestIndex.gateWithIndex(fpOf(warm), root, None))("w0")._4 shouldBe false
+    // overwrite batch=bootstrap IN PLACE: same partition set, new content
+    // — set-equality alone would keep the stale frame (the r13 ADVICE)
+    Streams.bootstrapIngestStore(docsB, "doc_id", "text", root)
+    // a dup of the NEW bootstrap must be flagged; a stale bloom would
+    // "prove it absent" (false negative, the one forbidden failure)
+    val batch = docsDf(Seq(
+      ("d0", docText(100000L, 40)), ("n0", docText(600000L, 40))))
+    val v = verdictMap(IngestIndex.gateWithIndex(fpOf(batch), root, None))
+    v("d0")._1 shouldBe true
+    v("d0")._4 shouldBe true
+    v("n0")._4 shouldBe false
+  }
+
+  test("geometric in-stream merge bounds generation count; offline merge idempotent over it") {
+    val root = Files.createTempDirectory("idxgeom").toFile.getAbsolutePath
+    def dataDirs() = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).sorted.toSeq
+    val boot = docsDf(Seq.tabulate(200)(i => (s"s$i", docText(i, 40))))
+    Streams.bootstrapIngestStore(boot, "doc_id", "text", root)
+    // 8 folds of 2 constant-size batches each — the r13 tiered cut mints
+    // one generation per fold (8 after this loop); the geometric carry
+    // must keep the live count logarithmic
+    var b = 0
+    var maxGens = 0
+    (0 until 8).foreach { _ =>
+      (0 until 2).foreach { _ =>
+        val part = fpOf(docsDf(Seq.tabulate(10)(j =>
+            (s"b${b}_$j", docText(3000000L + b * 100L + j, 40)))))
+          .select(col("sig"), col("grams"))
+        part.write.mode("overwrite").parquet(s"$root/batch=$b")
+        IngestIndex.writeSidecars(part, root, s"batch=$b")
+        b += 1
+      }
+      IngestIndex.compact(spark, root, onlyBelow = Some(b.toLong),
+        includeCompacted = false)
+      maxGens = math.max(maxGens, dataDirs().size)
+    }
+    val gens = dataDirs()
+    gens.forall(_.startsWith("batch=compacted_")) shouldBe true
+    gens.size should be <= 5 // r13 behavior: 8 — linear in folds
+    maxGens should be <= 5
+    // every live generation carries sidecars (nothing silently legacy)
+    gens.foreach { g =>
+      new java.io.File(s"$root/_idx/$g").exists() shouldBe true
+      new java.io.File(s"$root/_bloom/$g").exists() shouldBe true
+    }
+    // verdicts over the merged store equal the full scan of its content
+    val batch = docsDf(Seq(
+      ("x0", docText(0L, 40)),                 // dup of bootstrap
+      ("x1", docText(3000000L, 40)),           // dup of batch 0's first doc
+      ("nv", docText(7777777L, 40))))          // novel
+    val fp = fpOf(batch)
+    val store = spark.read
+      .schema(Streams.ingestStoreSchema).parquet(root)
+    val indexed = verdictMap(IngestIndex.gateWithIndex(fp, root, None))
+    indexed shouldBe fullScanVerdicts(fp, store)
+    indexed("x0")._1 shouldBe true
+    indexed("x1")._1 shouldBe true
+    indexed("nv")._4 shouldBe false
+    // the offline full merge stays idempotent over the geometric result
+    Streams.compactIngestStore(spark, root)
+    dataDirs().size shouldBe 1
+    verdictMap(IngestIndex.gateWithIndex(fp, root, None)) shouldBe indexed
+  }
+
+  test("a compacted generation missing sidecars is folded and repaired by the tiered fold") {
+    val root = Files.createTempDirectory("idxrepair").toFile.getAbsolutePath
+    val storeFp = fpOf(docsDf(Seq.tabulate(30)(i => (s"s$i", docText(i, 40)))))
+    Seq(0, 1).foreach { p =>
+      val part = storeFp.filter(pmod(hash(col("doc_id")), lit(2)) === p)
+        .select(col("sig"), col("grams"))
+      part.write.mode("overwrite").parquet(s"$root/batch=$p")
+      IngestIndex.writeSidecars(part, root, s"batch=$p")
+    }
+    Streams.compactIngestStore(spark, root)
+    // simulate the crash window: data renamed, sidecar renames lost
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$root/_idx/batch=compacted_0"))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$root/_bloom/batch=compacted_0"))
+    val inc = fpOf(docsDf(Seq(("z0", docText(444444L, 40)))))
+      .select(col("sig"), col("grams"))
+    inc.write.mode("overwrite").parquet(s"$root/batch=5")
+    IngestIndex.writeSidecars(inc, root, "batch=5")
+    // the tiered fold must include the sidecar-less generation even
+    // though it is far larger than the increment — and rebuild sidecars
+    IngestIndex.compact(spark, root, onlyBelow = Some(6L),
+      includeCompacted = false)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSeq
+    dirs shouldBe Seq("batch=compacted_1")
+    new java.io.File(s"$root/_idx/batch=compacted_1").exists() shouldBe true
+    new java.io.File(s"$root/_bloom/batch=compacted_1").exists() shouldBe true
+    val batch = docsDf(Seq(("x0", docText(0L, 40)), ("n0", docText(888888L, 40))))
+    val fp = fpOf(batch)
+    val v = verdictMap(IngestIndex.gateWithIndex(fp, root, None))
+    v shouldBe fullScanVerdicts(fp,
+      spark.read.schema(Streams.ingestStoreSchema).parquet(root))
+    v("x0")._1 shouldBe true
+  }
+
   test("wide bloom: no false negatives; FP rate within an order of the budget") {
     val s2 = spark
     import s2.implicits._
