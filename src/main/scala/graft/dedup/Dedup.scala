@@ -741,6 +741,20 @@ object Dedup {
     val repEdges = cosineNearDupsExact(reps, "id", "v", tauNum, tauDen,
         bits, tables, dim)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
+    groupsFromReps(mem, repEdges)
+  }
+
+  /** Shared tail of the `*NearDupGroups` family (factored r14 when the
+    * q110 pattern was extended to the text kernels): components over the
+    * REP graph, canonical = component-min member id, every member
+    * attached via its exact-dup gid, group sizes by one window count.
+    * `mem` must carry (id, gid) with gid = min member id of the doc's
+    * exact-dup group (so the component-min NODE id IS the component-min
+    * member id); `repEdges` the verified near-dup edges between reps as
+    * (src, dst). Releases `mem`; returns a checkpointed frame. */
+  private[graft] def groupsFromReps(mem: DataFrame,
+      repEdges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // rep-graph components; SPARK_GRAFT_COLLECT_THRESHOLD=0 forces the
     // distributed Pregel tier (the q40-q49 discipline) — the rep graph
     // is dup-collapsed but still corpus-shaped in the dup-free worst case
@@ -756,8 +770,8 @@ object Dedup {
       .select(col("node").as("gid"), col("canon"))
     val out = mem.select(col("id").as("doc_id"), col("gid"))
       .join(graft.util.SizeGate.maybeBroadcast(canon), Seq("gid"), "left")
-      // isolated reps (no near-dup edge) and zero-vector groups keep
-      // their exact-dup gid as the canonical id
+      // isolated reps (no near-dup edge) and pair-ineligible groups
+      // (zero vectors, empty shingle sets) keep their gid as canonical
       .select(col("doc_id"),
         coalesce(col("canon"), col("gid")).as("canon_id"))
     val sized = out.select(col("doc_id"), col("canon_id"),
@@ -766,6 +780,94 @@ object Dedup {
       .localCheckpoint()
     graft.util.BlockRelease.release(mem)
     sized
+  }
+
+  /** COMPACT GROUP form of [[minhashNearDups]] — the q110 escape hatch
+    * ([[cosineNearDupGroups]]) applied to the MinHash-LSH text kernel
+    * (r13 verdict item 2: the measured crossover on the embedding family
+    * — pair form right through dup multiplicity ~10, group form 10×
+    * cheaper by 30 — applies verbatim to the text family, whose crawl
+    * corpora carry boilerplate dup groups in the hundreds). Emits
+    * (doc_id, canon_id, group_size) where canon_id = min doc id of the
+    * doc's connected component under the exact-Jaccard-≥ threshold
+    * relation — i.e. the components of [[minhashNearDups]]'s own pair
+    * output — at cost linear in dup-group members: exact-dup groups ride
+    * ONE window shuffle (gid = min id per identical shingle list),
+    * banding + verify run on REPRESENTATIVES only, components on the rep
+    * graph, members attach via gid. No C(k,2) pair materialization
+    * anywhere.
+    *
+    * Exactness: identical shingle lists have identical signatures and
+    * Jaccard ≡ 1 ≥ threshold against each other (threshold ≤ 1
+    * required), so member-level components equal rep-level components
+    * with members attached (the collapse equivalence at
+    * [[minhashNearDups]]); docs whose shingle set is EMPTY can never
+    * pair (no postings, no signature) and stay singletons. Ids must be
+    * numeric (component node ids). */
+  def minhashNearDupGroups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 64, bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold <= 1.0,
+      "group form needs threshold <= 1 (identical docs must be near-dups)")
+    val sh = shingledHashes(docs, idCol, textCol).cache()
+    val mem = sh.select(col("doc_id").cast("long").as("id"), col("shingles"),
+        when(size(col("shingles")) === 0, col("doc_id").cast("long"))
+          .otherwise(min(col("doc_id").cast("long"))
+            .over(Window.partitionBy(col("shingles")))).as("gid"))
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    val reps = mem.filter(col("id") === col("gid") && size(col("shingles")) > 0)
+      .select(col("id").as("doc_id"), col("shingles"))
+    val cand = minhashCandidates(reps, k, bands)
+    val repEdges = jaccardOfPairs(cand, reps)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val out = groupsFromReps(mem, repEdges)
+    graft.util.BlockRelease.release(cand)
+    out
+  }
+
+  /** COMPACT GROUP form of [[ngramJaccardNearDups]] (same r14 extension,
+    * same output contract as [[minhashNearDupGroups]] but with the exact
+    * inverted-index kernel and per-`scopeCol` pairing): canon groups are
+    * the connected components of the scoped exact-Jaccard pair relation;
+    * edges never cross scopes, so neither do groups. Representatives =
+    * one doc per distinct (scope, shingle list); the inverted-index
+    * self-join runs on reps only, so dup-group size k costs k rows, not
+    * the pair form's C(k,2) postings blow-up. */
+  def jaccardNearDupGroups(docs: DataFrame, idCol: String, textCol: String,
+      scopeCol: String, threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold <= 1.0,
+      "group form needs threshold <= 1 (identical docs must be near-dups)")
+    val sh = shingledHashes(docs, idCol, textCol, n, keep = Seq(scopeCol)).cache()
+    val mem = sh.select(col("doc_id").cast("long").as("id"),
+        col(scopeCol), col("shingles"),
+        when(size(col("shingles")) === 0, col("doc_id").cast("long"))
+          .otherwise(min(col("doc_id").cast("long"))
+            .over(Window.partitionBy(col(scopeCol), col("shingles"))))
+          .as("gid"))
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    val reps = mem.filter(col("id") === col("gid") && size(col("shingles")) > 0)
+      .select(col("id").as("doc_id"), col(scopeCol), col("shingles"))
+    val ex = reps.select(col("doc_id"), col(scopeCol),
+        size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
+      .repartition(col("s"))
+      .localCheckpoint()
+    val repEdges = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") &&
+          col(s"a.$scopeCol") === col(s"b.$scopeCol") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(count(lit(1)).as("inter"), max(col("a.n")).as("na"),
+        max(col("b.n")).as("nb"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= threshold)
+      .select(col("src"), col("dst"))
+    val out = groupsFromReps(mem, repEdges)
+    graft.util.BlockRelease.release(ex)
+    out
   }
 
   /** Exact all-pairs twin of [[cosineNearDupsExact]] (same rational

@@ -108,6 +108,29 @@ object TextQueries {
   val q36MinhashLsh: Q = (spark, dir) =>
     Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text", threshold = 0.5)
 
+  /** q112 — COMPACT MINHASH NEAR-DUP GROUPS ([[Dedup
+    * .minhashNearDupGroups]]): the q110 escape hatch applied to the
+    * MinHash text kernel — every doc's canonical representative + group
+    * size instead of q36's pair-complete output, linear in dup-group
+    * members where the pair form pays C(k,2). Oracle: the TRUE global
+    * Jaccard ≥ 0.5 pair graph (q36's inter CTE — banding recalls it
+    * exactly at the oracle SFs, the q36 set-equality pin) → q43-pattern
+    * min-label recursive-CTE components → totality via left join
+    * (pair-free docs self-canonical) → group sizes. */
+  val q112MinhashGroups: Q = (spark, dir) =>
+    Dedup.minhashNearDupGroups(docs(spark, dir), "doc_id", "text",
+      threshold = 0.5)
+
+  /** q113 — COMPACT n-gram JACCARD NEAR-DUP GROUPS ([[Dedup
+    * .jaccardNearDupGroups]]): the group form of q33's scoped exact
+    * inverted-index kernel — same component structure as canonicalizing
+    * q33's pairs (the q73 shape), computed WITHOUT materializing the
+    * pair-complete set: representatives per distinct (source, shingle
+    * list), rep-only inverted index, components, gid attach. */
+  val q113JaccardGroups: Q = (spark, dir) =>
+    Dedup.jaccardNearDupGroups(docs(spark, dir), "doc_id", "text",
+      scopeCol = "source", threshold = 0.5, n = 3)
+
   /** q38 — the dedup VERIFY stage under the full hash oracle (closing the
     * round-3 q24 rows-only gap): candidates are doc pairs sharing ≥1 exact
     * 3-word shingle within a source (the same SQL-expressible inverted
@@ -1170,6 +1193,8 @@ object TextQueries {
     "q34_langid" -> q34LangId,
     "q35_simhash_neardups" -> q35SimhashNearDups,
     "q36_minhash_lsh" -> q36MinhashLsh,
+    "q112_minhash_neardup_groups" -> q112MinhashGroups,
+    "q113_jaccard_neardup_groups" -> q113JaccardGroups,
     "q37_embed_knn" -> q37EmbedKnn,
     "q38_cosine_verify" -> q38CosineVerify,
     "q63_gpt_tokens" -> q63GptTokens)
@@ -1744,6 +1769,64 @@ object TextQueries {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, c::DOUBLE / (na + nb - c) AS jaccard
         |FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.5""".stripMargin,
+    // q112 — the group form re-derived as components of the TRUE global
+    // Jaccard pair graph (q36's inter CTE; the banding ≡ true-pairs
+    // set-equality pin makes the engine's rep-banded edges this exact
+    // set), q43's recursive min-label fixpoint, singletons self-canonical
+    "q112_minhash_neardup_groups" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM t),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS c, max(a.n) AS na, max(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.5),
+        |sym AS (SELECT doc_a AS u1, doc_b AS u2 FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT u1 AS node, u1 AS lbl FROM sym
+        |  UNION
+        |  SELECT sym.u2, reach.lbl FROM reach JOIN sym ON reach.node = sym.u1
+        |  WHERE reach.lbl < sym.u2),
+        |comp AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, coalesce(comp.label, d.doc_id) AS canon_id
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node)
+        |SELECT doc_id, canon_id,
+        |  (count(*) OVER (PARTITION BY canon_id))::BIGINT AS group_size
+        |FROM lab""".stripMargin,
+    // q113 — same derivation with q33's source-scoped inter CTE: edges
+    // (and therefore groups) never cross sources
+    "q113_jaccard_neardup_groups" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, source,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM t),
+        |ex AS (SELECT doc_id, source, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS c, max(a.n) AS na, max(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM inter WHERE c::DOUBLE / (na + nb - c) >= 0.5),
+        |sym AS (SELECT doc_a AS u1, doc_b AS u2 FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT u1 AS node, u1 AS lbl FROM sym
+        |  UNION
+        |  SELECT sym.u2, reach.lbl FROM reach JOIN sym ON reach.node = sym.u1
+        |  WHERE reach.lbl < sym.u2),
+        |comp AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, coalesce(comp.label, d.doc_id) AS canon_id
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node)
+        |SELECT doc_id, canon_id,
+        |  (count(*) OVER (PARTITION BY canon_id))::BIGINT AS group_size
+        |FROM lab""".stripMargin,
     "q36_minhash_lsh" ->
       """WITH t AS (SELECT doc_id,
         |  regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),

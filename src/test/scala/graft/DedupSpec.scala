@@ -436,4 +436,65 @@ class DedupSpec extends SparkSpec with Matchers {
     groups.values.map(_._2).max should be >= 4L
     graft.util.BlockRelease.release(docs)
   }
+
+  /** Pin a `*NearDupGroups` output against a driver union-find over the
+    * PAIR form's own output (the q110 discipline applied to the text
+    * kernels): the group form must equal components-of-pairs exactly —
+    * canon = component min, singletons self-canonical, sizes total. */
+  private def expectGroupsEqualPairs(
+      groups: Map[Long, (Long, Long)],
+      pairs: Array[(Long, Long)], ids: Array[Long]): Unit = {
+    val uf = new graft.util.UnionFind.Longs
+    pairs.foreach { case (a, b) => uf.union(a, b) }
+    val expected = ids.groupBy(uf.find).values.flatMap { members =>
+      val canon = members.min
+      members.map(m => m -> (canon, members.length.toLong))
+    }.toMap
+    groups shouldBe expected
+  }
+
+  test("minhashNearDupGroups == components of the pair form on a dup-heavy corpus") {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).limit(80)
+    // multiplicity 3: identical texts share a shingle list, tripping the
+    // gid collapse the group form is built around
+    val docs = (0 until 3).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).localCheckpoint()
+    val groups = Dedup.minhashNearDupGroups(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    expectGroupsEqualPairs(groups, pairs, ids)
+    groups.values.map(_._2).max should be >= 3L
+    graft.util.BlockRelease.release(docs)
+  }
+
+  test("jaccardNearDupGroups == components of the scoped pair form; groups never cross scopes") {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).limit(80)
+    val docs = (0 until 3).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        col("text"), col("source")))
+      .reduce(_ unionByName _).localCheckpoint()
+    val groups = Dedup
+      .jaccardNearDupGroups(docs, "doc_id", "text", "source", 0.5, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = Dedup
+      .ngramJaccardNearDups(docs, "doc_id", "text", "source", 0.5, 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    expectGroupsEqualPairs(groups, pairs, ids)
+    groups.values.map(_._2).max should be >= 3L
+    // scope isolation: every member of a group shares the canon's source
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    groups.foreach { case (id, (canon, _)) =>
+      srcOf(id) shouldBe srcOf(canon)
+    }
+    graft.util.BlockRelease.release(docs)
+  }
 }
