@@ -885,6 +885,32 @@ object TextQueries {
     Dedup.incrementalIngestGate(docs(spark, dir), "doc_id", "text",
       isNew = col("doc_id") % 10 === 3)
 
+  /** q111 — the INDEXED streaming ingest gate under the driver oracle
+    * (r13 verdict item 6: q98 exercises the batch full-scan tier; this
+    * twin exercises [[graft.dedup.IngestIndex.gateWithIndex]], the
+    * headline r13 component, end-to-end): the existing-corpus slice is
+    * bootstrapped into a REAL on-disk fingerprint store WITH idx/bloom
+    * sidecar partitions ([[graft.streaming.Streams.bootstrapIngestStore]]
+    * — the exact store layout the streaming sink maintains), and the new
+    * slice (doc_id % 10 = 3, q98's split) is gated through the sidecars:
+    * bloom probe → shard-pruned exact verify → the SAME verdict tail.
+    * Verdicts are identical to q98's by the gate's no-false-negative /
+    * exact-verify argument, so the ORACLE IS q98's SQL — which is
+    * exactly the point: the index must be invisible in the answer.
+    * Each run re-bootstraps the store in place, so a warm re-run (the
+    * bench protocol runs every query twice per session) also exercises
+    * the r14 re-bootstrap bloom-cache eviction under the oracle. */
+  val q111IndexedIngestGate: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    val store = System.getProperty("java.io.tmpdir") +
+      "/graft_q111_store_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.streaming.Streams.bootstrapIngestStore(
+      d.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", store)
+    val fp = Dedup.docSigGrams(
+      d.filter(col("doc_id") % 10 === 3), "doc_id", "text", 8)
+    graft.dedup.IngestIndex.gateWithIndex(fp, store, None)
+  }
+
   /** q105 — DSIR IMPORTANCE RESAMPLING (Xie et al. 2023 §2, the draw
     * the q89 weights exist FOR; NEW r10): sample k = 100 documents
     * WITHOUT replacement with P ∝ exp(weight) via the Gumbel-top-k
@@ -1193,6 +1219,7 @@ object TextQueries {
     "q34_langid" -> q34LangId,
     "q35_simhash_neardups" -> q35SimhashNearDups,
     "q36_minhash_lsh" -> q36MinhashLsh,
+    "q111_indexed_ingest_gate" -> q111IndexedIngestGate,
     "q112_minhash_neardup_groups" -> q112MinhashGroups,
     "q113_jaccard_neardup_groups" -> q113JaccardGroups,
     "q37_embed_knn" -> q37EmbedKnn,
@@ -1200,6 +1227,35 @@ object TextQueries {
     "q63_gpt_tokens" -> q63GptTokens)
 
   private val stopList = "['the','a','an','and','of','to','in','is','it','for']"
+
+  /** The ingest-gate oracle, shared VERBATIM by q98 (batch full-scan
+    * tier) and q111 (indexed sidecar tier): same normalized-md5
+    * signature, same DISTINCT md5 8-grams (q66's slice pattern),
+    * batch↔store joins only, same rational 2·shared ≥ total threshold. */
+  private val ingestGateOracle: String =
+    """WITH t AS (SELECT doc_id, doc_id % 10 = 3 AS nw,
+      |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+      |  FROM documents),
+      |b AS (SELECT doc_id, nw, md5(array_to_string(toks, ' ')) AS sig,
+      |    CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform(
+      |        range(0, len(toks) - 7),
+      |        i -> md5(array_to_string(toks[i+1:i+8], ' '))))
+      |      ELSE [] END AS grams
+      |  FROM t),
+      |cs AS (SELECT DISTINCT sig FROM b WHERE NOT nw),
+      |xd AS (SELECT doc_id FROM b JOIN cs USING (sig) WHERE nw),
+      |cg AS (SELECT DISTINCT unnest(grams) AS h FROM b WHERE NOT nw),
+      |ng AS (SELECT doc_id, unnest(grams) AS h FROM b WHERE nw),
+      |sh AS (SELECT ng.doc_id, count(*)::BIGINT AS ns
+      |  FROM ng JOIN cg ON ng.h = cg.h GROUP BY ng.doc_id)
+      |SELECT b.doc_id,
+      |  b.doc_id IN (SELECT doc_id FROM xd) AS exact_dup,
+      |  len(b.grams)::BIGINT AS n_grams,
+      |  coalesce(sh.ns, 0)::BIGINT AS n_shared,
+      |  (b.doc_id IN (SELECT doc_id FROM xd)
+      |    OR (len(b.grams) > 0 AND coalesce(sh.ns, 0) * 2 >= len(b.grams))) AS drop_doc
+      |FROM b LEFT JOIN sh ON b.doc_id = sh.doc_id
+      |WHERE b.nw""".stripMargin
 
   private val oracles0: Map[String, String] = Map(
     // q99 — q77's surprisal CTE verbatim, then the SAME md5-KMV 256-doc
@@ -1235,31 +1291,11 @@ object TextQueries {
         |FROM sc, thr""".stripMargin,
     // q98 — the ingest gate re-derived: same normalized-md5 signature,
     // same DISTINCT md5 8-grams (q66's slice pattern), batch↔store
-    // joins only, same rational 2·shared ≥ total threshold.
-    "q98_incremental_dedup" ->
-      """WITH t AS (SELECT doc_id, doc_id % 10 = 3 AS nw,
-        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
-        |  FROM documents),
-        |b AS (SELECT doc_id, nw, md5(array_to_string(toks, ' ')) AS sig,
-        |    CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform(
-        |        range(0, len(toks) - 7),
-        |        i -> md5(array_to_string(toks[i+1:i+8], ' '))))
-        |      ELSE [] END AS grams
-        |  FROM t),
-        |cs AS (SELECT DISTINCT sig FROM b WHERE NOT nw),
-        |xd AS (SELECT doc_id FROM b JOIN cs USING (sig) WHERE nw),
-        |cg AS (SELECT DISTINCT unnest(grams) AS h FROM b WHERE NOT nw),
-        |ng AS (SELECT doc_id, unnest(grams) AS h FROM b WHERE nw),
-        |sh AS (SELECT ng.doc_id, count(*)::BIGINT AS ns
-        |  FROM ng JOIN cg ON ng.h = cg.h GROUP BY ng.doc_id)
-        |SELECT b.doc_id,
-        |  b.doc_id IN (SELECT doc_id FROM xd) AS exact_dup,
-        |  len(b.grams)::BIGINT AS n_grams,
-        |  coalesce(sh.ns, 0)::BIGINT AS n_shared,
-        |  (b.doc_id IN (SELECT doc_id FROM xd)
-        |    OR (len(b.grams) > 0 AND coalesce(sh.ns, 0) * 2 >= len(b.grams))) AS drop_doc
-        |FROM b LEFT JOIN sh ON b.doc_id = sh.doc_id
-        |WHERE b.nw""".stripMargin,
+    // joins only, same rational 2·shared ≥ total threshold. q111 (the
+    // INDEXED gate over a real sidecar store) shares this oracle
+    // verbatim: the bloom/idx tier must be invisible in the answer.
+    "q98_incremental_dedup" -> ingestGateOracle,
+    "q111_indexed_ingest_gate" -> ingestGateOracle,
     // q95 — the bigram model re-derived: same tokenizer, bigrams from
     // the token array (lateral range — no self-join), same add-1
     // smoothing, ONE ln per distinct bigram quantized to milli-nats in
