@@ -142,6 +142,8 @@ object Dedup {
           min(col("doc_id")).over(Window.partitionBy(col("shingles"))).as("gid"))
         .localCheckpoint()
       sh.unpersist(blocking = false)
+      warnPairAmplification(withG, "gid", "minhashNearDups",
+        "minhashNearDupGroups")
       val reps = withG.filter(col("doc_id") === col("gid"))
         .select(col("doc_id"), col("shingles")).cache()
       val memIds = withG.select(col("doc_id"), col("gid"),
@@ -229,6 +231,8 @@ object Dedup {
             .over(Window.partitionBy(col(scopeCol), col("shingles"))).as("gid"))
         .localCheckpoint()
       sh.unpersist(blocking = false)
+      warnPairAmplification(withG, "gid", "ngramJaccardNearDups",
+        "jaccardNearDupGroups")
       val reps = withG.filter(col("doc_id") === col("gid"))
       val (exR, gpairs) = pairs(reps, "ga", "gb")
       val memIds = withG.select(col("doc_id"), col("gid"),
@@ -665,6 +669,8 @@ object Dedup {
       val mem = base.select(col("id"), col("v"), col("n2"),
           min(col("id")).over(Window.partitionBy(col("v"))).as("gid"))
         .localCheckpoint()
+      warnPairAmplification(mem, "gid", "cosineNearDupsExact",
+        "cosineNearDupGroups")
       val reps = mem.filter(col("id") === col("gid"))
         .select(col("id"), col("v"), col("n2"))
       val gout = bandPairs(reps, "ga", "gb")
@@ -694,6 +700,45 @@ object Dedup {
       graft.util.BlockRelease.release(Seq(gout, mem))
       out
     }
+  }
+
+  /** Measured crossover of the pair-complete contract (BENCH_LOCAL_r13.md
+    * §7, the k-multiplicity cells): the pair form is the right output up
+    * to dup multiplicity ~10 (23.3 s at the measurement corpus), and 10×
+    * slower than the group form by multiplicity 30 (126.6 s vs 12.7 s —
+    * all of it C(k,2) member-pair materialization). Amplification =
+    * Σ C(k,2) / members ≈ (mean k − 1)/2, so the guard warns above 10
+    * (mean multiplicity ≈ 20, between the measured decades). */
+  private[graft] val PairAmplificationWarnAt = 10.0
+
+  /** Projected member pairs PER DOC if this collapsed corpus is expanded
+    * pair-complete: Σ C(k,2) over exact-dup groups / member count. One
+    * cheap aggregation over the already-checkpointed gid frame. */
+  private[graft] def pairAmplification(mem: DataFrame,
+      gidCol: String = "gid"): Double = {
+    val r = mem.groupBy(col(gidCol)).agg(count(lit(1)).as("k"))
+      .agg(coalesce(sum(col("k")), lit(0L)).cast("double"),
+        coalesce(sum(col("k") * (col("k") - 1) / 2), lit(0L)).cast("double"))
+      .first()
+    if (r.getDouble(0) == 0.0) 0.0 else r.getDouble(1) / r.getDouble(0)
+  }
+
+  /** The auto-guard on the pair-complete collapse tiers (r13 verdict
+    * item 5): nothing STOPS a caller from running a pair form on a
+    * multiplicity-100 corpus — the output is still exactly what was
+    * asked for — but past the measured crossover it is the wrong form,
+    * so the tier says so LOUDLY (stderr, the engine's harness channel)
+    * and names the linear escape hatch. Costs one aggregation over the
+    * gid frame the collapse tier just built. */
+  private[graft] def warnPairAmplification(mem: DataFrame, gidCol: String,
+      caller: String, escape: String): Unit = {
+    val amp = pairAmplification(mem, gidCol)
+    if (amp > PairAmplificationWarnAt)
+      System.err.println(
+        f"WARN graft.dedup.$caller: exact-dup multiplicity projects ~$amp%.1f " +
+        f"member pairs per doc (measured pair-form ceiling: right through " +
+        f"multiplicity ~10, 10x slower than the group form by 30) — " +
+        f"prefer $escape for canonicalization-shaped consumers")
   }
 
   /** COMPACT GROUP-REPRESENTATIVE near-dup output — the escape hatch for

@@ -453,6 +453,23 @@ class DedupSpec extends SparkSpec with Matchers {
     groups shouldBe expected
   }
 
+  test("pair-amplification guard: multiplicity 30 crosses the measured ceiling, 2 does not") {
+    // amplification = sum C(k,2) / members = (k-1)/2 for uniform groups;
+    // the r13 k-cells place the pair form's ceiling between multiplicity
+    // 10 and 30 (BENCH_LOCAL_r13.md §7), so the guard threshold (10) must
+    // separate those decades: k=30 -> 14.5 warns, k=2 -> 0.5 stays quiet
+    val m30 = spark.range(300).select((col("id") % 10).as("gid"))
+    Dedup.pairAmplification(m30, "gid") shouldBe 14.5 +- 1e-9
+    (Dedup.pairAmplification(m30, "gid") >
+      Dedup.PairAmplificationWarnAt) shouldBe true
+    val m2 = spark.range(100).select((col("id") % 50).as("gid"))
+    Dedup.pairAmplification(m2, "gid") shouldBe 0.5 +- 1e-9
+    (Dedup.pairAmplification(m2, "gid") >
+      Dedup.PairAmplificationWarnAt) shouldBe false
+    // degenerate: empty corpus probes 0 without dividing by zero
+    Dedup.pairAmplification(m30.limit(0), "gid") shouldBe 0.0
+  }
+
   test("minhashNearDupGroups == components of the pair form on a dup-heavy corpus") {
     val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")).limit(80)
