@@ -66,6 +66,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("ingestcold")) {
+      runIngestCold(spark)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("sweep")) {
       runSweep(spark)
       spark.stop()
@@ -748,6 +753,98 @@ object ScaleBench {
         .deleteDirectory(new java.io.File(root))
     }
     graft.util.BlockRelease.release(Seq(mixed, novel))
+  }
+
+  /** COLD-CACHE / MEMORY-BUDGET cell for the bloom sidecar (r13 verdict
+    * item 4 — the decade cells measure the warm path only). At one big
+    * store (default 3.2M docs, the 64× decade):
+    *   (a) sizes the sidecars — bloom/idx bytes PER STORE KEY, the
+    *       cluster-memory budget line the 100 TB story quotes;
+    *   (b) times the FIRST gate after staging (Spark-level cold: bloom
+    *       filesystem read + localCheckpoint + plan build; the OS page
+    *       cache is still warm from staging — stated, not hidden) vs the
+    *       warm steady state;
+    *   (c) evicts the store's bloom frame by gating four other stores
+    *       through the 4-entry BoundedSessionCache, then re-times (the
+    *       eviction-pressure re-cold a >4-store session pays). */
+  private def runIngestCold(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def mix(x0: Long): Long = { // splitmix64 finalizer
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def docText(seed: Long, tokens: Int): String =
+      Seq.tabulate(tokens)(j => "w" + (mix(seed * 977L + j) & 0x3FFF)).mkString(" ")
+    def t[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+
+    val storeN = sys.env.get("SPARK_GRAFT_SCALE_STORES")
+      .map(_.split(",").head.trim.toInt).getOrElse(3200000)
+    def stage(n: Int, tag: String, seedBase: Long): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"ingestcold$tag").toFile.getAbsolutePath
+      val docs = spark.range(n.toLong).map { i =>
+        (tag + i, docText(seedBase + i, 60))
+      }.toDF("doc_id", "text")
+      val fp = graft.dedup.Dedup.docSigGrams(docs, "doc_id", "text", 8)
+        .select(col("sig"), col("grams"))
+      fp.write.mode("overwrite").parquet(s"$root/batch=0")
+      val storeFp = spark.read
+        .schema(graft.streaming.Streams.ingestStoreSchema)
+        .parquet(s"$root/batch=0")
+      graft.dedup.IngestIndex.writeSidecars(storeFp, root, "batch=0")
+      root
+    }
+    val root = stage(storeN, "big", 0L)
+    // decoy seed bands sit at 5e9+, disjoint from the big store (0..n)
+    // and from the novel batch (9e9) — the r13 seed-disjointness lesson
+    val decoys = (0 until 4).map(i =>
+      stage(20000, s"d$i", 5000000000L + i * 1000000L))
+
+    val keys = spark.read.parquet(s"$root/_idx/batch=0").count()
+    val bloomBytes = du(new java.io.File(s"$root/_bloom"))
+    val idxBytes = du(new java.io.File(s"$root/_idx"))
+    val dataBytes = du(new java.io.File(s"$root/batch=0"))
+    System.err.println(
+      f"SCALE-INGESTCOLD store=$storeN%8d keys=$keys%11d " +
+      f"data=${dataBytes / 1048576}%6d MiB idx=${idxBytes / 1048576}%5d MiB " +
+      f"bloom=${bloomBytes / 1048576}%4d MiB " +
+      f"bloom_B_per_key=${bloomBytes.toDouble / keys}%5.2f " +
+      f"idx_B_per_key=${idxBytes.toDouble / keys}%5.2f")
+
+    val novel = spark.range(5000L).map { i =>
+      ("n" + i, docText(9000000000L + i, 60))
+    }.toDF("doc_id", "text").localCheckpoint()
+    def gate(storeRoot: String): Long = {
+      val fp = graft.dedup.Dedup
+        .docSigGrams(novel, "doc_id", "text", 8).localCheckpoint()
+      val v = graft.dedup.IngestIndex.gateWithIndex(fp, storeRoot, None)
+      val d = v.filter(col("drop_doc")).count()
+      graft.util.BlockRelease.release(Seq(fp, v))
+      d
+    }
+    val (cold, d0) = t(gate(root))
+    val (warm, d1) = t(gate(root))
+    val (warm2, _) = t(gate(root))
+    decoys.foreach(gate) // four other stores fill the 4-entry bloom cache
+    val (recold, d2) = t(gate(root))
+    require(d0 == 0 && d1 == d0 && d2 == d0, "novel batch must gate clean")
+    System.err.println(
+      f"SCALE-INGESTCOLD cold=$cold%6.1f s warm=$warm%6.1f s " +
+      f"warm2=$warm2%6.1f s evicted_recold=$recold%6.1f s " +
+      "(cold/recold = Spark-level: bloom file read + localCheckpoint; " +
+      "OS page cache warm from staging)")
+    graft.util.BlockRelease.release(novel)
+    (root +: decoys).foreach(r =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
   }
 
   /** STREAMING-CADENCE ingest cell (r13): the decade cell above times ONE

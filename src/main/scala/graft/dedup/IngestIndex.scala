@@ -392,6 +392,15 @@ object IngestIndex {
     }
   }
 
+  /** Release the session bloom frame cached for `storePath` (drops its
+    * local-checkpoint blocks). For callers gating against a TRANSIENT
+    * store (benchmark cells, the q111 oracle query): a long-lived
+    * streaming sink wants the cache warm across micro-batches; a
+    * one-shot gate must not pin store-sized blocks for the session's
+    * life (the BlockReleaseSweepSpec discipline). */
+  def releaseStoreCaches(spark: SparkSession, storePath: String): Unit =
+    bloomCache.remove((spark, storePath))
+
   /** Idx rows of the given parts, pruned to the survivors' 8-bit dir
     * shards (`pruneDirs` → Catalyst partition pruning on large parts)
     * and 12-bit shards (`pruneShards` → row-group stats on the sorted

@@ -908,7 +908,11 @@ object TextQueries {
       d.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", store)
     val fp = Dedup.docSigGrams(
       d.filter(col("doc_id") % 10 === 3), "doc_id", "text", 8)
-    graft.dedup.IngestIndex.gateWithIndex(fp, store, None)
+    val v = graft.dedup.IngestIndex.gateWithIndex(fp, store, None)
+    // the verdict frame is checkpoint-materialized; drop the transient
+    // store's session bloom frame so a one-shot oracle run pins nothing
+    graft.dedup.IngestIndex.releaseStoreCaches(spark, store)
+    v
   }
 
   /** q105 — DSIR IMPORTANCE RESAMPLING (Xie et al. 2023 §2, the draw
