@@ -76,6 +76,14 @@ import graft.util.{BlockRelease, BoundedSessionCache, SizeGate}
   * keys are uniform — no locality for ANY range scheme), so per-batch
   * cost keeps an Ω(summary-size) term: ~4 bytes/key of bloom (cached in
   * cluster memory after first read) + the survivor shards of the idx.
+  * MEASURED BUDGET at the 64× decade (SCALE-INGESTCOLD, r14: 3.2M docs
+  * = 172.8M keys): bloom sidecar 759 MiB on disk = 4.61 B/key (the ~4
+  * B/key bitsets + parquet framing), idx 17.6 B/key, store data 5.4
+  * GiB; the FIRST gate after a restart pays the bloom read + checkpoint
+  * (41.6 s — full-scan-like, once), warm batches 7 s flat, and a
+  * session gating >4 stores re-pays a partial cold read on re-entry
+  * (26.3 s) when the 4-entry session cache evicts the frame — size
+  * [[graft.util.BoundedSessionCache]] to the live store count.
   * That is linear in N with a ~20× smaller constant than the r12
   * store scan, plus compute ∝ batch instead of ∝ store; making it
   * STRICTLY sublinear requires a point-read index (an LSM/KV store),
