@@ -1124,6 +1124,18 @@ object Dedup {
     val width = 64 / chunks
     require(width <= 32 && 32 % width == 0,
       s"chunk width $width must divide 32 (supported maxDist: 1, 3, 7)")
+    val fp = simhashMd5Fp(docs, idCol, textCol)
+    pigeonholePairs(fp, Seq("fp_lo", "fp_hi"),
+      simhashChunkCols(chunks, width), maxDist, simhashMd5Dist,
+      collapseRatio)
+  }
+
+  /** The md5-twin 64-bit SimHash fingerprint frame (doc_id, fp_lo,
+    * fp_hi) — factored r14 so the pair form and the group form compute
+    * it identically (it IS the near-dup semantics: every pair/group
+    * decision is a function of these two words). */
+  private[graft] def simhashMd5Fp(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tk"))
     val th = tok.select(col("doc_id"),
@@ -1144,16 +1156,63 @@ object Dedup {
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     val fpHi = (32 until 64).map(j =>
       when(col(s"s$j") > 0, lit(1L << (j - 32))).otherwise(lit(0L))).reduce(_ + _)
-    val fp = sums.select(col("doc_id"), fpLo.as("fp_lo"), fpHi.as("fp_hi"))
-    val chunkCols = (0 until chunks).map { c =>
+    sums.select(col("doc_id"), fpLo.as("fp_lo"), fpHi.as("fp_hi"))
+  }
+
+  private def simhashChunkCols(chunks: Int, width: Int): Seq[Column] =
+    (0 until chunks).map { c =>
       val word = if (c < 32 / width) col("fp_lo") else col("fp_hi")
       shiftrightunsigned(word, (c * width) % 32)
         .bitwiseAND(lit((1L << width) - 1))
     }
-    pigeonholePairs(fp, Seq("fp_lo", "fp_hi"), chunkCols, maxDist,
-      (a, b) => (bit_count(a("fp_lo").bitwiseXOR(b("fp_lo"))) +
-        bit_count(a("fp_hi").bitwiseXOR(b("fp_hi")))).cast("long"),
-      collapseRatio)
+
+  private val simhashMd5Dist:
+      (String => Column, String => Column) => Column =
+    (a, b) => (bit_count(a("fp_lo").bitwiseXOR(b("fp_lo"))) +
+      bit_count(a("fp_hi").bitwiseXOR(b("fp_hi")))).cast("long")
+
+  /** COMPACT GROUP form of [[simhashNearDupsMd5]] — the q110/q112/q113
+    * escape hatch applied to the SimHash kernel, completing the group
+    * family across every near-dup relation the engine ships. Emits
+    * (doc_id, canon_id, group_size): components of the Hamming ≤ maxDist
+    * relation over the md5-twin fingerprints, at cost linear in
+    * dup-group members — exact-dup groups ride one window over the
+    * fingerprint pair (identical fingerprints are at distance 0, so they
+    * are near-dups at ANY maxDist ≥ 0 — no threshold caveat, unlike the
+    * Jaccard forms), pigeonhole banding runs on one representative per
+    * distinct fingerprint, components on the rep graph, members attach
+    * via gid. The pigeonhole candidates are EXACT for the distance bound
+    * (any pair within Hamming maxDist shares one of maxDist+1 chunks),
+    * so unlike the MinHash form there is no banding-recall pin: engine
+    * components equal true-pair components unconditionally. The SimHash
+    * collapse's r12 negative result (the fingerprint groupBy dominates
+    * and must run per member) applies here too — but the group form's
+    * win is the OUTPUT, not the banding: C(k,2) pair rows never
+    * materialize. */
+  def simhashNearDupGroupsMd5(docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    require(width <= 32 && 32 % width == 0,
+      s"chunk width $width must divide 32 (supported maxDist: 1, 3, 7)")
+    val mem = simhashMd5Fp(docs, idCol, textCol)
+      .select(col("doc_id").cast("long").as("id"),
+        col("fp_lo"), col("fp_hi"),
+        min(col("doc_id").cast("long"))
+          .over(Window.partitionBy(col("fp_lo"), col("fp_hi"))).as("gid"))
+      .localCheckpoint()
+    val reps = mem.filter(col("id") === col("gid"))
+      .select(col("id").as("doc_id"), col("fp_lo"), col("fp_hi"))
+    // reps are distinct fingerprints by construction: the pigeonhole
+    // kernel's own collapse gate can never trip — pass it disabled
+    val pairs = pigeonholePairs(reps, Seq("fp_lo", "fp_hi"),
+      simhashChunkCols(chunks, width), maxDist, simhashMd5Dist,
+      Double.PositiveInfinity)
+    val out = groupsFromReps(mem,
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    graft.util.BlockRelease.release(pairs)
+    out
   }
 
   /** SimHash near-dup pairs with Hamming ≤ maxDist: pigeonhole banding —

@@ -121,6 +121,18 @@ object TextQueries {
     Dedup.minhashNearDupGroups(docs(spark, dir), "doc_id", "text",
       threshold = 0.5)
 
+  /** q114 — COMPACT SIMHASH NEAR-DUP GROUPS ([[Dedup
+    * .simhashNearDupGroupsMd5]]): the group form of q35's Hamming ≤ 3
+    * relation, completing the group family over every near-dup kernel.
+    * Stronger oracle footing than q112: the pigeonhole candidates are
+    * EXACT for the distance bound, so engine components equal the true
+    * Hamming pair graph's with no banding-recall pin. Oracle: q35's
+    * md5-SimHash fingerprint CTE → brute true pairs (oracle SF only) →
+    * q43-pattern min-label components → totality + group sizes. */
+  val q114SimhashGroups: Q = (spark, dir) =>
+    Dedup.simhashNearDupGroupsMd5(docs(spark, dir), "doc_id", "text",
+      maxDist = 3)
+
   /** q113 — COMPACT n-gram JACCARD NEAR-DUP GROUPS ([[Dedup
     * .jaccardNearDupGroups]]): the group form of q33's scoped exact
     * inverted-index kernel — same component structure as canonicalizing
@@ -1226,6 +1238,7 @@ object TextQueries {
     "q111_indexed_ingest_gate" -> q111IndexedIngestGate,
     "q112_minhash_neardup_groups" -> q112MinhashGroups,
     "q113_jaccard_neardup_groups" -> q113JaccardGroups,
+    "q114_simhash_neardup_groups" -> q114SimhashGroups,
     "q37_embed_knn" -> q37EmbedKnn,
     "q38_cosine_verify" -> q38CosineVerify,
     "q63_gpt_tokens" -> q63GptTokens)
@@ -1918,6 +1931,41 @@ object TextQueries {
     // fingerprint bit j set iff the vote sum is positive, then ALL pairs
     // at Hamming ≤ 3 — the pigeonhole banding in the engine finds exactly
     // this set, so a plain quadratic re-derivation is the true oracle.
+    // q114 — q35's fingerprint CTE verbatim, brute true Hamming ≤ 3
+    // pairs, then the q43-pattern min-label fixpoint + singleton
+    // totality + group sizes (the q112/q113 derivation in Hamming space)
+    "q114_simhash_neardup_groups" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |th AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(tk), 9, 8))::BIGINT AS lo FROM tk),
+        |b AS (SELECT doc_id, j,
+        |    sum(CASE WHEN ((CASE WHEN j < 32 THEN lo ELSE hi END)
+        |          >> (j % 32)::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, (SELECT unnest(range(0, 64)) AS j) GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id,
+        |    sum(CASE WHEN s > 0 AND j < 32 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS fp_lo,
+        |    sum(CASE WHEN s > 0 AND j >= 32 THEN (1::BIGINT << ((j - 32)::INT)) ELSE 0 END)::BIGINT AS fp_hi
+        |  FROM b GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3),
+        |sym AS (SELECT doc_a AS u1, doc_b AS u2 FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT u1 AS node, u1 AS lbl FROM sym
+        |  UNION
+        |  SELECT sym.u2, reach.lbl FROM reach JOIN sym ON reach.node = sym.u1
+        |  WHERE reach.lbl < sym.u2),
+        |comp AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, coalesce(comp.label, d.doc_id) AS canon_id
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node)
+        |SELECT doc_id, canon_id,
+        |  (count(*) OVER (PARTITION BY canon_id))::BIGINT AS group_size
+        |FROM lab""".stripMargin,
     "q35_simhash_neardups" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
