@@ -482,6 +482,18 @@ object IngestIndex {
     * [[Dedup.gateAgainstStore]] over the full store read, but the store
     * partitions carrying sidecars are never scanned: their blooms answer
     * for the misses and their idx shards verify the survivors. */
+  /** Dev phase timer (the IngestQueries precedent): set
+    * SPARK_GRAFT_GATE_LOG=1 to print per-stage wall times + survivor
+    * counts of the indexed gate; no-op otherwise. */
+  @inline private def gateLog(label: => String): Unit =
+    if (sys.env.contains("SPARK_GRAFT_GATE_LOG"))
+      System.err.println(s"GATE $label")
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def gateWithIndex(fp: DataFrame, storePath: String,
       excludeBatch: Option[Long]): DataFrame = {
     val spark = fp.sparkSession
@@ -504,9 +516,10 @@ object IngestIndex {
       val indexedMatches: Option[DataFrame] =
         if (covered.isEmpty) None
         else {
-          val blooms = cachedBlooms(spark, storePath, covered)
-          val survivors =
-            probeSurvivors(blooms, keys, nSigs + nH).localCheckpoint()
+          val (blooms, tBloom) =
+            timed(cachedBlooms(spark, storePath, covered))
+          val (survivors, tProbe) = timed(
+            probeSurvivors(blooms, keys, nSigs + nH).localCheckpoint())
           // one action yields both the empty-survivor fast-path decision
           // and the prune list (≤ 4096 ints — driver-bounded)
           val shardCounts = survivors
@@ -514,6 +527,8 @@ object IngestIndex {
               .cast("int").as("s"))
             .count().collect().map(r => r.getInt(0) -> r.getLong(1))
           val nSurv = shardCounts.map(_._2).sum
+          gateLog(f"blooms $tBloom%6.2f s  probe $tProbe%6.2f s  " +
+            f"survivors=$nSurv%d over ${shardCounts.length}%d idx shards")
           if (nSurv == 0L) { BlockRelease.release(survivors); None }
           else {
             val shards = shardCounts.map(_._1).toSeq.sorted
@@ -525,13 +540,15 @@ object IngestIndex {
             // inner join (not semi): the survivor side carries the hex
             // `h` the verdict tail needs; idx duplicates across parts
             // collapse in the distinct, bounded by partitions × survivors
-            val verified =
+            val (verified, tVerify) = timed(
               readIdx(spark, storePath, covered, pruneDirs, pruneShards)
               .join(SizeGate.maybeBroadcast(survivors, known = Some(nSurv)),
                 Seq("kind", "h1", "h2", "h3"))
               .select(col("kind"), col("h"))
               .distinct()
-              .localCheckpoint()
+              .localCheckpoint())
+            gateLog(f"verify $tVerify%6.2f s  pruneDirs=" +
+              s"${pruneDirs.map(_.size)} pruneShards=${pruneShards.map(_.size)}")
             BlockRelease.release(survivors)
             Some(verified)
           }
