@@ -286,37 +286,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val d0 = docs.select(col(idCol).as("doc_id"), col(scopeCol).as("scope"),
       col(textCol).as("text"))
-    // pair stage shared by both tiers: candidates + verify over `src`
+    // pair stage shared by both tiers (and by the r14 group form)
     def verifiedPairs(src: DataFrame, la: String, lb: String):
-        (DataFrame, DataFrame, DataFrame) = {
-      val shr = shingledHashes(src, "doc_id", "text", n, keep = Seq("scope"))
-        .localCheckpoint() // shingling runs once: postings + nz flags
-      val ex = shr.select(col("doc_id"), col("scope"),
-          explode(col("shingles")).as("k"))
-        .repartition(col("k")) // spread the inverted index
-        .localCheckpoint()
-      val cand = ex.as("a").join(ex.as("b"),
-          col("a.k") === col("b.k") && col("a.scope") === col("b.scope") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as(la), col("b.doc_id").as(lb)).distinct()
-        .localCheckpoint()
-      graft.util.BlockRelease.release(ex)
-      val emb = src.select(col("doc_id"), md5Embed(col("text")).as("v"))
-        .withColumn("n2", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
-        .localCheckpoint()
-      val out = cand
-        .join(emb.select(col("doc_id").as(la), col("v").as("va"), col("n2").as("na2")), la)
-        .join(emb.select(col("doc_id").as(lb), col("v").as("vb"), col("n2").as("nb2")), lb)
-        .filter(col("na2") > 0 && col("nb2") > 0)
-        .select(col(la), col(lb),
-          round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / sqrt(col("na2") * col("nb2")), 4)
-            .as("cos"))
-        .filter(col("cos") >= tauCos)
-        .localCheckpoint()
-      graft.util.BlockRelease.release(cand)
-      (shr, emb, out)
-    }
+        (DataFrame, DataFrame, DataFrame) =
+      shingleCosinePairStage(src, la, lb, tauCos, n)
     val probe = d0.agg(count(lit(1)),
       approx_count_distinct(struct(col("scope"), col("text")))).first()
     val (nDocs, nDistinct) = (probe.getLong(0), probe.getLong(1))
@@ -357,6 +330,96 @@ object Dedup {
       graft.util.BlockRelease.release(Seq(withG, shr, emb, gout))
       out
     }
+  }
+
+  /** The shingle-candidate + cosine-verify pair stage over `src`
+    * (doc_id, scope, text) — factored r14 so [[shingleCosineVerify]]'s
+    * tiers and [[shingleCosineGroups]] share one definition of the
+    * near-dup relation. Returns (shingled frame, embedding frame,
+    * verified pairs) — all three localCheckpointed; the CALLER releases
+    * them. The embedding projection is checkpointed BEFORE the pair join
+    * (Catalyst otherwise collapses it past the join and re-evaluates the
+    * interpreted higher-order md5 fold once per candidate SIDE instead
+    * of once per document — measured 14 s → <1 s at sf0.1). */
+  private def shingleCosinePairStage(src: DataFrame, la: String,
+      lb: String, tauCos: Double, n: Int):
+      (DataFrame, DataFrame, DataFrame) = {
+    val shr = shingledHashes(src, "doc_id", "text", n, keep = Seq("scope"))
+      .localCheckpoint() // shingling runs once: postings + nz flags
+    val ex = shr.select(col("doc_id"), col("scope"),
+        explode(col("shingles")).as("k"))
+      .repartition(col("k")) // spread the inverted index
+      .localCheckpoint()
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.k") === col("b.k") && col("a.scope") === col("b.scope") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as(la), col("b.doc_id").as(lb)).distinct()
+      .localCheckpoint()
+    graft.util.BlockRelease.release(ex)
+    val emb = src.select(col("doc_id"), md5Embed(col("text")).as("v"))
+      .withColumn("n2", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+      .localCheckpoint()
+    val out = cand
+      .join(emb.select(col("doc_id").as(la), col("v").as("va"), col("n2").as("na2")), la)
+      .join(emb.select(col("doc_id").as(lb), col("v").as("vb"), col("n2").as("nb2")), lb)
+      .filter(col("na2") > 0 && col("nb2") > 0)
+      .select(col(la), col(lb),
+        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / sqrt(col("na2") * col("nb2")), 4)
+          .as("cos"))
+      .filter(col("cos") >= tauCos)
+      .localCheckpoint()
+    graft.util.BlockRelease.release(cand)
+    (shr, emb, out)
+  }
+
+  /** COMPACT GROUP form of [[shingleCosineVerify]] — the last of the
+    * four text near-dup kernels to get the q110 escape hatch (q38's
+    * pair form materialized 41.7M rows at dup multiplicity 30, the
+    * largest pair-complete output in the family). Emits (doc_id,
+    * canon_id, group_size): components of the "shares ≥1 scoped shingle
+    * AND exact cosine ≥ tauCos" relation, linear in group members —
+    * exact-dup groups by one (scope, text) window, the shingling /
+    * embedding / inverted-index / verify all on REPRESENTATIVES only
+    * (the collapse-tier argument: the group key determines the shingle
+    * set AND the embedding), components over the rep graph, members
+    * attach via gid.
+    *
+    * Pair-ineligibility is per TEXT, so it is decided on the REP and
+    * inherited: docs whose text yields no shingles (no postings → no
+    * candidate) or a zero embedding (the verify's n² > 0 guard) can
+    * never pair — even with an identical twin — and stay singletons
+    * (gid overridden to the doc's own id), exactly the pair form's
+    * emission conditions. Requires tauCos ≤ 1 (identical eligible texts
+    * must be near-dups: their rounded cosine is exactly 1.0). */
+  def shingleCosineGroups(docs: DataFrame, idCol: String, textCol: String,
+      scopeCol: String, tauCos: Double = 0.6, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauCos <= 1.0,
+      "group form needs tauCos <= 1 (identical docs must be near-dups)")
+    val d0 = docs.select(col(idCol).cast("long").as("id"),
+      col(scopeCol).as("scope"), col(textCol).as("text"))
+    val mem0 = d0.select(col("id"), col("scope"), col("text"),
+        min(col("id")).over(Window.partitionBy(col("scope"), col("text")))
+          .as("gid"))
+      .localCheckpoint()
+    val reps = mem0.filter(col("id") === col("gid"))
+      .select(col("id").as("doc_id"), col("scope"), col("text"))
+    val (shr, emb, gout) = shingleCosinePairStage(reps, "ga", "gb", tauCos, n)
+    // eligibility flags per rep (inherited by the whole exact-dup group)
+    val repFlags = shr.select(col("doc_id").as("gid"),
+        (size(col("shingles")) > 0).as("nz"))
+      .join(emb.select(col("doc_id").as("gid"), (col("n2") > 0).as("pos")),
+        "gid")
+    val mem = mem0.select(col("id"), col("gid"))
+      .join(graft.util.SizeGate.maybeBroadcast(repFlags), Seq("gid"), "left")
+      .select(col("id"),
+        when(col("nz") && col("pos"), col("gid")).otherwise(col("id"))
+          .as("gid"))
+    val out = groupsFromReps(mem,
+      gout.select(col("ga").as("src"), col("gb").as("dst")))
+    graft.util.BlockRelease.release(Seq(mem0, shr, emb, gout))
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs at threshold `tau` via

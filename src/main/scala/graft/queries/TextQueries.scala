@@ -121,6 +121,18 @@ object TextQueries {
     Dedup.minhashNearDupGroups(docs(spark, dir), "doc_id", "text",
       threshold = 0.5)
 
+  /** q115 — COMPACT SHINGLE-COSINE NEAR-DUP GROUPS ([[Dedup
+    * .shingleCosineGroups]]): the group form of q38's relation (shares
+    * ≥1 scoped 3-shingle AND exact md5Embed cosine ≥ 0.6) — the LAST of
+    * the four text near-dup kernels to get the escape hatch; q38's pair
+    * form was the family's largest pair-complete output (41.7M rows at
+    * dup multiplicity 30). Oracle: q38's candidate + verify CTEs →
+    * q43-pattern min-label components → totality (pair-ineligible docs
+    * self-canonical) → group sizes. */
+  val q115ShingleCosineGroups: Q = (spark, dir) =>
+    Dedup.shingleCosineGroups(docs(spark, dir), "doc_id", "text",
+      scopeCol = "source", tauCos = 0.6, n = 3)
+
   /** q114 — COMPACT SIMHASH NEAR-DUP GROUPS ([[Dedup
     * .simhashNearDupGroupsMd5]]): the group form of q35's Hamming ≤ 3
     * relation, completing the group family over every near-dup kernel.
@@ -1239,6 +1251,7 @@ object TextQueries {
     "q112_minhash_neardup_groups" -> q112MinhashGroups,
     "q113_jaccard_neardup_groups" -> q113JaccardGroups,
     "q114_simhash_neardup_groups" -> q114SimhashGroups,
+    "q115_shingle_cosine_groups" -> q115ShingleCosineGroups,
     "q37_embed_knn" -> q37EmbedKnn,
     "q38_cosine_verify" -> q38CosineVerify,
     "q63_gpt_tokens" -> q63GptTokens)
@@ -1931,6 +1944,49 @@ object TextQueries {
     // fingerprint bit j set iff the vote sum is positive, then ALL pairs
     // at Hamming ≤ 3 — the pigeonhole banding in the engine finds exactly
     // this set, so a plain quadratic re-derivation is the true oracle.
+    // q115 — q38's candidate + cosine-verify CTEs verbatim, then the
+    // q43-pattern min-label fixpoint + singleton totality + group sizes
+    // (pair-ineligible docs — zero embeddings — never enter p, so the
+    // left join leaves them self-canonical, matching the engine's
+    // per-text eligibility override)
+    "q115_shingle_cosine_groups" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS ks FROM t),
+        |ex AS (SELECT doc_id, source, unnest(ks) AS k FROM sh),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |    FROM ex a JOIN ex b ON a.k = b.k AND a.source = b.source
+        |      AND a.doc_id < b.doc_id),
+        |v AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |      list_sum(list_transform(toks, tk ->
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1 = i
+        |          THEN (CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 3, 1)) >= 9
+        |            THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))) AS v FROM t),
+        |n AS (SELECT doc_id, v,
+        |    list_sum(list_transform(v, x -> x * x)) AS n2 FROM v),
+        |p AS (SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN n na ON na.doc_id = c.doc_a
+        |  JOIN n nb ON nb.doc_id = c.doc_b
+        |  WHERE na.n2 > 0 AND nb.n2 > 0
+        |    AND round(list_sum(list_transform(range(1, 17),
+        |        i -> na.v[i] * nb.v[i])) / sqrt(na.n2 * nb.n2), 4) >= 0.6),
+        |sym AS (SELECT doc_a AS u1, doc_b AS u2 FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT u1 AS node, u1 AS lbl FROM sym
+        |  UNION
+        |  SELECT sym.u2, reach.lbl FROM reach JOIN sym ON reach.node = sym.u1
+        |  WHERE reach.lbl < sym.u2),
+        |comp AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, coalesce(comp.label, d.doc_id) AS canon_id
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node)
+        |SELECT doc_id, canon_id,
+        |  (count(*) OVER (PARTITION BY canon_id))::BIGINT AS group_size
+        |FROM lab""".stripMargin,
     // q114 — q35's fingerprint CTE verbatim, brute true Hamming ≤ 3
     // pairs, then the q43-pattern min-label fixpoint + singleton
     // totality + group sizes (the q112/q113 derivation in Hamming space)

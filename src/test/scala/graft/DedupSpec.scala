@@ -506,6 +506,26 @@ class DedupSpec extends SparkSpec with Matchers {
     graft.util.BlockRelease.release(docs)
   }
 
+  test("shingleCosineGroups == components of the pair form (per-text eligibility inherited)") {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).limit(80)
+    val docs = (0 until 3).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        col("text"), col("source")))
+      .reduce(_ unionByName _).localCheckpoint()
+    val groups = Dedup
+      .shingleCosineGroups(docs, "doc_id", "text", "source", 0.6, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = Dedup
+      .shingleCosineVerify(docs, "doc_id", "text", "source", 0.6, 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    expectGroupsEqualPairs(groups, pairs, ids)
+    groups.values.map(_._2).max should be >= 3L
+    graft.util.BlockRelease.release(docs)
+  }
+
   test("jaccardNearDupGroups == components of the scoped pair form; groups never cross scopes") {
     val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("source")).limit(80)
