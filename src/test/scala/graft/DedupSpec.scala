@@ -551,4 +551,103 @@ class DedupSpec extends SparkSpec with Matchers {
     }
     graft.util.BlockRelease.release(docs)
   }
+
+  test("gidByContent == content-window min-id, incl. null-content grouping (r15)") {
+    val s2 = spark
+    import s2.implicits._
+    // a hot key ("" x 40), a medium key, singletons, and nulls — the
+    // hash-keyed groupBy+min must reproduce the window's grouping
+    // exactly (nulls group together, like a window partition key)
+    val rows = (1L to 40L).map(i => (i, "")) ++
+      (41L to 50L).map(i => (i, "dup dup dup")) ++
+      Seq((51L, "alone"), (52L, "solo")) ++
+      (53L to 55L).map(i => (i, null.asInstanceOf[String]))
+    val frame = rows.toDF("id", "text").repartition(8).localCheckpoint()
+    val (withGid, gidScratch) = Dedup.gidByContent(frame, Seq("text"))
+    val got = withGid.select("id", "gid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = frame.select(col("id"),
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("text"))).as("gid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+    got(1L) shouldBe 1L; got(40L) shouldBe 1L // hot key collapsed
+    got(53L) shouldBe 53L; got(55L) shouldBe 53L // nulls group together
+    withGid.columns should not contain ("_gh1")
+    graft.util.BlockRelease.release(frame +: gidScratch)
+  }
+
+  test("group forms: degenerate hot content — contracts hold at multiplicity (r15)") {
+    val s2 = spark
+    import s2.implicits._
+    // degenerate hot content a crawl corpus carries by the million:
+    // whitespace-only texts, < n-token boilerplate, and null texts.
+    // WordShingleHashes (all three kernels' shingling) emits >= 1
+    // shingle for ANY non-null text, so whitespace/boilerplate twins
+    // legitimately pair (jaccard / cos == 1) and must come back as ONE
+    // group — collapsed map-side by the hash-keyed gid stage, never a
+    // single hot window task; null text has null shingles / a null
+    // embedding and must be a singleton (the pair forms emit nothing
+    // for it). Components-of-pairs is the master pin either way.
+    val realBase = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).limit(30)
+    val degenerate = ((1000001L to 1000020L).map(i => (i, "   ", "web")) ++
+      (1000021L to 1000040L).map(i => (i, "404 error", "web")) ++
+      (1000041L to 1000045L).map(i => (i, null.asInstanceOf[String], "web")))
+      .toDF("doc_id", "text", "source")
+    val docs = realBase.unionByName(degenerate).localCheckpoint()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+
+    def check(groups: Map[Long, (Long, Long)],
+        pairs: Array[(Long, Long)]): Unit =
+      expectGroupsEqualPairs(groups, pairs, ids)
+
+    val mh = Dedup.minhashNearDupGroups(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    check(mh,
+      Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+    mh(1000001L) shouldBe ((1000001L, 20L)) // whitespace twins: one group
+    mh(1000021L) shouldBe ((1000021L, 20L)) // boilerplate twins: one group
+    (1000041L to 1000045L).foreach(i => mh(i) shouldBe ((i, 1L))) // nulls
+
+    val jc = Dedup
+      .jaccardNearDupGroups(docs, "doc_id", "text", "source", 0.5, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    check(jc,
+      Dedup.ngramJaccardNearDups(docs, "doc_id", "text", "source", 0.5, 3)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+    jc(1000001L) shouldBe ((1000001L, 20L))
+    (1000041L to 1000045L).foreach(i => jc(i) shouldBe ((i, 1L)))
+
+    val sc = Dedup
+      .shingleCosineGroups(docs, "doc_id", "text", "source", 0.6, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    check(sc,
+      Dedup.shingleCosineVerify(docs, "doc_id", "text", "source", 0.6, 3)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+    sc(1000001L) shouldBe ((1000001L, 20L)) // whitespace twins: one group
+    sc(1000021L) shouldBe ((1000021L, 20L)) // boilerplate twins: one group
+    (1000041L to 1000045L).foreach(i => sc(i) shouldBe ((i, 1L))) // nulls
+    graft.util.BlockRelease.release(docs)
+  }
+
+  test("pair-amplification guard projects over ELIGIBLE members only (r15 ADVICE)") {
+    // 290 pair-ineligible docs share the empty-content gid (the shape
+    // that inflated the r14 projection) + 10 eligible docs in
+    // multiplicity-2 groups: the guard's filtered projection must stay
+    // below the threshold where the unfiltered one fired spuriously
+    val m = spark.range(300).select(
+      when(col("id") < 290, lit(0L)).otherwise(lit(290L) + (col("id") % 5))
+        .as("gid"),
+      (col("id") >= 290).as("eligible"))
+    (Dedup.pairAmplification(m, "gid") >
+      Dedup.PairAmplificationWarnAt) shouldBe true // the r14 overcount
+    val filtered = Dedup.pairAmplification(m.filter(col("eligible")), "gid")
+    filtered shouldBe 0.5 +- 1e-9
+    (filtered > Dedup.PairAmplificationWarnAt) shouldBe false
+  }
 }
