@@ -409,7 +409,7 @@ object Dedup {
     val singletons = d0.filter(trivial)
       .select(col("id"), col("id").as("gid"))
     val (withGid, gidScratch) = gidByContent(d0.filter(!trivial),
-      Seq("scope", "text"))
+      Seq("scope", "text"), checkpointKeyed = false) // plain pruned scan
     val mem0 = withGid.select(col("id"), col("scope"), col("text"),
         col("gid"))
       .localCheckpoint()
@@ -899,11 +899,17 @@ object Dedup {
     * small; otherwise a shuffle join whose streamed-side hot keys AQE
     * skew-split handles — the build side carries one row per key).
     *
-    * Exact-content semantics are preserved, not assumed: the aggregate
-    * carries min/max of the content struct (cheap — map-side combined to
-    * ≤ 2 content values per task×key) and the projected gid raises on
-    * any impure hash group. Null content hashes to a constant, so null
-    * groups stay grouped together — the window's null semantics.
+    * Hash-group purity is GUARDED, not assumed: the aggregate carries
+    * min/max of a THIRD independently-seeded hash (8 B each — the first
+    * cut carried min/max of the full content struct, which doubled the
+    * agg's content bytes and cost the text kernels 25–55% at sf0.1,
+    * ABBA-measured), and the projected gid RAISES whenever a grouping
+    * collision is observable in it. Distinct contents silently merge
+    * only if all three 64-bit hashes collide at once (≤ 2⁻⁶⁴ on top of
+    * the 2⁻¹²⁸ grouping event — below any hardware-error floor), every
+    * other collision is a loud error, never a silent false merge. Null
+    * content hashes to a constant, so null groups stay grouped together
+    * — the window's null semantics.
     *
     * @param frame must carry a long `id` column plus `contentCols`
     * @param checkpointKeyed materialize the hashed frame once so the
@@ -911,7 +917,8 @@ object Dedup {
     *          true when the upstream projection is expensive to
     *          recompute (q110's interpreted md5Embed ran twice without
     *          it, measured +0.9 s at sf0.1); false when the upstream is
-    *          already cached (the text kernels' shingle cache)
+    *          already cached (the text kernels' shingle cache) or a
+    *          plain column-pruned scan
     * @return (frame + `gid` column with the hash keys dropped,
     *          checkpointed scratch frames — caller releases them once
     *          its consumer is checkpointed) */
@@ -922,12 +929,13 @@ object Dedup {
     val keyed0 = frame
       .withColumn("_gh1", xxhash64(cs: _*))
       .withColumn("_gh2", xxhash64(lit(0x9E3779B97F4A7C15L) +: cs: _*))
+      .withColumn("_gh3", xxhash64(lit(0xC2B2AE3D27D4EB4FL) +: cs: _*))
     val keyed = if (checkpointKeyed) keyed0.localCheckpoint() else keyed0
     val gids = keyed.groupBy(col("_gh1"), col("_gh2"))
       .agg(min(col("id")).as("_gmin"),
-        min(struct(cs: _*)).as("_cmin"), max(struct(cs: _*)).as("_cmax"))
+        min(col("_gh3")).as("_p1"), max(col("_gh3")).as("_p2"))
       .select(col("_gh1"), col("_gh2"),
-        when(col("_cmin") <=> col("_cmax"), col("_gmin"))
+        when(col("_p1") <=> col("_p2"), col("_gmin"))
           .otherwise(raise_error(lit(
             "graft.dedup.gidByContent: 128-bit content-hash collision — " +
             "distinct contents share (xxhash64, xxhash64-seeded); " +
@@ -936,7 +944,7 @@ object Dedup {
       .localCheckpoint()
     val out = keyed
       .join(graft.util.SizeGate.maybeBroadcast(gids), Seq("_gh1", "_gh2"))
-      .drop("_gh1", "_gh2")
+      .drop("_gh1", "_gh2", "_gh3")
     (out, if (checkpointKeyed) Seq(keyed, gids) else Seq(gids))
   }
 
