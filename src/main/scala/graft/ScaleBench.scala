@@ -76,6 +76,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("hotgroup")) {
+      runHotGroup(spark)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("skew")) {
       runSkew(spark)
       spark.stop()
@@ -931,6 +936,106 @@ object ScaleBench {
     * picks the factor; SPARK_GRAFT_SWEEP_ONLY=q42,q45 restricts;
     * SPARK_GRAFT_SWEEP_SKIP names queries to skip (logged, never
     * silent). */
+  /** Hot-group cell (r15 — the r14 verdict's done-criterion for the gid
+    * rework): the group family's exact-dup gid stage must bound per-task
+    * input when ONE content key carries 10–20% of the corpus (and in the
+    * all-empty extreme, 100%). Three corpora per run — uniform k-cell,
+    * hot (SPARK_GRAFT_HOT_PCT % of docs replaced by one boilerplate
+    * text), all-empty (every text "   ") — and for each:
+    *   - the OLD window formulation's per-task input = max rows of a
+    *     hash-partition by the content key (exactly the exchange a
+    *     content-partitioned window performs), plus its wall time;
+    *   - the NEW stage's post-combine shuffle rows = Σ per-map-partition
+    *     distinct 128-bit keys (what map-side partial aggregation
+    *     actually emits), plus gidByContent wall time;
+    *   - minhashNearDupGroups and shingleCosineGroups end-to-end (the
+    *     array-key and full-text-key kernels).
+    * The window/gid reference stage keys on TEXT alone (the q110/q112
+    * shape — no scope splits the hot group), and the planted boilerplate
+    * carries ONE source so the scoped kernels see the full hot group
+    * too, as real same-site boilerplate does.
+    * SPARK_GRAFT_SCALE_K (default 100 → 500k docs, the family's measured
+    * k-cell size) replicates sf0.1 documents k×. */
+  private def runHotGroup(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val k = sys.env.get("SPARK_GRAFT_SCALE_K").map(_.toInt).getOrElse(100)
+    val pct = sys.env.get("SPARK_GRAFT_HOT_PCT").map(_.toInt).getOrElse(15)
+    val shift = 1000000000L
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val uniform = (0 until k).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * shift)))
+      .reduce(_ unionByName _)
+      .repartition(32)
+      .localCheckpoint()
+    val nDocs = uniform.count()
+    val boiler = "this page could not be found please check the url and try again"
+    val isHot = pmod(xxhash64(col("doc_id")), lit(100)) < pct
+    val hot = uniform.select(col("doc_id"),
+        when(isHot, lit(boiler)).otherwise(col("text")).as("text"),
+        when(isHot, lit("web")).otherwise(col("source")).as("source"))
+      .localCheckpoint()
+    val allEmpty = uniform.select(col("doc_id"), lit("   ").as("text"),
+        lit("web").as("source"))
+      .localCheckpoint()
+    def t[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    Seq(("uniform", uniform), (s"hot$pct", hot), ("allempty", allEmpty))
+      .foreach { case (tag, docs) =>
+        // OLD design's task shape: a content-partitioned window's
+        // exchange = hash partition by the text; its max partition is
+        // the single task the hot group serializes into
+        val parts = docs
+          .repartition(32, col("text"))
+          .mapPartitions(it => Iterator(it.length))(
+            org.apache.spark.sql.Encoders.scalaInt)
+          .collect()
+        val (tWin, _) = t {
+          val w = docs.select(col("doc_id"),
+              min(col("doc_id")).over(
+                Window.partitionBy(col("text"))).as("gid"))
+            .localCheckpoint()
+          graft.util.BlockRelease.release(w)
+        }
+        // NEW design's shuffle volume: what leaves the map side after
+        // partial aggregation = distinct 128-bit keys per map partition
+        val d0 = docs.select(col("doc_id").cast("long").as("id"),
+          col("text"))
+        val combined = d0
+          .select(spark_partition_id().as("p"),
+            xxhash64(col("text")).as("h1"),
+            xxhash64(lit(1L), col("text")).as("h2"))
+          .distinct().count()
+        val (tGid, gidRows) = t {
+          val (withGid, scratch) = graft.dedup.Dedup.gidByContent(
+            d0, Seq("text"), checkpointKeyed = false)
+          val mem = withGid.select(col("id"), col("gid")).localCheckpoint()
+          val n = mem.count()
+          graft.util.BlockRelease.release(mem +: scratch)
+          n
+        }
+        val (tMh, mhRows) = t {
+          val r = graft.dedup.Dedup
+            .minhashNearDupGroups(docs, "doc_id", "text", 0.5)
+          val n = r.count(); graft.util.BlockRelease.release(r); n
+        }
+        val (tSc, scRows) = t {
+          val r = graft.dedup.Dedup
+            .shingleCosineGroups(docs, "doc_id", "text", "source", 0.6, 3)
+          val n = r.count(); graft.util.BlockRelease.release(r); n
+        }
+        System.err.println(
+          f"SCALE-HOTGROUP k=$k docs=$nDocs $tag%-9s " +
+          f"window ${tWin}%7.1f s (max-task ${parts.max}%,d of $nDocs%,d rows) | " +
+          f"gid ${tGid}%6.1f s (combined-shuffle $combined%,d rows, out $gidRows%,d) | " +
+          f"minhash-groups ${tMh}%6.1f s ($mhRows%,d) | " +
+          f"shingle-cos-groups ${tSc}%6.1f s ($scRows%,d)")
+      }
+    graft.util.BlockRelease.release(Seq(uniform, hot, allEmpty))
+  }
+
   private def runSweep(spark: SparkSession): Unit = {
     val k = sys.env.get("SPARK_GRAFT_SCALE_K").map(_.toInt).getOrElse(10)
     val src = "/root/testdata/sf0.1"
