@@ -437,27 +437,24 @@ object TextQueries {
     * pipeline would feed downstream; the surface is total, so a dropped
     * or doubled document is a row mismatch.
     *
-    * Scale shape: pair finding is q33's inverted-index join (shuffle ∝
-    * shingles + matches); components run the q43 tier (union-find under
-    * the gate, GraphX pointer-jumping above); the size/kept joins are
-    * label-partitioned aggregations on a corpus-sized, pair-free frame. */
+    * Scale shape (r15 — the r14 verdict's composition item): the
+    * canonicalization rides [[Dedup.jaccardNearDupGroups]] — the GROUP
+    * form of exactly q33's relation (same source scope, threshold, n) —
+    * so the pair-complete set is never materialized: exact-dup groups
+    * collapse map-side, the inverted index runs on representatives
+    * only, components on the rep graph, members attach via gid. Linear
+    * in dup multiplicity end to end where the old q33-pairs → CC
+    * composition paid C(k,2) pair rows first (and q100's manifest
+    * inherited that). The group form's components equal the pair set's
+    * components (the q113 collapse-equivalence argument, oracle-pinned),
+    * so the output is unchanged row for row. */
   val q73DedupClusters: Q = (spark, dir) => {
     import spark.implicits._
-    val pairs = q33NgramJaccard(spark, dir)
-      .select($"doc_a".as("src"), $"doc_b".as("dst"))
-    // honor the forced-tier override (the q40–q49 discipline): the
-    // distributed CC formulation must run under the same oracle
-    val comp = graft.graph.GraphAlgos.connectedComponents(pairs,
-      collectThreshold = sys.env.get("SPARK_GRAFT_COLLECT_THRESHOLD")
-        .map(_.toLong).getOrElse(2000000L))
-    graft.util.BlockRelease.release(pairs) // comp is fully materialized
-    val labeled = docs(spark, dir).select($"doc_id")
-      .join(comp.select($"node".as("doc_id"), $"label"), Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"label", $"doc_id").as("canonical_id"))
-    val sizes = labeled.groupBy($"canonical_id").agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, "canonical_id")
-      .select($"doc_id", $"canonical_id", $"cluster_size",
-        ($"doc_id" === $"canonical_id").as("kept"))
+    Dedup.jaccardNearDupGroups(docs(spark, dir), "doc_id", "text",
+        scopeCol = "source", threshold = 0.5, n = 3)
+      .select($"doc_id", $"canon_id".as("canonical_id"),
+        $"group_size".as("cluster_size"),
+        ($"doc_id" === $"canon_id").as("kept"))
   }
 
   /** q75 — FILTER CASCADE (the C4/Gopher-style keep/drop verdict that
