@@ -828,26 +828,49 @@ object ScaleBench {
     val novel = spark.range(5000L).map { i =>
       ("n" + i, docText(9000000000L + i, 60))
     }.toDF("doc_id", "text").localCheckpoint()
-    def gate(storeRoot: String): Long = {
+    def gateDocs(d: DataFrame, storeRoot: String): Long = {
       val fp = graft.dedup.Dedup
-        .docSigGrams(novel, "doc_id", "text", 8).localCheckpoint()
+        .docSigGrams(d, "doc_id", "text", 8).localCheckpoint()
       val v = graft.dedup.IngestIndex.gateWithIndex(fp, storeRoot, None)
-      val d = v.filter(col("drop_doc")).count()
+      val dr = v.filter(col("drop_doc")).count()
       graft.util.BlockRelease.release(Seq(fp, v))
-      d
+      dr
     }
+    def gate(storeRoot: String): Long = gateDocs(novel, storeRoot)
     val (cold, d0) = t(gate(root))
     val (warm, d1) = t(gate(root))
     val (warm2, _) = t(gate(root))
-    decoys.foreach(gate) // four other stores fill the 4-entry bloom cache
+    decoys.foreach(gate) // four other stores fill the default bloom cache
     val (recold, d2) = t(gate(root))
     require(d0 == 0 && d1 == d0 && d2 == d0, "novel batch must gate clean")
     System.err.println(
       f"SCALE-INGESTCOLD cold=$cold%6.1f s warm=$warm%6.1f s " +
       f"warm2=$warm2%6.1f s evicted_recold=$recold%6.1f s " +
+      f"bloom_cache_stores=${sys.env.getOrElse("SPARK_GRAFT_BLOOM_CACHE_STORES", "4 (default)")}%s " +
       "(cold/recold = Spark-level: bloom file read + localCheckpoint; " +
       "OS page cache warm from staging)")
-    graft.util.BlockRelease.release(novel)
+    // r15 TRICKLE restart probes: after a restart (session caches
+    // released), a small increment's first gate prunes the cold bloom
+    // read to the (kind, shard) rows its keys map to instead of the
+    // full sidecar — the regime where shard pruning is possible at all
+    // (a bulk batch coupon-collects the shard space; see the
+    // IngestIndex.trickleBlooms scaladoc)
+    val trickle3 = spark.range(3L).map { i =>
+      ("t" + i, docText(9500000000L + i, 60))
+    }.toDF("doc_id", "text").localCheckpoint()
+    graft.dedup.IngestIndex.releaseStoreCaches(spark, root)
+    val (t3, dt3) = t(gateDocs(trickle3, root))
+    val trickle1 = spark.range(1L).map { i =>
+      ("u" + i, docText(9600000000L + i, 6)) // short: one sig key, no grams
+    }.toDF("doc_id", "text").localCheckpoint()
+    graft.dedup.IngestIndex.releaseStoreCaches(spark, root)
+    val (t1, _) = t(gateDocs(trickle1, root))
+    require(dt3 == 0, "trickle batch must gate clean")
+    System.err.println(
+      f"SCALE-INGESTCOLD trickle_3docs=$t3%6.1f s trickle_1short=$t1%6.1f s " +
+      f"(each after releaseStoreCaches — restart-shaped; vs cold=$cold%5.1f s " +
+      "full-sidecar first read)")
+    graft.util.BlockRelease.release(Seq(novel, trickle3, trickle1))
     (root +: decoys).foreach(r =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
   }

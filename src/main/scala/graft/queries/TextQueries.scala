@@ -923,16 +923,34 @@ object TextQueries {
     * the r14 re-bootstrap bloom-cache eviction under the oracle. */
   val q111IndexedIngestGate: Q = (spark, dir) => {
     val d = docs(spark, dir)
+    // session-unique store path (r15 ADVICE: a fixed dataset-keyed path
+    // leaked across sessions and let two concurrent benches race on the
+    // in-place re-bootstrap), deleted below once the verdict frame is
+    // checkpoint-materialized — each call re-bootstraps BY DESIGN so a
+    // warm bench re-run exercises the bloom-cache eviction path under
+    // the oracle
     val store = System.getProperty("java.io.tmpdir") +
-      "/graft_q111_store_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      "/graft_q111_store_" + java.util.UUID.randomUUID().toString
+    val t0 = System.nanoTime()
     graft.streaming.Streams.bootstrapIngestStore(
       d.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", store)
+    val t1 = System.nanoTime()
     val fp = Dedup.docSigGrams(
       d.filter(col("doc_id") % 10 === 3), "doc_id", "text", 8)
     val v = graft.dedup.IngestIndex.gateWithIndex(fp, store, None)
+    val t2 = System.nanoTime()
+    // stage split for the bench ledger (r14 verdict: the headline q111
+    // number is mostly store-build, not gating)
+    System.err.println(
+      f"q111 stage split: bootstrap ${(t1 - t0) / 1e9}%.2f s  " +
+      f"gate ${(t2 - t1) / 1e9}%.2f s")
     // the verdict frame is checkpoint-materialized; drop the transient
-    // store's session bloom frame so a one-shot oracle run pins nothing
+    // store's session bloom frame and the store itself so a one-shot
+    // oracle run pins nothing and leaves nothing behind
     graft.dedup.IngestIndex.releaseStoreCaches(spark, store)
+    try org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(store))
+    catch { case _: Exception => () }
     v
   }
 

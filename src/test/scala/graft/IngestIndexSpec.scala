@@ -154,6 +154,89 @@ class IngestIndexSpec extends SparkSpec with Matchers {
     verdictMap(IngestIndex.gateWithIndex(fp, root, None)) shouldBe full
   }
 
+  test("stale bloom shard layout routes to legacy tier, compact repairs it (r15 ADVICE)") {
+    val (store, batch) = corpusAndBatch(40)
+    val storeFp = fpOf(store)
+    val fp = fpOf(batch)
+    val full = fullScanVerdicts(fp, storeFp.select(col("sig"), col("grams")))
+    val root = Files.createTempDirectory("idxlayout").toFile.getAbsolutePath
+    Seq(0, 1).foreach { b =>
+      val part = storeFp.filter(pmod(hash(col("doc_id")), lit(2)) === b)
+        .select(col("sig"), col("grams"))
+      part.write.mode("overwrite").parquet(s"$root/batch=$b")
+      IngestIndex.writeSidecars(part, root, s"batch=$b")
+    }
+    // simulate a pre-r14 sidecar on partition 0: SHARDED rows (sbits > 0)
+    // with no layout stamp — probing them under the current shard
+    // derivation would look keys up in the wrong bitset (silent false
+    // negatives), so the gate must treat the partition as uncovered
+    val bdir = s"$root/_bloom/batch=0"
+    val old = spark.read.schema(IngestIndex.bloomSchema).parquet(bdir)
+      .select(col("kind"), lit(3).as("sbits"), col("m_bits"),
+        col("shard"), col("words")) // no layout column, like an old file
+      .localCheckpoint()
+    old.write.mode("overwrite").parquet(bdir)
+    graft.util.BlockRelease.release(old)
+
+    IngestIndex.bloomLayoutCurrent(spark, root, "batch=0") shouldBe false
+    IngestIndex.bloomLayoutCurrent(spark, root, "batch=1") shouldBe true
+    // partition 0 answers through the raw-scan tier: verdicts exact
+    verdictMap(IngestIndex.gateWithIndex(fp, root, None)) shouldBe full
+
+    // compact classifies the stale part as uncovered -> always folds it
+    // and rebuilds the sidecar under the current layout
+    IngestIndex.compact(spark, root)
+    val parts = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    parts.toSeq shouldBe Seq("batch=compacted_0")
+    IngestIndex.bloomLayoutCurrent(spark, root, "batch=compacted_0") shouldBe true
+    verdictMap(IngestIndex.gateWithIndex(fp, root, None)) shouldBe full
+    IngestIndex.releaseStoreCaches(spark, root)
+  }
+
+  test("trickle pruned cold read: small probe reads few bloom rows, verdicts exact (r15)") {
+    val s2 = spark
+    import s2.implicits._
+    val (store, _) = corpusAndBatch(50)
+    val storeFp = fpOf(store)
+    val root = Files.createTempDirectory("idxtrickle").toFile.getAbsolutePath
+    val part = storeFp.select(col("sig"), col("grams"))
+    part.write.mode("overwrite").parquet(s"$root/batch=0")
+    // force sharded blooms (the layout the pruned read exists for)
+    val keys = IngestIndex.fpKeys(part).distinct().localCheckpoint()
+    IngestIndex.writeIdxKeys(keys, 10L, root, "batch=0")
+    IngestIndex.writeBloomKeys(keys,
+      Map(IngestIndex.KindSig -> 100L,
+        IngestIndex.KindGram ->
+          (IngestIndex.TargetMBits.toLong / IngestIndex.BitsPerKeyPerRow) * 32),
+      root, "batch=0")
+    graft.util.BlockRelease.release(keys)
+    spark.read.schema(IngestIndex.bloomSchema).parquet(s"$root/_bloom/batch=0")
+      .select("sbits").as[Int].collect().max should be > 0
+
+    // a SHORT doc (no grams: one sig key) maps to one bloom row of many
+    // -> the trickle path takes it; an exact store dup must still be
+    // caught through the pruned frame (no false negatives)
+    val probe = docsDf(Seq(("t0", "tiny short doc here")))
+    val probeFp = fpOf(probe)
+    val pKeys = IngestIndex.fpKeys(probeFp).distinct().localCheckpoint()
+    val pruned = IngestIndex.trickleBlooms(spark, root, Seq("batch=0"),
+      pKeys, 1L)
+    pruned.isDefined shouldBe true
+    graft.util.BlockRelease.release(pKeys)
+    pruned.foreach(graft.util.BlockRelease.release(_))
+    // end-to-end: a fresh session cache + tiny batch -> gate verdicts
+    // equal the full scan whichever bloom path answered
+    IngestIndex.releaseStoreCaches(spark, root)
+    val dupDoc = store.filter(col("doc_id") === "s0")
+      .select(lit("t1").as("doc_id"), col("text"))
+    val tiny = probe.unionByName(dupDoc)
+    val tinyFp = fpOf(tiny)
+    verdictMap(IngestIndex.gateWithIndex(tinyFp, root, None)) shouldBe
+      fullScanVerdicts(tinyFp, storeFp.select(col("sig"), col("grams")))
+    IngestIndex.releaseStoreCaches(spark, root)
+  }
+
   test("compaction preserves verdicts, collapses directories, converges on re-run") {
     val (store, batch) = corpusAndBatch(60)
     val storeFp = fpOf(store)
@@ -355,7 +438,9 @@ class IngestIndexSpec extends SparkSpec with Matchers {
   }
 
   test("geometry helpers: sbits/mBits scale with key count and stay in range") {
-    val base = IngestIndex.MaxMBits.toLong / IngestIndex.BitsPerKeyPerRow
+    // sharding doubles once a bitset would exceed TargetMBits (r15 —
+    // finer rows so the trickle cold path has something to prune)
+    val base = IngestIndex.TargetMBits.toLong / IngestIndex.BitsPerKeyPerRow
     IngestIndex.bloomShardBits(1000L) shouldBe 0
     IngestIndex.bloomShardBits(base) shouldBe 0
     IngestIndex.bloomShardBits(base * 4) shouldBe 2
