@@ -121,7 +121,6 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
       collapseRatio: Double = 1.25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingledHashes(docs, idCol, textCol).cache()
     val probe = sh.agg(count(lit(1)), approx_count_distinct(col("shingles"))).first()
     val (nDocs, nDistinct) = (probe.getLong(0), probe.getLong(1))
@@ -137,9 +136,15 @@ object Dedup {
       graft.util.BlockRelease.release(cand)
       out
     } else {
-      // collapse tier: gid = min member id per distinct shingle set
-      val withG = sh.select(col("doc_id"), col("shingles"),
-          min(col("doc_id")).over(Window.partitionBy(col("shingles"))).as("gid"))
+      // collapse tier: gid = min member id per distinct shingle set —
+      // via the group family's hash-keyed map-side-combined gid stage
+      // (r15: this tier triggers EXACTLY in the high-multiplicity regime
+      // where a shingle-list-partitioned window's hot key serializes one
+      // task; [[gidByContent]] is the same fix the group forms got)
+      val withG = gidByContent(
+          sh.select(col("doc_id").as("id"), col("shingles")),
+          Seq("shingles"), checkpointKeyed = false)._1 // sh is cached
+        .select(col("id").as("doc_id"), col("shingles"), col("gid"))
         .localCheckpoint()
       sh.unpersist(blocking = false)
       warnPairAmplification(withG, "gid", "minhashNearDups",
@@ -194,7 +199,6 @@ object Dedup {
   def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
       scopeCol: String, threshold: Double = 0.5, n: Int = 3,
       collapseRatio: Double = 1.25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingledHashes(docs, idCol, textCol, n, keep = Seq(scopeCol)).cache()
     val probe = sh.agg(count(lit(1)),
       approx_count_distinct(struct(col(scopeCol), col("shingles")))).first()
@@ -226,9 +230,12 @@ object Dedup {
       graft.util.BlockRelease.release(ex)
       out
     } else {
-      val withG = sh.select(col("doc_id"), col(scopeCol), col("shingles"),
-          min(col("doc_id"))
-            .over(Window.partitionBy(col(scopeCol), col("shingles"))).as("gid"))
+      // hash-keyed gid stage, the minhash tier's argument (r15)
+      val withG = gidByContent(
+          sh.select(col("doc_id").as("id"), col(scopeCol), col("shingles")),
+          Seq(scopeCol, "shingles"), checkpointKeyed = false)._1 // sh cached
+        .select(col("id").as("doc_id"), col(scopeCol), col("shingles"),
+          col("gid"))
         .localCheckpoint()
       sh.unpersist(blocking = false)
       warnPairAmplification(withG, "gid", "ngramJaccardNearDups",
@@ -283,7 +290,6 @@ object Dedup {
   def shingleCosineVerify(docs: DataFrame, idCol: String, textCol: String,
       scopeCol: String, tauCos: Double = 0.6, n: Int = 3,
       collapseRatio: Double = 1.25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d0 = docs.select(col(idCol).as("doc_id"), col(scopeCol).as("scope"),
       col(textCol).as("text"))
     // pair stage shared by both tiers (and by the r14 group form)
@@ -298,9 +304,13 @@ object Dedup {
       graft.util.BlockRelease.release(Seq(shr, emb))
       out
     } else {
-      val withG = d0.select(col("doc_id"), col("scope"), col("text"),
-          min(col("doc_id"))
-            .over(Window.partitionBy(col("scope"), col("text"))).as("gid"))
+      // hash-keyed gid stage, the minhash tier's argument (r15); d0 is a
+      // plain column-pruned projection, cheap to evaluate twice
+      val withG = gidByContent(
+          d0.select(col("doc_id").as("id"), col("scope"), col("text")),
+          Seq("scope", "text"), checkpointKeyed = false)._1
+        .select(col("id").as("doc_id"), col("scope"), col("text"),
+          col("gid"))
         .localCheckpoint()
       val reps = withG.filter(col("doc_id") === col("gid"))
         .select(col("doc_id"), col("scope"), col("text"))
@@ -424,8 +434,10 @@ object Dedup {
         "gid")
     // checkpointed so groupsFromReps' leaf-walking release never reaches
     // the caller's input through the singleton branch (d0 is a leaf here)
+    // repFlags is rep-count-sized (dup-collapsed): un-hinted, AQE
+    // converts to broadcast at runtime — the gidByContent argument
     val mem = mem0.select(col("id"), col("gid"))
-      .join(graft.util.SizeGate.maybeBroadcast(repFlags), Seq("gid"), "left")
+      .join(repFlags, Seq("gid"), "left")
       .select(col("id"),
         when(col("nz") && col("pos"), col("gid")).otherwise(col("id"))
           .as("gid"))
@@ -504,7 +516,6 @@ object Dedup {
       tau: Double = 0.9, bits: Int = -1, tables: Int = -1,
       dim: Int = -1, collapseRatio: Double = 1.25): DataFrame = {
     import graft.functions.VectorFunctions
-    import org.apache.spark.sql.expressions.Window
     val d = if (dim > 0) dim else vecs.select(size(col(vCol))).first().getInt(0)
     val n0 = vecs
       .select(col(idCol).as("id"), VectorFunctions.l2normalize(col(vCol)).as("nv"))
@@ -581,8 +592,9 @@ object Dedup {
       // direct tier's verify evaluates for such a pair), never assumed
       // 1.0: zero or denormal vectors fall out of the threshold the
       // same way in both tiers.
-      val withG = n0.select(col("id"), col("nv"),
-          min(col("id")).over(Window.partitionBy(col("nv"))).as("gid"))
+      // hash-keyed gid stage, the minhash tier's argument (r15)
+      val withG = gidByContent(n0.select(col("id"), col("nv")),
+          Seq("nv"), checkpointKeyed = false)._1 // n0 is checkpointed
         .localCheckpoint()
       graft.util.BlockRelease.release(n0)
       val reps = withG.filter(col("id") === col("gid")).select(col("id"), col("nv"))
@@ -680,7 +692,6 @@ object Dedup {
       tauNum: Long = 9, tauDen: Long = 10, bits: Int = 12, tables: Int = 48,
       dim: Int = -1, collapseRatio: Double = 1.25): DataFrame = {
     import graft.functions.VectorFunctions
-    import org.apache.spark.sql.expressions.Window
     require(tauNum > 0 && tauDen > 0, "rational τ must be positive")
     val d = if (dim > 0) dim else vecs.select(size(col(vCol))).first().getInt(0)
     // FAT banding with verify-inside-join — deliberately NOT the float
@@ -741,11 +752,14 @@ object Dedup {
       // pay for itself; band every row exactly as before
       bandPairs(base, "id_a", "id_b")
     else {
-      // collapse tier: gid = min member id per distinct vector — ONE
-      // hash shuffle (window over v), no join-back; mem feeds banding
-      // (reps), both expansion probes and the within self-join.
-      val mem = base.select(col("id"), col("v"), col("n2"),
-          min(col("id")).over(Window.partitionBy(col("v"))).as("gid"))
+      // collapse tier: gid = min member id per distinct vector — the
+      // hash-keyed map-side-combined gid stage (r15, the group family's
+      // fix: this tier triggers exactly when some vector is hot, and a
+      // v-partitioned window serialized that group into one task); mem
+      // feeds banding (reps), both expansion probes and the within
+      // self-join.
+      val mem = gidByContent(base.select(col("id"), col("v"), col("n2")),
+          Seq("v"), checkpointKeyed = false)._1 // base: pruned scan + dot
         .localCheckpoint()
       warnPairAmplification(mem, "gid", "cosineNearDupsExact",
         "cosineNearDupGroups", eligible = col("n2") > 0)
@@ -895,9 +909,19 @@ object Dedup {
     * not a correctness risk) keys a `groupBy.agg(min(id))`, whose
     * map-side partial aggregation collapses hot groups to one row per
     * map task BEFORE the shuffle, followed by a join-back on the two
-    * hash longs (SizeGate-broadcast when the distinct-content side is
-    * small; otherwise a shuffle join whose streamed-side hot keys AQE
-    * skew-split handles — the build side carries one row per key).
+    * hash longs. The join-back is left UN-hinted and UN-materialized on
+    * purpose (r15 second cut — the first cut checkpointed the aggregate
+    * and SizeGate-counted it, paying two extra driver jobs per kernel
+    * call, ABBA-measured at ~+0.45 s fixed overhead at sf0.1): the
+    * aggregate's shuffle already partitions its output by the join key,
+    * so the static plan re-exchanges only the probe side, and AQE reads
+    * the agg stage's ACTUAL post-combine size at runtime — a
+    * dup-collapsed distinct side converts to a broadcast join, a
+    * dup-free corpus-sized side stays a shuffle join whose streamed-side
+    * hot keys AQE skew-split handles (the build side carries one row per
+    * key). Everything — hash, partial agg, shuffle, join — runs inside
+    * the CALLER's single materializing action (every caller checkpoints
+    * the returned frame exactly once).
     *
     * Hash-group purity is GUARDED, not assumed: the aggregate carries
     * min/max of a THIRD independently-seeded hash (8 B each — the first
@@ -926,10 +950,19 @@ object Dedup {
       contentCols: Seq[String],
       checkpointKeyed: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     val cs = contentCols.map(col)
+    // xxhash64 SKIPS null inputs (a null column leaves the running hash
+    // untouched), so for same-typed multi-column content (A, null) and
+    // (null, A) would collide in ALL three seeded hashes — a structural
+    // silent merge, not a random collision. A per-column null-pattern
+    // signature (booleans are never null, never skipped) restores the
+    // window's null semantics: the null LAYOUT is part of the key, and
+    // all-null content still hashes to one constant group.
+    val nullSig = cs.map(_.isNull)
+    val hin = cs ++ nullSig
     val keyed0 = frame
-      .withColumn("_gh1", xxhash64(cs: _*))
-      .withColumn("_gh2", xxhash64(lit(0x9E3779B97F4A7C15L) +: cs: _*))
-      .withColumn("_gh3", xxhash64(lit(0xC2B2AE3D27D4EB4FL) +: cs: _*))
+      .withColumn("_gh1", xxhash64(hin: _*))
+      .withColumn("_gh2", xxhash64(lit(0x9E3779B97F4A7C15L) +: hin: _*))
+      .withColumn("_gh3", xxhash64(lit(0xC2B2AE3D27D4EB4FL) +: hin: _*))
     val keyed = if (checkpointKeyed) keyed0.localCheckpoint() else keyed0
     val gids = keyed.groupBy(col("_gh1"), col("_gh2"))
       .agg(min(col("id")).as("_gmin"),
@@ -941,11 +974,10 @@ object Dedup {
             "distinct contents share (xxhash64, xxhash64-seeded); " +
             "re-key or widen the hash")).cast("long"))
           .as("gid"))
-      .localCheckpoint()
     val out = keyed
-      .join(graft.util.SizeGate.maybeBroadcast(gids), Seq("_gh1", "_gh2"))
+      .join(gids, Seq("_gh1", "_gh2"))
       .drop("_gh1", "_gh2", "_gh3")
-    (out, if (checkpointKeyed) Seq(keyed, gids) else Seq(gids))
+    (out, if (checkpointKeyed) Seq(keyed) else Seq.empty)
   }
 
   /** Shared tail of the `*NearDupGroups` family (factored r14 when the
@@ -971,12 +1003,16 @@ object Dedup {
     // normalize component labels to the component's MIN member id (the
     // union-find root choice is arbitrary; min-id is the canonical form
     // every oracle replays)
+    // canon is bounded by the rep-edge node count (dup-collapsed, never
+    // corpus-shaped unless the corpus is dup-free): un-hinted join, AQE
+    // converts to broadcast off the agg shuffle's actual size — the
+    // gidByContent join-back argument, no extra count/checkpoint jobs
     val canon = comp.join(
         comp.groupBy(col("label")).agg(min(col("node")).as("canon")),
         "label")
       .select(col("node").as("gid"), col("canon"))
     val out = mem.select(col("id").as("doc_id"), col("gid"))
-      .join(graft.util.SizeGate.maybeBroadcast(canon), Seq("gid"), "left")
+      .join(canon, Seq("gid"), "left")
       // isolated reps (no near-dup edge) and pair-ineligible groups
       // (zero vectors, empty shingle sets) keep their gid as canonical
       .select(col("doc_id"),
@@ -984,15 +1020,15 @@ object Dedup {
       .localCheckpoint()
     // group sizes: map-side-combined groupBy + join-back on the long
     // canon key, never a canon-partitioned window (a giant canon group
-    // must not serialize one task — the gidByContent argument)
+    // must not serialize one task — the gidByContent argument); same
+    // un-hinted AQE join-back, fused into the one sized-checkpoint job
     val sizes = out.groupBy(col("canon_id"))
       .agg(count(lit(1)).as("group_size"))
-      .localCheckpoint()
     val sized = out
-      .join(graft.util.SizeGate.maybeBroadcast(sizes), Seq("canon_id"))
+      .join(sizes, Seq("canon_id"))
       .select(col("doc_id"), col("canon_id"), col("group_size"))
       .localCheckpoint()
-    graft.util.BlockRelease.release(Seq(mem, out, sizes))
+    graft.util.BlockRelease.release(Seq(mem, out))
     sized
   }
 
@@ -1456,7 +1492,6 @@ object Dedup {
       chunkCols: Seq[Column], maxDist: Int,
       dist: (String => Column, String => Column) => Column,
       collapseRatio: Double = 1.25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val fp = fp0.localCheckpoint()
     val probe = fp.agg(count(lit(1)),
       approx_count_distinct(struct(fpCols.map(col): _*))).first()
@@ -1480,9 +1515,11 @@ object Dedup {
       graft.util.BlockRelease.release(fp)
       out
     } else {
-      val withG = fp.select((col("doc_id") +: fpCols.map(col)) :+
-          min(col("doc_id")).over(Window.partitionBy(fpCols.map(col): _*))
-            .as("gid"): _*)
+      // hash-keyed gid stage, the minhash tier's argument (r15)
+      val withG = gidByContent(
+          fp.select(col("doc_id").as("id") +: fpCols.map(col): _*),
+          fpCols, checkpointKeyed = false)._1 // fp is checkpointed
+        .select(col("id").as("doc_id") +: fpCols.map(col) :+ col("gid"): _*)
         .localCheckpoint()
       graft.util.BlockRelease.release(fp)
       val reps = withG.filter(col("doc_id") === col("gid"))

@@ -577,6 +577,31 @@ class DedupSpec extends SparkSpec with Matchers {
     graft.util.BlockRelease.release(frame +: gidScratch)
   }
 
+  test("gidByContent: null LAYOUT is part of the key for same-typed columns (r15)") {
+    val s2 = spark
+    import s2.implicits._
+    // xxhash64 SKIPS null inputs, so without the null-pattern signature
+    // (scope="x", text=null) and (scope=null, text="x") would feed the
+    // hash chain identical bytes in ALL three seeded hashes — a
+    // structural silent merge a content-partitioned window never had.
+    val rows = Seq(
+      (1L, "x", null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String], "x"),
+      (3L, "x", null.asInstanceOf[String]),
+      (4L, "x", "x"))
+    val frame = rows.toDF("id", "scope", "text").repartition(4)
+      .localCheckpoint()
+    val (withGid, gidScratch) =
+      Dedup.gidByContent(frame, Seq("scope", "text"))
+    val got = withGid.select("id", "gid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(1L) shouldBe 1L
+    got(3L) shouldBe 1L // exact twins (incl. null layout) share a gid
+    got(2L) shouldBe 2L // swapped null layout must NOT merge with 1
+    got(4L) shouldBe 4L
+    graft.util.BlockRelease.release(frame +: gidScratch)
+  }
+
   test("group forms: degenerate hot content — contracts hold at multiplicity (r15)") {
     val s2 = spark
     import s2.implicits._
