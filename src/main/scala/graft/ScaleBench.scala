@@ -1056,7 +1056,96 @@ object ScaleBench {
           f"minhash-groups ${tMh}%6.1f s ($mhRows%,d) | " +
           f"shingle-cos-groups ${tSc}%6.1f s ($scRows%,d)")
       }
-    graft.util.BlockRelease.release(Seq(uniform, hot, allEmpty))
+    // MIXED-REGIME leg (r15 third cut): gids too big to broadcast AND one
+    // hot key. The three corpora above have ~5k distinct contents, so
+    // their join-backs always broadcast-convert and the SMJ + skew-split
+    // path — the one the design leans on when the distinct side is
+    // corpus-shaped — never runs. Here every non-hot (doc, replica) gets
+    // UNIQUE text (distinct ≈ (100−pct)% of the corpus) and the AQE knobs
+    // are scaled to this cell's size the way the defaults relate to
+    // cluster scale: broadcast disabled (a corpus-shaped gids side never
+    // broadcasts), skew threshold / advisory target sized so a hot-group
+    // probe partition (few MiB here, GiBs at 10⁹-row boilerplate) is
+    // split. Measured: max per-task shuffle-read RECORDS across the gid
+    // materialization — bounded ≪ hot-group size iff the split fires;
+    // the old window design necessarily reads the whole group in one
+    // task regardless of any knob.
+    // byte-fat boilerplate: AQE skew detection is BYTE-based, and a
+    // 64 B hot text next to ~400 B unique docs hides a 15%-of-rows hot
+    // partition from it (first cut of this leg measured max-task READ
+    // ABOVE the hot-group size for exactly that reason). Real crawl
+    // boilerplate groups are byte-fat at any realistic text length, so
+    // the cell's hot text matches the corpus's typical document size.
+    val boilerLong = Array.fill(8)(boiler).mkString(" ")
+    val mixed = uniform.select(col("doc_id"),
+        when(isHot, lit(boilerLong))
+          .otherwise(concat(col("text"), lit(" uniq "),
+            col("doc_id").cast("string"))).as("text"))
+      .localCheckpoint()
+    val hotDocs = mixed.filter(col("text") === boilerLong).count()
+    val stageRead = new java.util.concurrent.ConcurrentHashMap[
+      Int, (Long, Long, Int)]() // stageId -> (maxTask, total, tasks)
+    val lst = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          stageRead.merge(te.stageId,
+            (m.shuffleReadMetrics.recordsRead,
+              m.shuffleReadMetrics.recordsRead, 1),
+            (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
+      }
+    }
+    // force the non-broadcast branch of the SizeGate'd join-back (this
+    // cell's distinct count is ~425k — under the 2M default — but the
+    // regime being certified is distinct-too-big-to-broadcast)
+    sys.props("graft.sizegate.rows") = "1000"
+    val aqeKnobs = Seq(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val savedKnobs = aqeKnobs.map { case (key, _) =>
+      // getOption-style: a knob that falls back to another conf (e.g.
+      // adaptive.autoBroadcastJoinThreshold) reads as null — treat as
+      // unset so the restore unsets it instead of set(key, null)
+      key -> scala.util.Try(spark.conf.get(key)).toOption
+        .flatMap(Option(_))
+    }
+    aqeKnobs.foreach { case (key, v) => spark.conf.set(key, v) }
+    spark.sparkContext.addSparkListener(lst)
+    val (tMix, mixRows) = t {
+      val (withGid, scratch) = graft.dedup.Dedup.gidByContent(
+        mixed.select(col("doc_id").cast("long").as("id"), col("text")),
+        Seq("text"), checkpointKeyed = false)
+      val mem = withGid.select(col("id"), col("gid")).localCheckpoint()
+      val n = mem.count()
+      graft.util.BlockRelease.release(mem +: scratch)
+      n
+    }
+    Thread.sleep(1500) // drain the listener bus (private[spark])
+    spark.sparkContext.removeSparkListener(lst)
+    sys.props.remove("graft.sizegate.rows")
+    savedKnobs.foreach { case (key, v) =>
+      v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    // the fattest shuffle-read stage of the leg: with the heavy-hitter
+    // split, the hot group's rows never enter an exchange (the hot
+    // branch is a broadcast hash join over the input scan), so the max
+    // task is an advisory-sized AQE coalesce of the UNIFORM rest side —
+    // uniform iff maxTask ≈ total/tasks, which the print exposes
+    val fat = {
+      var best = (0L, 0L, 0)
+      stageRead.forEach((_, v) => if (v._1 > best._1) best = v)
+      best
+    }
+    System.err.println(
+      f"SCALE-HOTGROUP k=$k docs=$nDocs mixed$pct%-6d " +
+      f"gid-shuffle-join ${tMix}%6.1f s (out $mixRows%,d) | " +
+      f"hot group $hotDocs%,d rows | fattest shuffle stage: " +
+      f"max-task ${fat._1}%,d of ${fat._2}%,d records over ${fat._3} " +
+      f"tasks (avg ${if (fat._3 > 0) fat._2 / fat._3 else 0L}%,d)")
+    graft.util.BlockRelease.release(Seq(uniform, hot, allEmpty, mixed))
   }
 
   private def runSweep(spark: SparkSession): Unit = {

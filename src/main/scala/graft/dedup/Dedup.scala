@@ -434,10 +434,24 @@ object Dedup {
         "gid")
     // checkpointed so groupsFromReps' leaf-walking release never reaches
     // the caller's input through the singleton branch (d0 is a leaf here)
-    // repFlags is rep-count-sized (dup-collapsed): un-hinted, AQE
-    // converts to broadcast at runtime — the gidByContent argument
-    val mem = mem0.select(col("id"), col("gid"))
-      .join(repFlags, Seq("gid"), "left")
+    // same hot-gid probe shape as groupsFromReps' attaches: small
+    // repFlags broadcasts whole (covers every rep gid by construction);
+    // a big one is completed with member counts and heavy-hitter-split
+    // (joinBackBounded's discipline)
+    val memProbe = mem0.select(col("id"), col("gid"))
+    val memFlagged =
+      if (repFlags.count() < graft.util.SizeGate.DefaultRows)
+        memProbe.join(
+          org.apache.spark.sql.functions.broadcast(repFlags), Seq("gid"),
+          "left")
+      else {
+        val flagsFull = memProbe.groupBy(col("gid"))
+          .agg(count(lit(1)).as("_mcnt"))
+          .join(repFlags, Seq("gid"), "left")
+          .localCheckpoint()
+        joinBackBounded(memProbe, flagsFull, Seq("gid"), "_mcnt")
+      }
+    val mem = memFlagged
       .select(col("id"),
         when(col("nz") && col("pos"), col("gid")).otherwise(col("id"))
           .as("gid"))
@@ -909,19 +923,43 @@ object Dedup {
     * not a correctness risk) keys a `groupBy.agg(min(id))`, whose
     * map-side partial aggregation collapses hot groups to one row per
     * map task BEFORE the shuffle, followed by a join-back on the two
-    * hash longs. The join-back is left UN-hinted and UN-materialized on
-    * purpose (r15 second cut — the first cut checkpointed the aggregate
-    * and SizeGate-counted it, paying two extra driver jobs per kernel
-    * call, ABBA-measured at ~+0.45 s fixed overhead at sf0.1): the
-    * aggregate's shuffle already partitions its output by the join key,
-    * so the static plan re-exchanges only the probe side, and AQE reads
-    * the agg stage's ACTUAL post-combine size at runtime — a
-    * dup-collapsed distinct side converts to a broadcast join, a
-    * dup-free corpus-sized side stays a shuffle join whose streamed-side
-    * hot keys AQE skew-split handles (the build side carries one row per
-    * key). Everything — hash, partial agg, shuffle, join — runs inside
-    * the CALLER's single materializing action (every caller checkpoints
-    * the returned frame exactly once).
+    * hash longs: SizeGate-broadcast when the distinct-content side is
+    * small (every registered corpus); otherwise a HEAVY-HITTER-SPLIT
+    * shuffle join (below).
+    *
+    * The join-back CANNOT lean on AQE for its hot keys — r15 MEASURED
+    * NEGATIVE RESULT, two layers deep (mixed-regime scale cell,
+    * SCALE_CELLS_r15: distinct side too big to broadcast AND one hot
+    * content key). (1) A "fused" cut left the aggregate un-materialized
+    * and the join un-hinted, saving ~3 driver jobs per call
+    * (PlanMetrics: q110 35→26 jobs) — but OptimizeSkewedJoin only
+    * matches a join whose children are both bare shuffle stages, and
+    * the fused build side has the final aggregate BETWEEN its shuffle
+    * and the join, so the hot probe partition never split. (2) With
+    * the aggregate re-materialized (both exchanges bare and
+    * skew-eligible), the split STILL never fired: skew detection is
+    * COMPRESSED-BYTE-based, and a hot group is by definition millions
+    * of IDENTICAL rows — LZ4 flattens the hot partition below its
+    * neighbors, and AQE *coalesced* it with them instead (final plan:
+    * "AQEShuffleRead coalesced", max-task read 1.7× the hot group). At
+    * 10⁹-row boilerplate the task still decompresses and sort-buffers
+    * 10⁹ rows; byte-blind detection can never see it.
+    *
+    * So boundedness is built BY CONSTRUCTION instead: the aggregate
+    * carries the per-key member count anyway, and keys with count ≥
+    * [[HotKeyRows]] go to a BROADCAST join (there are at most
+    * nDocs/HotKeyRows such keys — a frame bounded by construction, and
+    * the hot rows then never shuffle at all, staying spread across
+    * their input partitions) while the remaining keys take the plain
+    * shuffle join, which then has no key above HotKeyRows and no
+    * dominant partition. The two branches are disjoint and complete
+    * (every probe key is in the aggregate of the probe itself), and
+    * the explicit SizeGate count picks the small-side broadcast from an
+    * EXACT cardinality rather than AQE's byte threshold (10 MB —
+    * marginal exactly where gids is distinct-sized) or
+    * localCheckpoint's under-estimating stats (the banding broadcast
+    * hazard, r9). The ~0.3–0.5 s/call of extra jobs at sf0.1 is fixed,
+    * scale-independent, and amortizes to zero at cluster data sizes.
     *
     * Hash-group purity is GUARDED, not assumed: the aggregate carries
     * min/max of a THIRD independently-seeded hash (8 B each — the first
@@ -965,19 +1003,76 @@ object Dedup {
       .withColumn("_gh3", xxhash64(lit(0xC2B2AE3D27D4EB4FL) +: hin: _*))
     val keyed = if (checkpointKeyed) keyed0.localCheckpoint() else keyed0
     val gids = keyed.groupBy(col("_gh1"), col("_gh2"))
-      .agg(min(col("id")).as("_gmin"),
+      .agg(min(col("id")).as("_gmin"), count(lit(1)).as("_gcnt"),
         min(col("_gh3")).as("_p1"), max(col("_gh3")).as("_p2"))
-      .select(col("_gh1"), col("_gh2"),
+      .select(col("_gh1"), col("_gh2"), col("_gcnt"),
         when(col("_p1") <=> col("_p2"), col("_gmin"))
           .otherwise(raise_error(lit(
             "graft.dedup.gidByContent: 128-bit content-hash collision — " +
             "distinct contents share (xxhash64, xxhash64-seeded); " +
             "re-key or widen the hash")).cast("long"))
           .as("gid"))
-    val out = keyed
-      .join(gids, Seq("_gh1", "_gh2"))
+      .localCheckpoint()
+    val out = joinBackBounded(keyed, gids, Seq("_gh1", "_gh2"), "_gcnt")
       .drop("_gh1", "_gh2", "_gh3")
-    (out, if (checkpointKeyed) Seq(keyed) else Seq.empty)
+    (out, if (checkpointKeyed) Seq(keyed, gids) else Seq(gids))
+  }
+
+  /** Hot-key bound for [[joinBackBounded]]: a join key carried by at
+    * least this many probe rows is routed through the broadcast branch.
+    * Tunable via the `graft.hotkey.rows` system property, then
+    * SPARK_GRAFT_HOTKEY_ROWS; default 65536 — at most nDocs/65536 keys
+    * can be hot, so the broadcast side is bounded by construction. */
+  private[graft] def HotKeyRows: Long = sys.props.get("graft.hotkey.rows")
+    .orElse(sys.env.get("SPARK_GRAFT_HOTKEY_ROWS"))
+    .map(_.toLong).getOrElse(65536L)
+
+  /** Probe ⋈ build (inner, on `keyCols`) where `build` is CHECKPOINTED,
+    * covers every probe key, and carries `cntCol` = the probe-side row
+    * count of that key. Small builds broadcast whole (SizeGate). Big
+    * builds split by heavy hitter: keys with cnt ≥ [[HotKeyRows]] join
+    * map-side from a by-construction-bounded broadcast — hot rows never
+    * shuffle, staying spread across their input partitions — and the
+    * rest take the shuffle join, which then has no dominant key. The
+    * split exists because AQE cannot save the single-join plan in the
+    * hot-key regime (see [[gidByContent]]'s negative result: the skew
+    * detector is compressed-byte-based and identical rows compress to
+    * nothing). `cntCol` is dropped from the output. If the hot side
+    * itself exceeds the SizeGate bound (degenerate: > bound keys each
+    * over HotKeyRows — a corpus of > bound×HotKeyRows rows all in huge
+    * groups), falls back to the un-hinted single join rather than an
+    * unbounded broadcast, and says so loudly. Set `dropCnt = false`
+    * when the count column IS the payload (group sizes). */
+  private[graft] def joinBackBounded(probe: DataFrame, build: DataFrame,
+      keyCols: Seq[String], cntCol: String,
+      dropCnt: Boolean = true): DataFrame = {
+    def trim(df: DataFrame) = if (dropCnt) df.drop(cntCol) else df
+    val bound = graft.util.SizeGate.DefaultRows
+    val n = build.count()
+    if (n < bound)
+      return probe.join(
+        org.apache.spark.sql.functions.broadcast(trim(build)), keyCols)
+    val hot = trim(build.filter(col(cntCol) >= HotKeyRows))
+    val nHot = hot.count()
+    if (nHot >= bound) {
+      System.err.println(
+        s"graft.dedup.joinBackBounded: $nHot hot keys (>= $bound) — " +
+        "broadcast branch would be unbounded; falling back to one " +
+        "un-hinted shuffle join. Raise graft.hotkey.rows or " +
+        "graft.sizegate.rows for this corpus.")
+      return probe.join(trim(build), keyCols)
+    }
+    val rest = trim(build.filter(col(cntCol) < HotKeyRows))
+    val hotB = org.apache.spark.sql.functions.broadcast(hot)
+    val hotJoined = probe.join(hotB, keyCols)
+    // the rest branch's PROBE must lose the hot rows BEFORE its
+    // exchange — an inner join would only discard them after the
+    // shuffle, re-forming the exact hot partition this split exists to
+    // prevent (cell-measured: max-task read unchanged without this
+    // anti filter). Broadcast anti join = map-side, no shuffle.
+    val restProbe = probe.join(hotB, keyCols, "left_anti")
+    val restJoined = restProbe.join(rest, keyCols)
+    hotJoined.unionByName(restJoined)
   }
 
   /** Shared tail of the `*NearDupGroups` family (factored r14 when the
@@ -987,7 +1082,11 @@ object Dedup {
     * `groupBy.count` + join-back (r15: was a canon_id-partitioned window
     * count — same degenerate-hot-group shape as the gid stage; the
     * groupBy's map-side combine bounds per-task input for a giant canon
-    * group where the window serialized it into one task).
+    * group where the window serialized it into one task). Both
+    * join-backs here (canon attach, size attach) follow
+    * [[joinBackBounded]]'s heavy-hitter discipline — a giant group is a
+    * hot probe key in each, and the r15 negative result applies
+    * verbatim.
     * `mem` must carry (id, gid) with gid = min member id of the doc's
     * exact-dup group (so the component-min NODE id IS the component-min
     * member id); `repEdges` the verified near-dup edges between reps as
@@ -1003,32 +1102,52 @@ object Dedup {
     // normalize component labels to the component's MIN member id (the
     // union-find root choice is arbitrary; min-id is the canonical form
     // every oracle replays)
-    // canon is bounded by the rep-edge node count (dup-collapsed, never
-    // corpus-shaped unless the corpus is dup-free): un-hinted join, AQE
-    // converts to broadcast off the agg shuffle's actual size — the
-    // gidByContent join-back argument, no extra count/checkpoint jobs
+    // canon is rep-graph-sized (dup-collapsed, corpus-shaped only in
+    // the dup-free worst case): checkpointed, and attached through the
+    // same bounded join-back discipline as the gid stage — a giant
+    // exact-dup group is a hot `gid` on the PROBE side here, and the
+    // r15 negative result (gidByContent's scaladoc) showed AQE cannot
+    // split that partition. Small canon broadcasts whole; a big canon
+    // is first completed to cover EVERY gid with its member count
+    // (one map-side-combined agg over mem, only in this rare branch),
+    // then heavy-hitter-split.
     val canon = comp.join(
         comp.groupBy(col("label")).agg(min(col("node")).as("canon")),
         "label")
       .select(col("node").as("gid"), col("canon"))
-    val out = mem.select(col("id").as("doc_id"), col("gid"))
-      .join(canon, Seq("gid"), "left")
+      .localCheckpoint()
+    val probe = mem.select(col("id").as("doc_id"), col("gid"))
+    val joined =
+      if (canon.count() < graft.util.SizeGate.DefaultRows)
+        probe.join(
+          org.apache.spark.sql.functions.broadcast(canon), Seq("gid"),
+          "left")
+      else {
+        val canonFull = probe.groupBy(col("gid"))
+          .agg(count(lit(1)).as("_mcnt"))
+          .join(canon, Seq("gid"), "left")
+          .localCheckpoint()
+        joinBackBounded(probe, canonFull, Seq("gid"), "_mcnt")
+      }
+    val out = joined
       // isolated reps (no near-dup edge) and pair-ineligible groups
       // (zero vectors, empty shingle sets) keep their gid as canonical
       .select(col("doc_id"),
         coalesce(col("canon"), col("gid")).as("canon_id"))
       .localCheckpoint()
-    // group sizes: map-side-combined groupBy + join-back on the long
-    // canon key, never a canon-partitioned window (a giant canon group
-    // must not serialize one task — the gidByContent argument); same
-    // un-hinted AQE join-back, fused into the one sized-checkpoint job
+    // group sizes: map-side-combined groupBy + bounded join-back on the
+    // long canon key, never a canon-partitioned window (a giant canon
+    // group must not serialize one task — the gidByContent argument);
+    // group_size doubles as the heavy-hitter count, so the hot branch
+    // is free here
     val sizes = out.groupBy(col("canon_id"))
       .agg(count(lit(1)).as("group_size"))
-    val sized = out
-      .join(sizes, Seq("canon_id"))
+      .localCheckpoint()
+    val sized = joinBackBounded(out, sizes, Seq("canon_id"),
+        "group_size", dropCnt = false)
       .select(col("doc_id"), col("canon_id"), col("group_size"))
       .localCheckpoint()
-    graft.util.BlockRelease.release(Seq(mem, out))
+    graft.util.BlockRelease.release(Seq(mem, out, canon, sizes))
     sized
   }
 

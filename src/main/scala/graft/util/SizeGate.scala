@@ -22,16 +22,23 @@ import org.apache.spark.sql.functions.broadcast
   */
 object SizeGate {
 
-  /** Default bound: generous for a 128 GiB driver, far below "corpus". */
-  val DefaultRows = 2000000L
+  /** Default bound: generous for a 128 GiB driver, far below "corpus".
+    * Tunable (r15): `graft.sizegate.rows` system property, then
+    * SPARK_GRAFT_SIZEGATE_ROWS — size it to the executors' broadcast
+    * budget on a real cluster; the hot-group scale cell lowers it
+    * in-process to force the shuffle-join branch it certifies. */
+  def DefaultRows: Long = sys.props.get("graft.sizegate.rows")
+    .orElse(sys.env.get("SPARK_GRAFT_SIZEGATE_ROWS"))
+    .map(_.toLong).getOrElse(2000000L)
 
   /** Broadcast `df` iff its row count is below `bound`. Pass `known =
     * Some(n)` when the caller already counted — the gate then costs
     * nothing. Counting here is one extra job over (usually) an already
     * checkpointed frame; callers on a hot path should prefer `known`. */
-  def maybeBroadcast(df: DataFrame, bound: Long = DefaultRows,
+  def maybeBroadcast(df: DataFrame, bound: Long = -1L,
       known: Option[Long] = None): DataFrame = {
+    val b = if (bound < 0) DefaultRows else bound
     val n = known.getOrElse(df.count())
-    if (n < bound) broadcast(df) else df
+    if (n < b) broadcast(df) else df
   }
 }
