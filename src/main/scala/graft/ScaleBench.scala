@@ -1123,28 +1123,50 @@ object ScaleBench {
       graft.util.BlockRelease.release(mem +: scratch)
       n
     }
+    // snapshot the gid stage's listener window before the end-to-end
+    // leg adds its own stages
     Thread.sleep(1500) // drain the listener bus (private[spark])
-    spark.sparkContext.removeSparkListener(lst)
-    sys.props.remove("graft.sizegate.rows")
-    savedKnobs.foreach { case (key, v) =>
-      v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-    }
-    // the fattest shuffle-read stage of the leg: with the heavy-hitter
-    // split, the hot group's rows never enter an exchange (the hot
-    // branch is a broadcast hash join over the input scan), so the max
-    // task is an advisory-sized AQE coalesce of the UNIFORM rest side —
-    // uniform iff maxTask ≈ total/tasks, which the print exposes
     val fat = {
       var best = (0L, 0L, 0)
       stageRead.forEach((_, v) => if (v._1 > best._1) best = v)
       best
     }
+    // end-to-end under the same forced regime: a full group query runs
+    // groupsFromReps' canon/size attaches and the rep stages through
+    // the heavy-hitter branches at cell scale (DedupSpec pins the same
+    // branches at unit scale; this proves the 500k-row walk completes
+    // with the hot group still absent from every exchange). On the HOT
+    // corpus, not the mixed one: mixed's "uniq"-suffixed replicas are
+    // NEAR-dups at the rep level (only the numeric suffix differs), so
+    // its verify stage legitimately pays the pair-complete C(k,2)
+    // contract on ~85-member rep groups (measured 209M candidate
+    // records / 498 s — the documented amplification regime, nothing to
+    // do with the join-back); the exact-dup-hot corpus is the family's
+    // home regime and keeps the verify rep-linear.
+    val (tMixMh, mixMhRows) = t {
+      val r = graft.dedup.Dedup
+        .minhashNearDupGroups(hot, "doc_id", "text", 0.5)
+      val n = r.count(); graft.util.BlockRelease.release(r); n
+    }
+    spark.sparkContext.removeSparkListener(lst)
+    sys.props.remove("graft.sizegate.rows")
+    savedKnobs.foreach { case (key, v) =>
+      v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    // `fat` = the fattest shuffle-read stage of the gid leg: with the
+    // heavy-hitter split, the hot group's rows never enter an exchange
+    // (the hot branch is a broadcast hash join over the input scan), so
+    // the max task is an advisory-sized AQE coalesce of the UNIFORM
+    // rest side — uniform iff maxTask ≈ total/tasks, which the print
+    // exposes
     System.err.println(
       f"SCALE-HOTGROUP k=$k docs=$nDocs mixed$pct%-6d " +
       f"gid-shuffle-join ${tMix}%6.1f s (out $mixRows%,d) | " +
       f"hot group $hotDocs%,d rows | fattest shuffle stage: " +
       f"max-task ${fat._1}%,d of ${fat._2}%,d records over ${fat._3} " +
-      f"tasks (avg ${if (fat._3 > 0) fat._2 / fat._3 else 0L}%,d)")
+      f"tasks (avg ${if (fat._3 > 0) fat._2 / fat._3 else 0L}%,d) | " +
+      f"minhash-groups(hot15, forced branches) ${tMixMh}%6.1f s " +
+      f"($mixMhRows%,d)")
     graft.util.BlockRelease.release(Seq(uniform, hot, allEmpty, mixed))
   }
 
