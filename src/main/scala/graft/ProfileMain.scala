@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** DIAGNOSTIC TOOL, not product surface: phase-level wall-clock profiler
   * for the iterative graph suite (built for the round-3 Leiden/Louvain
@@ -50,11 +51,11 @@ object ProfileMain {
     val sym = t("setup: symmetrize+ckpt") {
       Projection.symmetrize(g)
         .groupBy("src", "dst").agg(sum("weight").as("weight"))
-        .localCheckpoint()
+        .cp()
     }
     val m2 = t("setup: m2 agg") { sym.agg(sum("weight")).first().getDouble(0) }
     t("setup: deg ckpt") {
-      sym.groupBy(col("src").as("node")).agg(sum("weight").as("k")).localCheckpoint()
+      sym.groupBy(col("src").as("node")).agg(sum("weight").as("k")).cp()
     }
     println(s"PROFILE m2=$m2 edges=${sym.count()}")
 
@@ -72,7 +73,7 @@ object ProfileMain {
         .join(ref.select(col("node").as("src"), col("ref").as("rsrc")), "src")
         .join(ref.select(col("node").as("dst"), col("ref").as("rdst")), "dst")
         .groupBy(col("rsrc"), col("rdst")).agg(sum("weight").as("weight"))
-        .localCheckpoint()
+        .cp()
       contractedRef.count()
     }
     spark.stop()

@@ -4,6 +4,7 @@ import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Perceptual-hash image near-duplication — the multimodal corpus dedup
   * operator every large-scale media pipeline needs (reference-free: the
@@ -149,7 +150,7 @@ object ImagePhash {
     // (verified in the r8 plan audit: two complete decode pipelines under
     // the SortMergeJoin). Blocks are owned by the result per the
     // BlockRelease caller-side contract.
-    val fp = dHashFrame(media, idCol, payloadCol).localCheckpoint()
+    val fp = dHashFrame(media, idCol, payloadCol).cp()
     // chunk c covers bits [c·base + min(c, rem), +width) where width =
     // base + (1 if c < rem). maxDist = 0 (one 64-bit chunk) short-circuits
     // to fp itself — a 64-bit mask can't be built via shiftleft (Java

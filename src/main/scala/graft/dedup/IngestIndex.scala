@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.BloomSketch
 import graft.util.{BlockRelease, BoundedSessionCache, SizeGate}
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** FINGERPRINT-STORE INDEX SIDECAR — the structure that bounds the
   * streaming ingest gate's per-batch store read by BATCH-DERIVED
@@ -324,7 +325,7 @@ object IngestIndex {
     * the key set is computed (and its gram explosion paid) once. */
   private[graft] def writeSidecars(fp: DataFrame, storePath: String,
       partName: String): Unit = {
-    val keys = fpKeys(fp).distinct().localCheckpoint()
+    val keys = fpKeys(fp).distinct().cp()
     try {
       val kindCounts = keys.groupBy(col("kind")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -433,12 +434,12 @@ object IngestIndex {
       case Some((have, df)) if have.subsetOf(want) =>
         val grown = df
           .unionByName(readBlooms(spark, storePath, (want -- have).toSeq))
-          .localCheckpoint()
+          .cp()
         bloomCache.remove(key) // releases the superseded frame
         bloomCache.getOrElseUpdate(key, (want, grown))
         grown
       case _ =>
-        val fresh = readBlooms(spark, storePath, parts).localCheckpoint()
+        val fresh = readBlooms(spark, storePath, parts).cp()
         bloomCache.remove(key)
         bloomCache.getOrElseUpdate(key, (want, fresh))
         fresh
@@ -613,7 +614,7 @@ object IngestIndex {
     try {
       Some(spark.read.schema(bloomSchema).parquet(paths: _*)
         .filter(col("shard").isin(shardList: _*))
-        .localCheckpoint())
+        .cp())
     } finally saved match {
       case Some(v) =>
         spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", v)
@@ -651,7 +652,7 @@ object IngestIndex {
         bloomLayoutCurrent(spark, storePath, n))
     val legacy = dataParts.filterNot(covered.contains)
 
-    val keys = fpKeys(fp).distinct().localCheckpoint()
+    val keys = fpKeys(fp).distinct().cp()
     try {
       val counts = keys.groupBy(col("kind")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -673,7 +674,7 @@ object IngestIndex {
             }
           }
           val (survivors, tProbe) = timed(
-            probeSurvivors(blooms, keys, nSigs + nH).localCheckpoint())
+            probeSurvivors(blooms, keys, nSigs + nH).cp())
           if (transient) BlockRelease.release(blooms)
           // one action yields both the empty-survivor fast-path decision
           // and the prune list (≤ 4096 ints — driver-bounded)
@@ -701,7 +702,7 @@ object IngestIndex {
                 Seq("kind", "h1", "h2", "h3"))
               .select(col("kind"), col("h"))
               .distinct()
-              .localCheckpoint())
+              .cp())
             gateLog(f"verify $tVerify%6.2f s  pruneDirs=" +
               s"${pruneDirs.map(_.size)} pruneShards=${pruneShards.map(_.size)}")
             BlockRelease.release(survivors)
@@ -730,7 +731,7 @@ object IngestIndex {
                   .select(col("kind"), col("h")),
                 known = Some(nH)),
               Seq("kind", "h"), "left_semi")
-          Some(sigM.unionByName(gramM).distinct().localCheckpoint())
+          Some(sigM.unionByName(gramM).distinct().cp())
         }
 
       val matches = (indexedMatches, legacyMatches) match {
@@ -745,7 +746,7 @@ object IngestIndex {
       val matchedH = matches.filter(col("kind") === KindGram)
         .select(col("h"))
       val out = Dedup.gateVerdicts(fp, matchedSigs, matchedH, nSigs, nH)
-        .localCheckpoint()
+        .cp()
       indexedMatches.foreach(BlockRelease.release(_))
       legacyMatches.foreach(BlockRelease.release(_))
       out
@@ -878,7 +879,7 @@ object IngestIndex {
 
     val all = spark.read.schema(graft.streaming.Streams.ingestStoreSchema)
       .parquet(parts.map(n => s"$storePath/$n"): _*)
-      .localCheckpoint()
+      .cp()
     try {
       all.write.mode("overwrite").parquet(s"$tmp/data")
       writeSidecars(all, tmp, "part")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Density clustering over embedding vectors (SURVEY.md G2 — the engine's
   * substitute for the reference's HDBSCAN-over-FastRP GDS call at
@@ -67,7 +68,7 @@ object DensityCluster {
           VectorFunctions.dot(col("a.v"), col("b.v")).as("sim"))
         .filter(col("sim") >= eps)
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .cp()
     } else {
       lshPairs(points, eps, bits, tables, dim)
     }
@@ -103,7 +104,7 @@ object DensityCluster {
       .select(col("id"), col("v"), posexplode(allSigs).as(Seq("t", "sig")))
       .repartition(col("t"), col("sig")) // don't inherit the scan's (often
       //        single-file) partitioning into the bucket self-join
-      .localCheckpoint()
+      .cp()
 
     // 2. ε-edges from bucket-mates: similarity verified INSIDE the join
     // projection so the cross-table dedup shuffles 16-byte id pairs, not
@@ -116,7 +117,7 @@ object DensityCluster {
       .filter(col("sim") >= eps)
       .select(col("src"), col("dst"))
       .dropDuplicates("src", "dst")
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(bucketed)
     pairs
   }
@@ -157,7 +158,7 @@ object DensityCluster {
       .join(nbrOfCore, Seq("node"), "left")
       .select(col("node").as("id"),
         coalesce(col("core_label"), col("border_label"), lit(-1L)).as("label"))
-      .localCheckpoint() // point-sized, lineage-free
+      .cp() // point-sized, lineage-free
     // scratch state (ε-edges, core cache) is unreachable from the
     // checkpointed result — release instead of leaking per call (the LSH
     // tier's bucket rows are already released inside lshPairs)

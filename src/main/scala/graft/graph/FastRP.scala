@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions, VectorSum}
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** FastRP node embeddings (SURVEY.md G1; reference GDS call at
   * project/metrics/community_detection.py:40-45, dim 128 weighted):
@@ -93,7 +94,7 @@ object FastRP {
     }
     val out = state.select(col("node"),
       VectorFunctions.l2normalize(col("acc")).as("embedding"))
-      .localCheckpoint()
+      .cp()
     state.unpersist(blocking = false)
     out
   }

@@ -4,6 +4,7 @@ import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.graphx.lib.{ConnectedComponents => CCLib, LabelPropagation => LPLib}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** GraphX-hosted algorithms (SURVEY.md G4 + connected components).
   * Canonical-edge DataFrames in, (node, label) DataFrames out. */
@@ -41,7 +42,7 @@ object GraphAlgos {
     import spark.implicits._
     val (g, scratch) = toGraph(edges)
     val result = LPLib.run(g, maxSteps)
-    val out = result.vertices.toDF("node", "label").localCheckpoint()
+    val out = result.vertices.toDF("node", "label").cp()
     scratch.unpersist(blocking = false)
     g.unpersist(blocking = false)
     result.unpersist(blocking = false) // Pregel caches its result graph too
@@ -92,12 +93,12 @@ object GraphAlgos {
       // bound lineage/codegen depth — per-step eager actions were 5
       // scheduler round-trips of pure fixed overhead on a node-sized DF
       if (step % 3 == 0 && step < maxSteps) {
-        labels = labels.localCheckpoint()
+        labels = labels.cp()
         if (prevCkpt != null) graft.util.BlockRelease.release(prevCkpt)
         prevCkpt = labels
       }
     }
-    val out = labels.localCheckpoint() // lineage-free node-sized result
+    val out = labels.cp() // lineage-free node-sized result
     // superseded intermediates are no longer reachable from `out` —
     // release their blocks instead of letting repeated calls accumulate
     // them. The sym checkpoint itself is cache-owned (r12, see
@@ -158,7 +159,7 @@ object GraphAlgos {
     val spark = edges.sparkSession
     import spark.implicits._
     val pairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
+      .cp()
     if (pairs.count() <= collectThreshold) {
       val es = pairs.as[(Long, Long)].collect()
       graft.util.BlockRelease.release(pairs) // edge-sized; don't leak per call
@@ -170,7 +171,7 @@ object GraphAlgos {
     graft.util.BlockRelease.release(pairs)
     val (g, scratch) = toGraph(edges)
     val result = CCLib.run(g)
-    val out = result.vertices.toDF("node", "label").localCheckpoint()
+    val out = result.vertices.toDF("node", "label").cp()
     scratch.unpersist(blocking = false)
     g.unpersist(blocking = false)
     result.unpersist(blocking = false) // Pregel caches its result graph too

@@ -8,6 +8,7 @@ import scala.collection.mutable
 
 import graft.functions.VectorFunctions
 import graft.util.BlockPairs
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** True HDBSCAN over embedding vectors (SURVEY.md G2; reference GDS call at
   * project/metrics/community_detection.py:49-54) — the real algorithm, not
@@ -82,7 +83,7 @@ object Hdbscan {
     // that the edge union contains the unique global MST.
     val nBlocks = math.max(1, math.ceil(n.toDouble / taskTarget).toInt)
     val core = blockedCores(points.select(col("id"), col("v")), minPts, nBlocks)
-      .localCheckpoint()
+      .cp()
     // a point absent from `core` has fewer than minPts neighbors in the
     // whole corpus (only possible when n ≤ minPts) — the 1e30 sentinel
     // sends it to the hierarchy top, where it condenses out as noise
@@ -90,7 +91,7 @@ object Hdbscan {
     val withCore = points.select(col("id"), col("v"))
       .join(core, Seq("id"), "left")
       .select(col("id"), col("v"), coalesce(col("core"), lit(1e30)).as("core"))
-    val mre = blockedMstEdges(withCore, nBlocks).localCheckpoint()
+    val mre = blockedMstEdges(withCore, nBlocks).cp()
     graft.util.BlockRelease.release(core)
 
     // MST tiering (same collect-threshold discipline as Louvain/Leiden):
@@ -124,7 +125,7 @@ object Hdbscan {
       minClusterSize: Int, collectThreshold: Long): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val mst = boruvkaMst(mre).localCheckpoint()
+    val mst = boruvkaMst(mre).cp()
     val mstSize = mst.count()
 
     val out = if (mstSize <= collectThreshold) {
@@ -300,7 +301,7 @@ object Hdbscan {
           lvl.edges.filter(col("w") < pw || (col("w") === pw &&
             (col("a") < pa || (col("a") === pa && col("b") < pb))))
         }
-      val belowCp = below.localCheckpoint()
+      val belowCp = below.cp()
       retired += belowCp
 
       // ---- below-forest components (≤ K + #trees super-nodes) ----
@@ -309,7 +310,7 @@ object Hdbscan {
       val compOf = cc.select(col("node"), col("label").as("comp"))
         .unionByName(lvl.nodes.join(cc, Seq("node"), "left_anti")
           .select(col("node"), col("node").as("comp")))
-        .localCheckpoint()
+        .cp()
       graft.util.BlockRelease.release(cc)
       retired += compOf
       val compSizes = compOf.groupBy("comp").agg(count(lit(1)).as("sz"))
@@ -396,7 +397,7 @@ object Hdbscan {
       if (continuations.nonEmpty) {
         val belowByComp = belowCp
           .join(compOf.select(col("node").as("a"), col("comp")), "a")
-          .localCheckpoint()
+          .cp()
         retired += belowByComp
         val ecnt = belowByComp.groupBy("comp").agg(count(lit(1)).as("ec"))
           .as[(Long, Long)].collect().toMap
@@ -428,7 +429,7 @@ object Hdbscan {
               val edges = rows.map(r => (r._2, r._3, r._4)).toArray
               condenseComponent(edges, entryCid, base, mcs)
             }
-            .localCheckpoint()
+            .cp()
           bcCont.destroy()
           xr.filter(_.kind == 1).collect().foreach { r =>
             lambdaBirth(r.gid) = r.lam
@@ -444,7 +445,7 @@ object Hdbscan {
               stab(pg) += sls - lambdaBirth(pg) * ss
             }
           memberParts += xr.filter(_.kind == 0)
-            .map(r => (r.id, r.pgid)).toDF("id", "pgid").localCheckpoint()
+            .map(r => (r.id, r.pgid)).toDF("id", "pgid").cp()
           graft.util.BlockRelease.release(xr.toDF())
         }
       }
@@ -455,7 +456,7 @@ object Hdbscan {
           .map { case (ci, cid) => (compSizes(ci)._1, cid) }
           .toSeq.toDF("comp", "pgid"))
         memberParts += compOf.join(spillDf, Seq("comp"))
-          .select(col("node").as("id"), col("pgid")).localCheckpoint()
+          .select(col("node").as("id"), col("pgid")).cp()
       }
     }
 
@@ -516,7 +517,7 @@ object Hdbscan {
       .groupBy("wgid").agg(min(col("id")).as("clab")))
     val out = assigned.join(minIds, Seq("wgid"), "left")
       .select(col("id"), coalesce(col("clab"), lit(-1L)).as("label"))
-      .localCheckpoint()
+      .cp()
     (retired ++ memberParts).foreach(graft.util.BlockRelease.release)
     out
   }
@@ -860,10 +861,10 @@ object Hdbscan {
   private[graft] def boruvkaMst(edges: DataFrame,
       mergeCollect: Long = 10000000L): DataFrame = {
     val spark = edges.sparkSession
-    val und = edges.select(col("a"), col("b"), col("w")).localCheckpoint()
+    val und = edges.select(col("a"), col("b"), col("w")).cp()
     var comp = und.select(col("a").as("node")).union(und.select(col("b")))
       .distinct().select(col("node"), col("node").as("comp"))
-      .localCheckpoint()
+      .cp()
     // minE checkpoints feed the LAZY mst union across rounds — they are
     // only releasable after the final mst materializes; everything else is
     // released the round it is superseded
@@ -875,7 +876,7 @@ object Hdbscan {
         .join(comp.select(col("node").as("a"), col("comp").as("ca")), "a")
         .join(comp.select(col("node").as("b"), col("comp").as("cb")), "b")
         .filter(col("ca") =!= col("cb"))
-        .localCheckpoint()
+        .cp()
       if (e.isEmpty) done = true
       else {
         val cand = e.select(col("ca").as("c"),
@@ -885,7 +886,7 @@ object Hdbscan {
         val minE = cand.groupBy("c").agg(min(col("ed")).as("ed"))
           .select(col("c"), col("ed.a").as("a"), col("ed.b").as("b"),
             col("ed.w").as("w"), col("ed.tc").as("tc"))
-          .localCheckpoint()
+          .cp()
         minEs += minE
         val nComps = minE.count()
         val chosen = minE.select(col("a"), col("b"), col("w")).distinct()
@@ -914,7 +915,7 @@ object Hdbscan {
               .select(col("c"),
                 when(col("ttc") === col("c") && col("tc") > col("c"), col("c"))
                   .otherwise(col("tc")).as("p"))
-              .localCheckpoint()
+              .cp()
             var changed = 1L
             while (changed > 0) {
               var q = p
@@ -922,7 +923,7 @@ object Hdbscan {
                 q = q.as("x")
                   .join(q.select(col("c").as("p"), col("p").as("gp")).as("y"), Seq("p"), "left")
                   .select(col("c"), coalesce(col("gp"), col("p")).as("p"))
-              val nxt = q.localCheckpoint()
+              val nxt = q.cp()
               changed = nxt.as("n")
                 .join(p.select(col("c"), col("p").as("prev")).as("o"), Seq("c"))
                 .filter(col("p") =!= col("prev")).count()
@@ -935,7 +936,7 @@ object Hdbscan {
         comp = comp
           .join(relabel, Seq("comp"), "left")
           .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
-          .localCheckpoint()
+          .cp()
         graft.util.BlockRelease.release(prevComp)
       }
       graft.util.BlockRelease.release(e) // consumed into minE/mst this round
@@ -945,7 +946,7 @@ object Hdbscan {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], und.schema)
       else mst.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"), col("w")).distinct()
-        .localCheckpoint()
+        .cp()
     graft.util.BlockRelease.release(und)
     graft.util.BlockRelease.release(comp)
     minEs.foreach(graft.util.BlockRelease.release)

@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Distributed k-core decomposition (SURVEY.md G3; reference GDS call at
   * project/metrics/community_detection.py:56-58) by h-index convergence
@@ -71,7 +72,7 @@ object KCore {
         edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
       .select(col("src"), col("dst")).distinct() // parallel edges count once
       .filter(col("src") =!= col("dst")) // self-loops don't contribute
-      .localCheckpoint(), maxIter)
+      .cp(), maxIter)
 
   /** [[runDF]] over an ALREADY symmetric, deduped, materialized (src, dst)
     * edge set — run() hands its tier-gate sym straight in, so the
@@ -83,7 +84,7 @@ object KCore {
       ownsSym: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var est = sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("int").as("est")).localCheckpoint()
+      .agg(count(lit(1)).cast("int").as("est")).cp()
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -108,13 +109,13 @@ object KCore {
         .select(col("node"),
           least(col("est"), coalesce(col("h"), lit(0))).as("est"),
           (least(col("est"), coalesce(col("h"), lit(0))) =!= col("est")).as("mv"))
-        .localCheckpoint()
+        .cp()
       changed = next.filter(col("mv")).count()
       graft.util.BlockRelease.release(est) // superseded round state
       est = next.select(col("node"), col("est"))
       iter += 1
     }
-    val out = est.localCheckpoint()
+    val out = est.cp()
     graft.util.BlockRelease.release(
       if (ownsSym) Seq(est, sym) else Seq(est))
     out.select(col("node"), col("est").as("core"))

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Leiden community detection (SURVEY.md G5; reference GDS call at
   * project/metrics/community_detection.py:64-69).
@@ -54,7 +55,7 @@ object Leiden {
       .join(ref.select(col("node").as("src"), col("ref").as("rsrc")), "src")
       .join(ref.select(col("node").as("dst"), col("ref").as("rdst")), "dst")
       .groupBy(col("rsrc"), col("rdst")).agg(sum("weight").as("weight"))
-      .localCheckpoint()
+      .cp()
     val (mapping, contracted, nEdges) = Louvain.coarsenUntilFits(
       ref.select(col("node"), col("ref").as("comm")), contractedRef,
       phase.m2, distRounds, collectThreshold, maxLevels)
@@ -66,7 +67,7 @@ object Leiden {
         .select(col("node"), labelDf("label"))
     } else {
       mapping.select(col("node"), col("comm").as("label"))
-    }).localCheckpoint() // node-sized, lineage-free — lets everything below go
+    }).cp() // node-sized, lineage-free — lets everything below go
     graft.util.BlockRelease.release(
       Seq(phase.deg, phase.comm, ref, contractedRef, mapping, contracted))
     // incumbent guard (see Louvain.incumbentGuard): the components
@@ -102,7 +103,7 @@ object Leiden {
       .join(comm.select(col("node").as("dst"), col("comm").as("cdst")), "dst")
       .filter(col("csrc") === col("cdst"))
       .select(col("src"), col("dst"), col("weight"))
-      .localCheckpoint()
+      .cp()
 
     // comm is already cached, so re-deriving the singleton seed per
     // reference is a projection of cached blocks — no materialization
@@ -157,7 +158,7 @@ object Leiden {
           when(col("target").isNotNull && parity, col("target"))
             .otherwise(col("r.ref")).as("ref"),
           (col("target").isNotNull && parity).as("mv"))
-        .localCheckpoint()
+        .cp()
       moved = nextState.filter(col("mv")).count()
       if (prevCkpt != null) graft.util.BlockRelease.release(prevCkpt)
       prevCkpt = nextState

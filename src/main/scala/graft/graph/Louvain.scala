@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Distributed Louvain community detection (SURVEY.md G6; reference GDS
   * call at project/metrics/community_detection.py:71-76).
@@ -44,7 +45,7 @@ object Louvain {
   private[graph] def distributedPhase(edges0: DataFrame, distRounds: Int): Phase = {
     val sym = Projection.symmetrize(edges0)
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
-      .localCheckpoint()
+      .cp()
     val m2 = sym.agg(sum("weight")).first().getDouble(0) // 2m
     distributedPhaseSym(sym, distRounds, m2)
   }
@@ -58,7 +59,7 @@ object Louvain {
   private[graph] def distributedPhaseSym(sym: DataFrame, distRounds: Int,
       m2: Double): Phase = {
     val deg = sym.groupBy(col("src").as("node")).agg(sum("weight").as("k"))
-      .localCheckpoint()
+      .cp()
     val symNoSelf = sym.filter(col("src") =!= col("dst"))
 
     // ---- phase 1: distributed local-move rounds on the full graph ----
@@ -106,7 +107,7 @@ object Louvain {
         .select(col("node"),
           when(col("mv"), col("target")).otherwise(col("comm")).as("comm"),
           col("mv"))
-        .localCheckpoint()
+        .cp()
       moved = nextState.filter(col("mv")).count() // partition-count sum on
       //                                             the materialized RDD
       val prev = comm
@@ -135,7 +136,7 @@ object Louvain {
       .join(comm.select(col("node").as("dst"), col("comm").as("cdst")), "dst")
       .groupBy(col("csrc"), col("cdst"))
       .agg(sum("weight").as("weight"))
-      .localCheckpoint(eager = false)
+      .cp(false)
 
     Phase(comm, sym, deg, contracted, m2)
   }
@@ -164,7 +165,7 @@ object Louvain {
         .join(next.comm.select(col("node").as("c0"), col("comm").as("cnext")),
           mapping("comm") === col("c0"))
         .select(mapping("node"), col("cnext").as("comm"))
-        .localCheckpoint()
+        .cp()
       val newEdges = next.contracted.count() // materializes the lazy ckpt
       progress = newEdges < nEdges
       nEdges = newEdges
@@ -223,7 +224,7 @@ object Louvain {
         sym.select(col("src"), col("dst"), col("weight")),
         collectThreshold = collectThreshold)
       .select(col("node"), col("label"))
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(labels) // superseded checkpoint
     comp
   }
@@ -240,7 +241,7 @@ object Louvain {
   private[graft] def symWithStats(edges0: DataFrame): (DataFrame, Long, Double) = {
     val sym = Projection.symmetrize(edges0)
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
-      .localCheckpoint()
+      .cp()
     val nEdges = sym.count()
     // sum over an EMPTY edge set is NULL — an empty graph is a legal
     // input (m2 only divides gains, and with no nodes none are computed)
@@ -381,7 +382,7 @@ object Louvain {
       // answer at this point — further in-memory refinement is impossible
       // without violating the memory bound, so degrade, don't die
       mapping.select(col("node"), col("comm").as("label"))
-    }).localCheckpoint() // node-sized, lineage-free — lets everything below go
+    }).cp() // node-sized, lineage-free — lets everything below go
     graft.util.BlockRelease.release(Seq(ph.deg, ph.comm, mapping, contracted))
     // sym is cache-owned (r12, see symTiered) — not released here
     incumbentGuard(sym, out, ph.m2, collectThreshold)
@@ -403,7 +404,7 @@ object Louvain {
       val (sym, _, m2) = tiered.swap.toOption.get
       val ph = distributedPhaseSym(sym, rounds, m2)
       val out = ph.comm.select(col("node"), col("comm").as("label"))
-        .localCheckpoint()
+        .cp()
       graft.util.BlockRelease.release(Seq(ph.deg, ph.comm))
       // sym is cache-owned (r12, see symTiered) — not released here
       incumbentGuard(sym, out, m2, collectThreshold)

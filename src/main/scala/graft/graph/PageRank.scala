@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** PAGERANK, integer-quantized — the classic link-graph quality signal a
   * web-scale curation pipeline weighs documents by (the OPIC/harmonic
@@ -69,7 +70,7 @@ object PageRank {
     val sym = edges.select($"src", $"dst", $"weight".cast("long").as("wt"))
       .union(edges.select($"dst".as("src"), $"src".as("dst"),
         $"weight".cast("long").as("wt")))
-    val k = sym.groupBy($"src").agg(sum($"wt").as("ks")).localCheckpoint()
+    val k = sym.groupBy($"src").agg(sum($"wt").as("ks")).cp()
     val n = k.count()
     if (n == 0) return k.select($"src".as("node"), lit(0L).as("pr"))
     // teleport-mass denominator: the SEED count under personalization
@@ -108,7 +109,7 @@ object PageRank {
       // shapes measured (per-round ckpt, no ckpt, periodic; spreads in
       // BENCH_LOCAL_r9 §7).
       if (round % 3 == 2 || round == iters - 1) {
-        next = next.localCheckpoint()
+        next = next.cp()
         if (lastCkpt != null) graft.util.BlockRelease.release(lastCkpt)
         lastCkpt = next
       }

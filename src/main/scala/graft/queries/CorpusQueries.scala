@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextExpressions._
 import graft.schemas.Tables
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Corpus-statistics operators over the `documents` table — the planning
   * layer of a 100 TB training-data pipeline: gate expensive joins with a
@@ -62,7 +63,7 @@ object CorpusQueries {
     val grams = allDocs
       .select($"doc_id", ($"doc_id" % 97 === 0).as("b"),
         explode(md5_word_shingles($"text", 8)).as("h"))
-      .localCheckpoint()
+      .cp()
     val bloomRow = streamBloom.getOrElse(
       grams.filter($"b").agg(bloom_build_hex($"h", mBits, k).as("bloom")))
     // two consumers (per-doc counts, verify left side): probe once
@@ -70,7 +71,7 @@ object CorpusQueries {
       .crossJoin(broadcast(bloomRow))
       .select($"doc_id", $"h",
         bloom_probe_hex($"h", $"bloom", mBits, k).as("hit"))
-      .localCheckpoint()
+      .cp()
     val perDoc = probed.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"), sum($"hit".cast("long")).as("n_bloom_hits"))
     val benchSet = grams.filter($"b").select($"h").distinct()
@@ -88,7 +89,7 @@ object CorpusQueries {
         (coalesce($"n_true", lit(0L)) > 0).as("contaminated"),
         (coalesce($"n_bloom_hits", lit(0L)) - coalesce($"n_true", lit(0L)))
           .as("n_bloom_fp"))
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(Seq(grams, probed))
     r
   }
@@ -115,7 +116,7 @@ object CorpusQueries {
     val s2 = s1.crossJoin(broadcast(tot))
       .withColumn("alloc_base", expr(s"($N * w_sqrt) DIV d_sum"))
       .withColumn("rem", expr(s"($N * w_sqrt) % d_sum"))
-      .localCheckpoint() // two consumers (deficit agg, ranked alloc) + window input
+      .cp() // two consumers (deficit agg, ranked alloc) + window input
     val deficit = s2.agg((lit(N) - sum($"alloc_base")).as("deficit"))
     // unpartitioned window is fine HERE: the frame is strata-sized (an
     // aggregation output), never corpus-sized
@@ -125,7 +126,7 @@ object CorpusQueries {
       .select($"lang", $"source", $"n_docs", $"w_sqrt", $"alloc_base",
         ($"rk" <= $"deficit").cast("long").as("extra"),
         ($"alloc_base" + ($"rk" <= $"deficit").cast("long")).as("target_docs"))
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(s2)
     r
   }
@@ -153,7 +154,7 @@ object CorpusQueries {
       .select($"source", explode(md5_word_shingles($"text", 8)).as("h"))
       .select($"source", conv(substring($"h", 1, 15), 16, 10).cast("long").as("u"))
       .distinct()
-      .localCheckpoint()
+      .cp()
     val counts = su.groupBy($"source").agg(count(lit(1)).as("nd"))
     // sketch build + estimator are the library
     // ([[graft.functions.KmvSketch.overlapEstimates]] — factored r13 per
@@ -184,7 +185,7 @@ object CorpusQueries {
         expr("(1000 * coalesce(inter_true, 0)) DIV " +
           "(n_a + n_b - coalesce(inter_true, 0))").as("jacc_milli_true"),
         $"union_est", $"inter_est", $"jacc_milli_est")
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(su)
     r
   }
@@ -209,10 +210,10 @@ object CorpusQueries {
     // tokenize once
     val toks = docs(spark, dir)
       .select(explode(tokens($"text")).as("tok"))
-      .localCheckpoint()
+      .cp()
     // two consumers (gridAsMap's broadcast row, the final estimates
     // join): build the <= d*w-row grid once
-    val grid = CmsSketch.sketch(toks, "tok").localCheckpoint()
+    val grid = CmsSketch.sketch(toks, "tok").cp()
     val gm = CmsSketch.gridAsMap(grid)
     val tot = toks.agg(count(lit(1)).as("n_total"))
     val candidates = toks
@@ -223,7 +224,7 @@ object CorpusQueries {
         CmsSketch.estimateFromMap($"_u60", $"cms_map").as("est"))
       .filter($"est" >= expr("n_total DIV 200"))
       .select($"tok").distinct()
-      .localCheckpoint() // two consumers (verify join, estimate join); tiny
+      .cp() // two consumers (verify join, estimate join); tiny
     val truth = toks
       .join(graft.util.SizeGate.maybeBroadcast(candidates), "tok")
       .groupBy($"tok").agg(count(lit(1)).as("true_count"))
@@ -234,7 +235,7 @@ object CorpusQueries {
         expr("n_total DIV 200").as("threshold"),
         ($"true_count" >= expr("n_total DIV 200")).as("is_heavy"),
         ($"est_count" >= $"true_count").as("admissible"))
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(Seq(toks, candidates, grid))
     r
   }

@@ -7,6 +7,7 @@ import graft.schemas.Tables
 import graft.similarity.Ann
 import graft.multimodal.Multimodal
 import graft.functions.VectorFunctions
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** LLM-pipeline extension queries: ANN tiers and multimodal plumbing.
   * The multimodal queries carry full hash oracles; the ANN tiers carry
@@ -76,7 +77,7 @@ object PipelineQueries {
     // aggregate + consistency join); without a stage the whole search
     // (index read / bucket self-join) would execute twice per action —
     // k rows, released by the caller contract as a result-plan leaf
-    val res = res0.localCheckpoint()
+    val res = res0.cp()
     val brute = pts.filter(col("id") =!= 0)
       .select(col("id"), VectorFunctions.dot(col("v"), qcol).as("bs"))
       .orderBy(col("bs").desc, col("id").asc).limit(k).select(col("id"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.schemas.Tables
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Relational operator suite (SURVEY.md §2.2–§2.6) over the driver testdata.
   *
@@ -357,7 +358,7 @@ object RelationalQueries {
     // outlives the query (the round-5 sweep-inflation class). The
     // localCheckpoint hands the rows to block storage under the caller's
     // BlockRelease contract like every other checkpointed result.
-    val out = spark.table(qname).orderBy($"bucket_us").localCheckpoint()
+    val out = spark.table(qname).orderBy($"bucket_us").cp()
     spark.catalog.dropTempView(qname)
     out
   }
@@ -492,7 +493,7 @@ object RelationalQueries {
     val ev = Tables.load(spark, dir, "events")
       .select($"event_type", $"user_id".cast("string").as("uid"))
       // two consumers (registers, exact truth): scan once
-      .localCheckpoint()
+      .cp()
     val s = HllSketch.groupedSummary(
       HllSketch.groupedRegisters(ev, "event_type", "uid"), "event_type")
     val truth = ev.groupBy($"event_type")
@@ -503,7 +504,7 @@ object RelationalQueries {
         expr("CAST((1000 * abs(est_hll - true_distinct)) DIV true_distinct AS BIGINT)")
           .as("err_milli"),
         $"lc_range")
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(ev)
     r
   }

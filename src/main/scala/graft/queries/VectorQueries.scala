@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.schemas.Tables
 import graft.functions.VectorFunctions._
 import graft.functions.VectorMean
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Vector / embedding suite (SURVEY.md §2.5 W2, §2.7 X1–X3, §2.4 A4/A6;
   * reference: project/qdrant/post_distance_test.py, project/metrics/metrics.py).
@@ -139,7 +140,7 @@ object VectorQueries {
     // consumers (banding, brute, nothing else re-runs the HOF lambdas)
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", md5Embed($"text").as("v"))
-      .localCheckpoint()
+      .cp()
     val nz = docs.filter(dot($"v", $"v") > 0)
     val nDocs = nz.count()
     val u32Max = 4294967296L
@@ -158,7 +159,7 @@ object VectorQueries {
       .cosineNearDupsExact(docs, "doc_id", "v", 9, 10, tables = 96, dim = 16)
     val brute = graft.dedup.Dedup
       .cosineNearDupsBruteExact(sample, "doc_id", "v", 9, 10)
-      .select($"id_a", $"id_b").localCheckpoint()
+      .select($"id_a", $"id_b").cp()
     val nTrue = brute.count()
     // ONE verify pass over the emitted pair list (r10: was three separate
     // actions — lshS count, anti-join count, corpus-wide verify count):
@@ -259,7 +260,7 @@ object VectorQueries {
       .crossJoin(broadcast(q))
       .select($"vec_id", $"label",
         round(cosineUnguarded($"embedding", $"qv"), 4).as("score"))
-      .localCheckpoint()
+      .cp()
     scored.orderBy($"score".desc, $"vec_id".asc).limit(5)
       .select(lit("closest").as("section"), $"vec_id", $"label", $"score")
       .unionByName(scored.orderBy($"score".asc, $"vec_id".asc).limit(5)
@@ -361,7 +362,7 @@ object VectorQueries {
         conv(substring(md5(concat(lit("hn:"), $"vec_id")), 1, 15), 16, 10)
           .cast("long").as("h"))
       // two consumers (anchor sample, candidate scan): quantize once
-      .localCheckpoint()
+      .cp()
     val anchors = coded.orderBy($"h").limit(64)
       .select($"vec_id".as("anchor_id"), $"label".as("alabel"),
         $"codes".as("acodes"))
@@ -375,7 +376,7 @@ object VectorQueries {
       .select($"anchor_id", posexplode($"top"))
       .select($"anchor_id", ($"pos" + 1).cast("long").as("rank"),
         $"col._2".as("neg_id"), $"col._1".as("dot"))
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(coded)
     r
   }
@@ -388,14 +389,14 @@ object VectorQueries {
     // read it (the q37/q24 checkpoint discipline)
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", md5Embed($"text").as("v"))
-      .localCheckpoint()
+      .cp()
     val bits = SemDedup.nlistBits(docs.count())
     val assigned = docs
       .select($"doc_id",
         SemDedup.quantizeCodes($"v").as("codes"),
         SemDedup.srpCellsMd5($"v", dim = 16, bits = bits, seed = "sd").as("cell"))
       // the pair self-join reads the assignment twice
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(docs)
     SemDedup.semDeDup(assigned)
   }
@@ -416,7 +417,7 @@ object VectorQueries {
       .select($"doc_id", md5Embed($"text").as("v"))
       .select($"doc_id", SemDedup.quantizeCodes($"v").as("codes"))
       // both sides derive from one embed pass (the q24/q79 discipline)
-      .localCheckpoint()
+      .cp()
     SemDedup.flagSemanticContaminated(
       coded.filter($"doc_id" % 97 =!= 0),
       coded.filter($"doc_id" % 97 === 0))
@@ -500,7 +501,7 @@ object VectorQueries {
     // result per the BlockRelease caller-side contract.
     Tables.load(spark, dir, "documents")
       .select($"doc_id", md5Embed($"text").as("v"))
-      .localCheckpoint()
+      .cp()
       .select($"doc_id",
         SemDedup.srpCellsMd5($"v", dim = 16, bits = bits, seed = "sd").as("cell"),
         Pq.encode($"v", cbs).as("codes"))

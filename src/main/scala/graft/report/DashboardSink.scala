@@ -2,6 +2,7 @@ package graft.report
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** S14 — dashboard serving (SURVEY.md §2.1; the reference serves a
   * Streamlit app, project/ui/app.py:17-85: two live-count metric tiles,
@@ -146,7 +147,7 @@ object DashboardSink {
     val communities = graft.graph.Louvain.run(edges, distRounds = 2)
     val metrics = graft.metrics.CommunityMetrics.structure(edges, communities)
       .orderBy(col("label"))
-      .localCheckpoint() // three consumers: table + two charts
+      .cp() // three consumers: table + two charts
     val charts = Seq(
       "Conductance by community" -> ChartSink.barChartSvgString(
         metrics, "label", "conductance", "Conductance by community"),

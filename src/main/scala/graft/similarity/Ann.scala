@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions, VectorMean}
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Similarity search over embedding columns (SURVEY.md EP3/W2 + the
   * LLM-pipeline ANN extension).
@@ -101,13 +102,13 @@ object Ann {
       .orderBy(xxhash64(col(idCol))) // deterministic pseudo-sample
       .limit(nlist)
       .select(monotonically_increasing_id().as("cell"), col(vecCol).as("centroid"))
-      .localCheckpoint()
+      .cp()
     for (_ <- 1 to iters) {
       centroids = ivfAssign(points, idCol, vecCol, centroids)
         .groupBy(col("cell"))
         .agg(VectorMean(col(vecCol)).as("m"))
         .select(col("cell"), VectorFunctions.l2normalize(col("m")).as("centroid"))
-        .localCheckpoint()
+        .cp()
     }
     centroids
   }

@@ -2,6 +2,7 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search") — THE vector-compression artifact a 100 TB
@@ -68,7 +69,7 @@ object Pq {
       .orderBy(xxhash64(col(idCol))) // deterministic pseudo-sample
       .limit(k)
       .select(monotonically_increasing_id().as("cell"), col(vecCol).as("centroid"))
-      .localCheckpoint()
+      .cp()
     for (_ <- 1 to iters) {
       val assigned = points.crossJoin(broadcast(centroids))
         .select(col(idCol), col(vecCol),
@@ -86,7 +87,7 @@ object Pq {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("d"), col("x")))).as("dx"))
         .select(col("cell"), transform(col("dx"), e => e.getField("x")).as("centroid"))
-        .localCheckpoint()
+        .cp()
       graft.util.BlockRelease.release(centroids)
       centroids = next
     }

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** S4 — the reference crawler's DATA semantics as a distributed operator
   * (reference crawl loop at project/kafka/producer_main.py:124-183):
@@ -33,7 +34,7 @@ object Crawler {
   def crawl(seeds: DataFrame, expand: DataFrame => DataFrame,
       maxIterations: Int = 2, maxFanout: Int = 20): DataFrame = {
     var visited = seeds.select(col("did")).distinct()
-      .withColumn("depth", lit(0)).localCheckpoint()
+      .withColumn("depth", lit(0)).cp()
     var visitedCount = visited.count()
     var frontierSize = visitedCount // depth-0 frontier = the seeds
     var depth = 0
@@ -52,7 +53,7 @@ object Crawler {
       // instead of a separate isEmpty job; the next frontier is re-derived
       // from the materialized union by a depth filter, never recomputed
       val prev = visited
-      visited = visited.union(fresh).localCheckpoint()
+      visited = visited.union(fresh).cp()
       graft.util.BlockRelease.release(prev) // superseded by the new union
       val n = visited.count() // reads the materialized blocks, no re-run
       frontierSize = n - visitedCount

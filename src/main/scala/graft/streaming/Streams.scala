@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
 import org.apache.spark.sql.types.StructType
 
 import graft.schemas.Entities
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Structured-Streaming ingest layer (SURVEY.md §2.8 ST1–ST6) — the
   * Spark-native replacement for the reference's Kafka consumer processes
@@ -652,7 +653,7 @@ object Streams {
       storePath: String, n: Int = 8): Unit = {
     val fp = graft.dedup.Dedup.docSigGrams(docs, idCol, textCol, n)
       .select(col("sig"), col("grams"))
-      .localCheckpoint() // three consumers: store write, idx, bloom
+      .cp() // three consumers: store write, idx, bloom
     try {
       graft.dedup.IngestIndex
         .invalidatePart(docs.sparkSession, storePath, "batch=bootstrap")
@@ -691,7 +692,7 @@ object Streams {
     // accepted-fingerprint join, the store write, the sidecar writes):
     // fingerprint once
     val fp = graft.dedup.Dedup.docSigGrams(batch, idCol, textCol, n)
-      .localCheckpoint()
+      .cp()
     try {
       // a retry overwrites its own partition in place — drop any cached
       // plan over its previous attempt's files before gating/writing
@@ -704,7 +705,7 @@ object Streams {
           .join(verdicts.filter(!col("drop_doc")).select(col("doc_id")),
             Seq("doc_id"))
           .select(col("sig"), col("grams"))
-          .localCheckpoint()
+          .cp()
         try {
           accepted.write.mode("overwrite")
             .parquet(s"$storePath/batch=$batchId")
