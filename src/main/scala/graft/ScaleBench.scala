@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph._
 import graft.schemas.Tables
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Scale-evidence harness for the iterative graph suite (round-3 item 9):
   * times the DISTRIBUTED paths at 1× and 10× engagement volume so the
@@ -81,6 +82,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("simband")) {
+      runSimBand(spark)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("skew")) {
       runSkew(spark)
       spark.stop()
@@ -118,7 +124,7 @@ object ScaleBench {
     val threshold = 500000L // below both graphs → distributed path at both
     ks.foreach { k =>
       val g = Projection.coEngagementSalted(engagement(k),
-        "l_suppkey", "l_orderkey").localCheckpoint()
+        "l_suppkey", "l_orderkey").cp()
       val nEdges = g.count()
       val nNodes = g.select(col("src")).union(g.select(col("dst")))
         .distinct().count()
@@ -179,7 +185,7 @@ object ScaleBench {
       pmod(xxhash64(col("id") + 7), lit(50000L)).as("user"))
     val viral = spark.range(hot.toLong)
       .select(lit(42L).as("post"), (col("id") + lit(10000000L)).as("user"))
-    val e = bgDf.union(viral).localCheckpoint()
+    val e = bgDf.union(viral).cp()
     // untimed warmup on the cold-data prefix: JIT + codegen out of cell 1
     Projection.coEngagement(e.filter(col("post") =!= 42L).limit(200000),
       "user", "post").count()
@@ -233,7 +239,7 @@ object ScaleBench {
           (if (d == c) 3.0 else if (d == c + 1) 1.5 else 0.0) +
             dir(d) / norm * 0.00005 * j))
       }
-    }.toDF("id", "v").localCheckpoint()
+    }.toDF("id", "v").cp()
 
     def t(f: => Map[Long, Long]): (Double, Map[Long, Long]) = {
       val t0 = System.nanoTime()
@@ -262,7 +268,7 @@ object ScaleBench {
     knnNs.foreach { kn =>
       val kpts = spark.range(kn.toLong).map { i =>
         (i, Seq.tabulate(8)(d => mix(i * 8 + d)))
-      }.toDF("id", "v").localCheckpoint()
+      }.toDF("id", "v").cp()
       val t0 = System.nanoTime()
       val rows = graft.similarity.Knn.exactKnnJoin(kpts, "id", "v", k = 8).count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -370,7 +376,7 @@ object ScaleBench {
         val coded = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), md5Embed(col("text")).as("v"))
           .select(col("doc_id"), col("v"), SemDedup.quantizeCodes(col("v")).as("codes"))
-          .localCheckpoint()
+          .cp()
         // the SAME integer nlist rule the registered q79 now uses (r9)
         val bits = SemDedup.nlistBits(n.toLong)
         // NOTE: do NOT BlockRelease the per-operator results here — their
@@ -621,10 +627,10 @@ object ScaleBench {
     val ns = sys.env.get("SPARK_GRAFT_SCALE_NS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(5000, 50000))
     ns.foreach { n =>
-      val docs = corpus(n).localCheckpoint()
+      val docs = corpus(n).cp()
       val emb = docs.select(col("doc_id"),
         graft.functions.TextExpressions.embed_text(col("text"), 64).as("v"))
-        .localCheckpoint()
+        .cp()
       val (tCos, nCos) = t {
         val r = Dedup.cosineNearDups(emb, "doc_id", "v", tau = 0.9, dim = 64)
         val c = r.count(); graft.util.BlockRelease.release(r); c
@@ -695,15 +701,15 @@ object ScaleBench {
         else if (i < 2000) docText(i - 1000, 60) + " extra"
         else docText(8000000000L + i, 60)
       ("b" + i, text)
-    }.toDF("doc_id", "text").localCheckpoint()
+    }.toDF("doc_id", "text").cp()
     val novel = spark.range(batchN.toLong).map { i =>
       ("n" + i, docText(9000000000L + i, 60))
-    }.toDF("doc_id", "text").localCheckpoint()
+    }.toDF("doc_id", "text").cp()
 
     def gateIndexed(batch: org.apache.spark.sql.DataFrame,
         root: String): (Long, Long) = {
       val fp = graft.dedup.Dedup
-        .docSigGrams(batch, "doc_id", "text", 8).localCheckpoint()
+        .docSigGrams(batch, "doc_id", "text", 8).cp()
       val v = graft.dedup.IngestIndex.gateWithIndex(fp, root, None)
       val d = v.filter(col("drop_doc")).count()
       val x = v.filter(col("exact_dup")).count()
@@ -733,11 +739,11 @@ object ScaleBench {
       // r12 comparator: the full-scan gate (linear in store by design)
       val (secScan, (dS, xS)) = t {
         val fp = graft.dedup.Dedup
-          .docSigGrams(mixed, "doc_id", "text", 8).localCheckpoint()
+          .docSigGrams(mixed, "doc_id", "text", 8).cp()
         val v = graft.dedup.Dedup.gateAgainstStore(
             fp, storeFp.select(col("sig")),
             storeFp.select(explode(col("grams")).as("h")))
-          .localCheckpoint()
+          .cp()
         val d = v.filter(col("drop_doc")).count()
         val x = v.filter(col("exact_dup")).count()
         graft.util.BlockRelease.release(Seq(fp, v))
@@ -827,10 +833,10 @@ object ScaleBench {
 
     val novel = spark.range(5000L).map { i =>
       ("n" + i, docText(9000000000L + i, 60))
-    }.toDF("doc_id", "text").localCheckpoint()
+    }.toDF("doc_id", "text").cp()
     def gateDocs(d: DataFrame, storeRoot: String): Long = {
       val fp = graft.dedup.Dedup
-        .docSigGrams(d, "doc_id", "text", 8).localCheckpoint()
+        .docSigGrams(d, "doc_id", "text", 8).cp()
       val v = graft.dedup.IngestIndex.gateWithIndex(fp, storeRoot, None)
       val dr = v.filter(col("drop_doc")).count()
       graft.util.BlockRelease.release(Seq(fp, v))
@@ -857,12 +863,12 @@ object ScaleBench {
     // IngestIndex.trickleBlooms scaladoc)
     val trickle3 = spark.range(3L).map { i =>
       ("t" + i, docText(9500000000L + i, 60))
-    }.toDF("doc_id", "text").localCheckpoint()
+    }.toDF("doc_id", "text").cp()
     graft.dedup.IngestIndex.releaseStoreCaches(spark, root)
     val (t3, dt3) = t(gateDocs(trickle3, root))
     val trickle1 = spark.range(1L).map { i =>
       ("u" + i, docText(9600000000L + i, 6)) // short: one sig key, no grams
-    }.toDF("doc_id", "text").localCheckpoint()
+    }.toDF("doc_id", "text").cp()
     graft.dedup.IngestIndex.releaseStoreCaches(spark, root)
     val (t1, _) = t(gateDocs(trickle1, root))
     require(dt3 == 0, "trickle batch must gate clean")
@@ -923,7 +929,7 @@ object ScaleBench {
           if (i < 500 && b > 0) 7000000000L + (b - 1) * 10000L + 500 + i
           else 7000000000L + b * 10000L + i
         ("b" + b + "_" + i, docText(seed, 60))
-      }.toDF("doc_id", "text").localCheckpoint()
+      }.toDF("doc_id", "text").cp()
       val t0 = System.nanoTime()
       graft.streaming.Streams.ingestGateBatch(
         batch, b.toLong, "doc_id", "text", s"$root/store", s"$root/out", 8)
@@ -990,17 +996,17 @@ object ScaleBench {
         base.withColumn("doc_id", col("doc_id") + lit(i * shift)))
       .reduce(_ unionByName _)
       .repartition(32)
-      .localCheckpoint()
+      .cp()
     val nDocs = uniform.count()
     val boiler = "this page could not be found please check the url and try again"
     val isHot = pmod(xxhash64(col("doc_id")), lit(100)) < pct
     val hot = uniform.select(col("doc_id"),
         when(isHot, lit(boiler)).otherwise(col("text")).as("text"),
         when(isHot, lit("web")).otherwise(col("source")).as("source"))
-      .localCheckpoint()
+      .cp()
     val allEmpty = uniform.select(col("doc_id"), lit("   ").as("text"),
         lit("web").as("source"))
-      .localCheckpoint()
+      .cp()
     def t[A](f: => A): (Double, A) = {
       val t0 = System.nanoTime(); val r = f
       ((System.nanoTime() - t0) / 1e9, r)
@@ -1019,7 +1025,7 @@ object ScaleBench {
           val w = docs.select(col("doc_id"),
               min(col("doc_id")).over(
                 Window.partitionBy(col("text"))).as("gid"))
-            .localCheckpoint()
+            .cp()
           graft.util.BlockRelease.release(w)
         }
         // NEW design's shuffle volume: what leaves the map side after
@@ -1034,7 +1040,7 @@ object ScaleBench {
         val (tGid, gidRows) = t {
           val (withGid, scratch) = graft.dedup.Dedup.gidByContent(
             d0, Seq("text"), checkpointKeyed = false)
-          val mem = withGid.select(col("id"), col("gid")).localCheckpoint()
+          val mem = withGid.select(col("id"), col("gid")).cp()
           val n = mem.count()
           graft.util.BlockRelease.release(mem +: scratch)
           n
@@ -1081,7 +1087,7 @@ object ScaleBench {
         when(isHot, lit(boilerLong))
           .otherwise(concat(col("text"), lit(" uniq "),
             col("doc_id").cast("string"))).as("text"))
-      .localCheckpoint()
+      .cp()
     val hotDocs = mixed.filter(col("text") === boilerLong).count()
     val stageRead = new java.util.concurrent.ConcurrentHashMap[
       Int, (Long, Long, Int)]() // stageId -> (maxTask, total, tasks)
@@ -1114,44 +1120,52 @@ object ScaleBench {
     }
     aqeKnobs.foreach { case (key, v) => spark.conf.set(key, v) }
     spark.sparkContext.addSparkListener(lst)
-    val (tMix, mixRows) = t {
-      val (withGid, scratch) = graft.dedup.Dedup.gidByContent(
-        mixed.select(col("doc_id").cast("long").as("id"), col("text")),
-        Seq("text"), checkpointKeyed = false)
-      val mem = withGid.select(col("id"), col("gid")).localCheckpoint()
-      val n = mem.count()
-      graft.util.BlockRelease.release(mem +: scratch)
-      n
-    }
-    // snapshot the gid stage's listener window before the end-to-end
-    // leg adds its own stages
-    Thread.sleep(1500) // drain the listener bus (private[spark])
-    val fat = {
-      var best = (0L, 0L, 0)
-      stageRead.forEach((_, v) => if (v._1 > best._1) best = v)
-      best
-    }
-    // end-to-end under the same forced regime: a full group query runs
-    // groupsFromReps' canon/size attaches and the rep stages through
-    // the heavy-hitter branches at cell scale (DedupSpec pins the same
-    // branches at unit scale; this proves the 500k-row walk completes
-    // with the hot group still absent from every exchange). On the HOT
-    // corpus, not the mixed one: mixed's "uniq"-suffixed replicas are
-    // NEAR-dups at the rep level (only the numeric suffix differs), so
-    // its verify stage legitimately pays the pair-complete C(k,2)
-    // contract on ~85-member rep groups (measured 209M candidate
-    // records / 498 s — the documented amplification regime, nothing to
-    // do with the join-back); the exact-dup-hot corpus is the family's
-    // home regime and keeps the verify rep-linear.
-    val (tMixMh, mixMhRows) = t {
-      val r = graft.dedup.Dedup
-        .minhashNearDupGroups(hot, "doc_id", "text", 0.5)
-      val n = r.count(); graft.util.BlockRelease.release(r); n
-    }
-    spark.sparkContext.removeSparkListener(lst)
-    sys.props.remove("graft.sizegate.rows")
-    savedKnobs.foreach { case (key, v) =>
-      v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // try/finally (r15 ADVICE): an exception in either timed leg must
+    // not leave the forced 1000-row SizeGate bound, the AQE knobs or the
+    // listener active for every later cell in this process
+    val (tMix, mixRows, fat, tMixMh, mixMhRows) = try {
+      val (tMix0, mixRows0) = t {
+        val (withGid, scratch) = graft.dedup.Dedup.gidByContent(
+          mixed.select(col("doc_id").cast("long").as("id"), col("text")),
+          Seq("text"), checkpointKeyed = false)
+        val mem = withGid.select(col("id"), col("gid")).cp()
+        val n = mem.count()
+        graft.util.BlockRelease.release(mem +: scratch)
+        n
+      }
+      // snapshot the gid stage's listener window before the end-to-end
+      // leg adds its own stages
+      Thread.sleep(1500) // drain the listener bus (private[spark])
+      val fat0 = {
+        var best = (0L, 0L, 0)
+        stageRead.forEach((_, v) => if (v._1 > best._1) best = v)
+        best
+      }
+      // end-to-end under the same forced regime: a full group query runs
+      // groupsFromReps' canon/size attaches and the rep stages through
+      // the heavy-hitter branches at cell scale (DedupSpec pins the same
+      // branches at unit scale; this proves the 500k-row walk completes
+      // with the hot group still absent from every exchange). On the HOT
+      // corpus, not the mixed one: mixed's "uniq"-suffixed replicas are
+      // NEAR-dups at the rep level (only the numeric suffix differs), so
+      // its verify stage paid the pair-complete C(k,2) contract on
+      // ~85-member rep groups until r16 (measured 209M candidate
+      // records / 498 s — the amplification regime the star verify now
+      // bounds; the dedicated star leg below measures it on `mixed`);
+      // the exact-dup-hot corpus is the family's home regime and keeps
+      // the verify rep-linear.
+      val (tMixMh0, mixMhRows0) = t {
+        val r = graft.dedup.Dedup
+          .minhashNearDupGroups(hot, "doc_id", "text", 0.5)
+        val n = r.count(); graft.util.BlockRelease.release(r); n
+      }
+      (tMix0, mixRows0, fat0, tMixMh0, mixMhRows0)
+    } finally {
+      spark.sparkContext.removeSparkListener(lst)
+      sys.props.remove("graft.sizegate.rows")
+      savedKnobs.foreach { case (key, v) =>
+        v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
     }
     // `fat` = the fattest shuffle-read stage of the gid leg: with the
     // heavy-hitter split, the hot group's rows never enter an exchange
@@ -1167,7 +1181,65 @@ object ScaleBench {
       f"tasks (avg ${if (fat._3 > 0) fat._2 / fat._3 else 0L}%,d) | " +
       f"minhash-groups(hot15, forced branches) ${tMixMh}%6.1f s " +
       f"($mixMhRows%,d)")
+    // STAR-VERIFY leg (r16 verdict item 1), under NORMAL knobs: the
+    // mixed corpus's "uniq"-suffixed replicas are NEAR-dups at the rep
+    // level (~85-member rep groups), where r15's pair-complete verify
+    // measured 209M candidates / 498 s. The density gate must trip here
+    // and the star verify bound the candidate work to ~linear — the
+    // engaged/tried counts print from gatedBucketEdges on stderr; read
+    // them next to this line's wall time.
+    val (tMixStar, mixStarRows) = t {
+      val r = graft.dedup.Dedup
+        .minhashNearDupGroups(mixed, "doc_id", "text", 0.5)
+      val n = r.count(); graft.util.BlockRelease.release(r); n
+    }
+    System.err.println(
+      f"SCALE-HOTGROUP k=$k docs=$nDocs mixed$pct%-6d star-verify " +
+      f"minhash-groups(mixed) ${tMixStar}%6.1f s ($mixStarRows%,d)")
     graft.util.BlockRelease.release(Seq(uniform, hot, allEmpty, mixed))
+  }
+
+  /** LOW-ENTROPY-FINGERPRINT cell (r16 verdict item 5): the q114
+    * pigeonhole band join on templated text. A 16-token template makes
+    * ~12 of the 64 SimHash bit-sums ZERO, so a weight-2 variant token
+    * flips only within those bits: thousands of DISTINCT fingerprints
+    * (the exact-dup fp collapse cannot shrink them) that agree on every
+    * chunk without a flippable bit — those chunks are HOT BANDS whose
+    * pair-complete self-join pays C(F,2) per constant chunk. Variants
+    * stay within Hamming ≤ ~12 of each other, so at maxDist 7 the
+    * verify is mixed pass/fail — the honest regime for the star gate
+    * (round 2 re-pairs the fail fraction). Two same-JVM legs: star gate
+    * DISABLED (the old pair-complete verify) vs the default density
+    * gate; gatedBucketEdges prints engaged/tried counts on stderr. */
+  private def runSimBand(spark: SparkSession): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_SCALE_N").map(_.toInt).getOrElse(200000)
+    val pool = 4096
+    val tpl = (1 to 16).map(i => s"boiler token t$i").mkString(" ")
+    val docs = spark.range(n.toLong).select(
+        col("id").as("doc_id"),
+        concat(lit(tpl), lit(" u"),
+          pmod(col("id"), lit(pool)).cast("string"), lit(" u"),
+          pmod(col("id"), lit(pool)).cast("string")).as("text"))
+      .repartition(32).cp()
+    val nDocs = docs.count()
+    def t[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def leg(tag: String): Unit = {
+      val (sec, rows) = t {
+        val r = graft.dedup.Dedup
+          .simhashNearDupGroupsMd5(docs, "doc_id", "text", 7)
+        val c = r.count(); graft.util.BlockRelease.release(r); c
+      }
+      System.err.println(
+        f"SCALE-SIMBAND n=$nDocs%,d $tag%-14s ${sec}%8.1f s (rows=$rows%,d)")
+    }
+    sys.props("graft.stardedup.factor") = "1e18" // never star: old verify
+    try leg("pair-complete")
+    finally sys.props.remove("graft.stardedup.factor")
+    leg("star-gated")
+    graft.util.BlockRelease.release(docs)
   }
 
   private def runSweep(spark: SparkSession): Unit = {

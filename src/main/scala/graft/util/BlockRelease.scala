@@ -24,13 +24,36 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object BlockRelease {
 
+  /** RDD ids whose storage blocks survive [[release]] (r16 — the q73
+    * session memo): callers legitimately release frames DERIVED from a
+    * memoized checkpointed frame, and the leaf-walking release would
+    * otherwise destroy the memo's only data source (checkpointing
+    * truncated its lineage). Bounded by the memos' own LRU bounds —
+    * eviction unprotects before releasing. */
+  private val protectedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Shield every checkpoint block reachable from `df`'s plan leaves
+    * from [[release]] — for session-memoized frames only. */
+  def protect(df: DataFrame): Unit =
+    leafRdds(df).foreach(r => protectedIds.add(r.id))
+
+  /** Undo [[protect]]; call before releasing an evicted memo entry. */
+  def unprotect(df: DataFrame): Unit =
+    leafRdds(df).foreach(r => protectedIds.remove(r.id))
+
+  private def leafRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    try df.queryExecution.logical.collectLeaves().collect {
+      case l: LogicalRDD => l.rdd
+    } catch { case _: Exception => Seq.empty }
+
   /** Release cache entries AND checkpoint blocks reachable from `df`'s
     * plan leaves. Safe to call twice; never throws. */
   def release(df: DataFrame): Unit = {
     try df.unpersist(blocking = false)
     catch { case _: Exception => () }
     try df.queryExecution.logical.collectLeaves().foreach {
-      case l: LogicalRDD =>
+      case l: LogicalRDD if !protectedIds.contains(l.rdd.id) =>
         try { l.rdd.unpersist(blocking = false); () }
         catch { case _: Exception => () }
       case _ => ()

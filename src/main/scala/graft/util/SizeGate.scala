@@ -27,9 +27,27 @@ object SizeGate {
     * SPARK_GRAFT_SIZEGATE_ROWS — size it to the executors' broadcast
     * budget on a real cluster; the hot-group scale cell lowers it
     * in-process to force the shuffle-join branch it certifies. */
-  def DefaultRows: Long = sys.props.get("graft.sizegate.rows")
-    .orElse(sys.env.get("SPARK_GRAFT_SIZEGATE_ROWS"))
-    .map(_.toLong).getOrElse(2000000L)
+  def DefaultRows: Long =
+    parsedPositiveLong("graft.sizegate.rows", "SPARK_GRAFT_SIZEGATE_ROWS",
+      2000000L)
+
+  /** Knob parsing shared by the row-bound tunables (r15 ADVICE): a bare
+    * `.toLong` threw NumberFormatException from deep inside a plan build
+    * with no hint which knob was malformed, and values ≤ 0 silently
+    * degenerated (a zero hot-key bound marks EVERY key hot). Fails with
+    * the property/env name in the message; requires positive. */
+  private[graft] def parsedPositiveLong(prop: String, env: String,
+      default: Long): Long = {
+    val raw = sys.props.get(prop).map((s"system property $prop", _))
+      .orElse(sys.env.get(env).map((s"env $env", _)))
+    raw.fold(default) { case (src, s) =>
+      val v = scala.util.Try(s.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: $src = '$s' is not a long"))
+      require(v > 0, s"graft: $src = $v must be positive")
+      v
+    }
+  }
 
   /** Broadcast `df` iff its row count is below `bound`. Pass `known =
     * Some(n)` when the caller already counted — the gate then costs

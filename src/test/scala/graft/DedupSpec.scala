@@ -751,4 +751,143 @@ class DedupSpec extends SparkSpec with Matchers {
     filtered shouldBe 0.5 +- 1e-9
     (filtered > Dedup.PairAmplificationWarnAt) shouldBe false
   }
+
+  test("star verify forced: all five group forms equal their pair forms on a near-dup-noised corpus (r16)") {
+    import graft.functions.TextFunctions.md5Embed
+    // suffix-NOISED replicas: texts DISTINCT (the exact-dup gid stage
+    // cannot collapse them) but near-identical — near-dup-DENSE rep
+    // buckets, the regime the star verify exists for. Gate factor 0
+    // forces the star path through EVERY bucket (including fail-heavy
+    // false-positive buckets, so the repair round's exactness is pinned
+    // in both regimes); outputs must equal components over the pair
+    // forms' own output, which the un-forced default path already pins
+    // against brute truth elsewhere in this suite.
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).limit(40)
+    val docs = (0 until 3).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" nearvar$i")).as("text"),
+        col("source")))
+      .reduce(_ unionByName _).localCheckpoint()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    def groupsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def pairsOf(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1)))
+    sys.props("graft.stardedup.factor") = "0"
+    // keep the repair round engaged even where this corpus is
+    // fail-heavy — the adaptive bound would otherwise fall back to
+    // pair-complete, which the default-path specs already cover
+    sys.props("graft.stardedup.repair") = "1e9"
+    try {
+      expectGroupsEqualPairs(
+        groupsOf(Dedup.minhashNearDupGroups(docs, "doc_id", "text", 0.5)),
+        pairsOf(Dedup.minhashNearDups(docs, "doc_id", "text", 0.5),
+          "doc_a", "doc_b"), ids)
+      expectGroupsEqualPairs(
+        groupsOf(Dedup.jaccardNearDupGroups(
+          docs, "doc_id", "text", "source", 0.5, 3)),
+        pairsOf(Dedup.ngramJaccardNearDups(
+          docs, "doc_id", "text", "source", 0.5, 3), "doc_a", "doc_b"), ids)
+      expectGroupsEqualPairs(
+        groupsOf(Dedup.shingleCosineGroups(
+          docs, "doc_id", "text", "source", 0.6, 3)),
+        pairsOf(Dedup.shingleCosineVerify(
+          docs, "doc_id", "text", "source", 0.6, 3), "doc_a", "doc_b"), ids)
+      expectGroupsEqualPairs(
+        groupsOf(Dedup.simhashNearDupGroupsMd5(docs, "doc_id", "text", 3)),
+        pairsOf(Dedup.simhashNearDupsMd5(docs, "doc_id", "text", 3),
+          "doc_a", "doc_b"), ids)
+      val vecs = docs.select(col("doc_id"), md5Embed(col("text")).as("v"))
+        .localCheckpoint()
+      expectGroupsEqualPairs(
+        groupsOf(Dedup.cosineNearDupGroups(
+          vecs, "doc_id", "v", 9, 10, tables = 96, dim = 16)),
+        pairsOf(Dedup.cosineNearDupsExact(
+          vecs, "doc_id", "v", 9, 10, tables = 96, dim = 16),
+          "id_a", "id_b"), ids)
+      graft.util.BlockRelease.release(vecs)
+    } finally {
+      sys.props.remove("graft.stardedup.factor")
+      sys.props.remove("graft.stardedup.repair")
+    }
+    graft.util.BlockRelease.release(docs)
+  }
+
+  test("star repair round is load-bearing: a non-center chain connects only through round 2 (r16)") {
+    val s2 = spark
+    import s2.implicits._
+    // n = 1 shingles = the words themselves, so Jaccard is word-set
+    // Jaccard. A = {w1..w4, x}, C = {w5..w8, x}, B = {w1..w8, x},
+    // D = {w5..w8, y1..y12}:
+    //   J(A,B) = J(B,C) = 5/9 ≥ 0.5;  J(A,C) = 1/9 < 0.5;
+    //   J(D,C) = 4/17 < 0.5;  J(D,B) = 4/21 < 0.5.
+    // Bucket "x" = {A,C,B} with center A: star (A,C) FAILS, (A,B)
+    // passes. Buckets w5..w8 = {D,C,B} with center D (min id): BOTH
+    // star edges fail. The load-bearing edge (C,B) is therefore never a
+    // star pair anywhere — it exists ONLY as a round-2 repair pair (C
+    // failed in every bucket containing B) — yet the true components
+    // are {A,B,C} + {D}. A star-only implementation would leave C a
+    // singleton; the pin catches it.
+    val a = (1 to 4).map(i => s"w$i").mkString(" ") + " x"
+    val c = (5 to 8).map(i => s"w$i").mkString(" ") + " x"
+    val b = (1 to 8).map(i => s"w$i").mkString(" ") + " x"
+    val d = (5 to 8).map(i => s"w$i").mkString(" ") + " " +
+      (1 to 12).map(i => s"y$i").mkString(" ")
+    val docs = Seq((0L, d, "s"), (1L, a, "s"), (2L, c, "s"), (3L, b, "s"))
+      .toDF("doc_id", "text", "source").localCheckpoint()
+    sys.props("graft.stardedup.factor") = "0"
+    sys.props("graft.stardedup.repair") = "1e9"
+    try {
+      val groups = Dedup
+        .jaccardNearDupGroups(docs, "doc_id", "text", "source", 0.5, 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      groups shouldBe Map(
+        0L -> (0L, 1L), 1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L))
+      // and the pair form agrees (components-of-pairs)
+      val pairs = Dedup
+        .ngramJaccardNearDups(docs, "doc_id", "text", "source", 0.5, 1)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      expectGroupsEqualPairs(groups, pairs, Array(0L, 1L, 2L, 3L))
+    } finally {
+      sys.props.remove("graft.stardedup.factor")
+      sys.props.remove("graft.stardedup.repair")
+    }
+    graft.util.BlockRelease.release(docs)
+  }
+
+  test("star adaptive repair bound: fail-heavy regime falls back to pair-complete, output unchanged (r16)") {
+    val s2 = spark
+    import s2.implicits._
+    // the chain corpus again, but with the DEFAULT repair bound: round
+    // 1 fails (A,C) in bucket x and both star edges in buckets w5..w8,
+    // so the exact repair projection (~18) exceeds 0.10 × 19 projected
+    // pair-complete candidates — the helper must fall back, and the
+    // output must STILL equal the pair form's components (pair-complete
+    // recomputes everything; v1 is discarded)
+    val a = (1 to 4).map(i => s"w$i").mkString(" ") + " x"
+    val c = (5 to 8).map(i => s"w$i").mkString(" ") + " x"
+    val b = (1 to 8).map(i => s"w$i").mkString(" ") + " x"
+    val d = (5 to 8).map(i => s"w$i").mkString(" ") + " " +
+      (1 to 12).map(i => s"y$i").mkString(" ")
+    val docs = Seq((0L, d, "s"), (1L, a, "s"), (2L, c, "s"), (3L, b, "s"))
+      .toDF("doc_id", "text", "source").localCheckpoint()
+    val buf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    sys.props("graft.stardedup.factor") = "0"
+    try {
+      System.setErr(new java.io.PrintStream(buf, true))
+      val groups = Dedup
+        .jaccardNearDupGroups(docs, "doc_id", "text", "source", 0.5, 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      groups shouldBe Map(
+        0L -> (0L, 1L), 1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L))
+    } finally {
+      System.setErr(oldErr)
+      sys.props.remove("graft.stardedup.factor")
+    }
+    buf.toString should include ("falling back to pair-complete")
+    graft.util.BlockRelease.release(docs)
+  }
 }
