@@ -8,6 +8,7 @@ import graft.functions.TextFunctions._
 import graft.functions.TextExpressions._
 import graft.functions.VectorFunctions
 import graft.dedup.Dedup
+import graft.util.Checkpointer.CheckpointSyntax
 
 /** Text-analysis + dedup suite over the `documents` table (LLM-pipeline
   * extension set; reference text handling at
@@ -194,7 +195,7 @@ object TextQueries {
     // q38 trap). Output-sized; released by the caller contract
     // (BlockReleaseSweepSpec) since it stays a leaf of the result plan.
     val emb0 = docs(spark, dir).select($"doc_id", md5Embed($"text").as("v"))
-      .localCheckpoint()
+      .cp()
     val emb = emb0
       .withColumn("n2", aggregate($"v", lit(0.0), (acc, x) => acc + x * x))
       .filter($"n2" > 0)
@@ -413,7 +414,7 @@ object TextQueries {
     // (no CSE across aggregates — verified in the r7 plan audit). Blocks
     // are owned by the result per the BlockRelease caller-side contract.
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .cp()
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id")
@@ -448,14 +449,35 @@ object TextQueries {
     * inherited that). The group form's components equal the pair set's
     * components (the q113 collapse-equivalence argument, oracle-pinned),
     * so the output is unchanged row for row. */
-  val q73DedupClusters: Q = (spark, dir) => {
-    import spark.implicits._
-    Dedup.jaccardNearDupGroups(docs(spark, dir), "doc_id", "text",
-        scopeCol = "source", threshold = 0.5, n = 3)
-      .select($"doc_id", $"canon_id".as("canonical_id"),
-        $"group_size".as("cluster_size"),
-        ($"doc_id" === $"canon_id").as("kept"))
-  }
+  val q73DedupClusters: Q = (spark, dir) =>
+    q73Memo.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      import spark.implicits._
+      val r = Dedup.jaccardNearDupGroups(docs(spark, dir), "doc_id", "text",
+          scopeCol = "source", threshold = 0.5, n = 3)
+        .select($"doc_id", $"canon_id".as("canonical_id"),
+          $"group_size".as("cluster_size"),
+          ($"doc_id" === $"canon_id").as("kept"))
+      // the group form's output frame is already checkpointed; shield
+      // its blocks — q76/q100 release the frames they derive from this
+      graft.util.BlockRelease.protect(r)
+      r
+    })
+
+  /** Session memo for q73's canonicalization (r16 verdict item 3): q76
+    * composes it and q100's manifest rebuilds the exact same relation
+    * (`TextQueries.scala` q76/q100 both call [[q73DedupClusters]]), so
+    * one bench/verify session paid the full group-dedup machinery three
+    * times for a deterministic result. Keyed on (applicationId, dir) —
+    * the [[graft.graph.Projection]] session-cache precedent; the cached
+    * frame's checkpoint blocks are [[graft.util.BlockRelease.protect]]ed
+    * so callers releasing DERIVED frames can't destroy the memo, and
+    * eviction unprotects before releasing. Semantics unchanged: the
+    * testdata dirs are immutable within a session. */
+  private val q73Memo = new graft.util.BoundedSessionCache[String,
+      org.apache.spark.sql.DataFrame](maxEntries = 2, df => {
+    graft.util.BlockRelease.unprotect(df)
+    graft.util.BlockRelease.release(df)
+  })
 
   /** q75 — FILTER CASCADE (the C4/Gopher-style keep/drop verdict that
     * integrates the rule family: length bounds, duplicate-token fraction,
@@ -538,7 +560,7 @@ object TextQueries {
     import spark.implicits._
     val terms = docs(spark, dir).select($"doc_id",
         explode(split(lower(trim(coalesce($"text", lit("")))), "\\s+")).as("term"))
-      .localCheckpoint() // two aggregations read it; never tokenize twice
+      .cp() // two aggregations read it; never tokenize twice
     val totalTokens = terms.count()
     val vocab = terms.groupBy($"term").agg(count(lit(1)).as("c"))
       .select($"term",
@@ -655,7 +677,7 @@ object TextQueries {
     // two consumers (seed windows, token reconstruction): stage the
     // tokenization once (the q37/q24 checkpoint discipline)
     val base = docs(spark, dir)
-      .select($"doc_id", toksCol.as("toks")).localCheckpoint()
+      .select($"doc_id", toksCol.as("toks")).cp()
     val starts = when(size($"toks") >= k,
       sequence(lit(0), size($"toks") - k)).otherwise(array())
     val wins = base.select($"doc_id", explode(
@@ -730,7 +752,7 @@ object TextQueries {
     val toks = docs(spark, dir)
       .select(explode(tokens($"text")).as("tok"))
       // two consumers (grid, exact truth): tokenize once
-      .localCheckpoint()
+      .cp()
     val grid = CmsSketch.sketch(toks, "tok")
     val est = CmsSketch.estimates(grid, probes.toDF("token"), "token")
     val truth = toks.filter($"tok".isin(probes: _*))
@@ -739,7 +761,7 @@ object TextQueries {
       .select($"token", $"est_count",
         coalesce($"true_count", lit(0L)).as("true_count"),
         ($"est_count" >= coalesce($"true_count", lit(0L))).as("admissible"))
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(toks)
     r
   }
@@ -762,7 +784,7 @@ object TextQueries {
     val toks = docs(spark, dir)
       .select(explode(tokens($"text")).as("tok"))
       // two consumers (registers, exact truth): tokenize once
-      .localCheckpoint()
+      .cp()
     val s = HllSketch.summary(HllSketch.registers(toks, "tok"))
     val truth = toks.agg(countDistinct($"tok").as("true_distinct"))
     val r = s.crossJoin(truth)
@@ -770,7 +792,7 @@ object TextQueries {
         expr("CAST((1000 * abs(est_hll - true_distinct)) DIV true_distinct AS BIGINT)")
           .as("err_milli"),
         $"lc_range")
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(toks)
     r
   }
@@ -800,7 +822,7 @@ object TextQueries {
           .cast("long") % B).as("b"))
       // four consumers (raw counts, target counts, totals, scoring):
       // tokenize+hash once
-      .localCheckpoint()
+      .cp()
     val raw = tokd.groupBy($"b").agg(count(lit(1)).as("cr"))
     val tgt = tokd.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("ct"))
     val nt = tokd.filter($"lang" === "en").agg(count(lit(1)).as("nt"))
@@ -815,7 +837,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n_tokens"), sum($"mnats").as("sum_mnats"))
       .select($"doc_id", $"n_tokens", $"sum_mnats",
         ($"sum_mnats" > 0).as("selected"))
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(tokd)
     r
   }
@@ -863,7 +885,7 @@ object TextQueries {
     import spark.implicits._
     val t = docs(spark, dir)
       .select($"doc_id", tokens($"text").as("toks"))
-      .localCheckpoint()
+      .cp()
     val big = t.select($"doc_id",
         explode(when(size($"toks") >= 2,
           transform(sequence(lit(1), size($"toks") - 1),
@@ -872,7 +894,7 @@ object TextQueries {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
       // three consumers (c12, scoring join, per-doc counts): build once
-      .localCheckpoint()
+      .cp()
     val vocab = t.select(explode($"toks").as("tok"))
       .agg(countDistinct($"tok").as("v"))
     val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
@@ -889,7 +911,7 @@ object TextQueries {
         coalesce($"sum_mnats", lit(0L)).as("sum_mnats"),
         expr("CAST(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0 " +
           "ELSE (sum_mnats * 1000) DIV n_bigrams END AS BIGINT)").as("avg_unats"))
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(t)
     graft.util.BlockRelease.release(big)
     r
@@ -974,7 +996,7 @@ object TextQueries {
         ($"sum_mnats" + round(lit(-1000.0) * log(-log(u))).cast("long")).as("gkey"))
       .orderBy($"gkey".desc, $"doc_id".asc)
       .limit(100)
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(w)
     r
   }
@@ -1004,7 +1026,7 @@ object TextQueries {
         when($"avg_unats" <= $"t33", "head")
           .when($"avg_unats" <= $"t67", "middle")
           .otherwise("tail").as("tier"))
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(scored)
     r
   }
@@ -1036,7 +1058,7 @@ object TextQueries {
         ($"quality_kept" && $"dedup_kept" &&
           !coalesce($"contaminated", lit(false)) && !$"is_benchmark")
           .as("selected"))
-      .localCheckpoint()
+      .cp()
     Seq(p, c, x, s, t).foreach(graft.util.BlockRelease.release)
     r
   }
@@ -1071,7 +1093,7 @@ object TextQueries {
       .filter($"w" =!= "")
       .groupBy($"w").agg(count(lit(1)).as("f"))
       .select($"w", $"f", split($"w", "").as("ts"))
-      .localCheckpoint() // vocab-sized; EVERY round reads it
+      .cp() // vocab-sized; EVERY round reads it
     var words = wf
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var r = 1
@@ -1133,7 +1155,7 @@ object TextQueries {
         coalesce($"nw", lit(0L)).as("n_words"),
         coalesce($"nch", lit(0L)).as("n_chars"),
         coalesce($"nbt", lit(0L)).as("n_bpe_tokens"))
-      .localCheckpoint()
+      .cp()
     graft.util.BlockRelease.release(vocab)
     out
   }

@@ -20,9 +20,10 @@ import org.scalatest.matchers.should.Matchers
   *    done here via `BlockRelease.release(result)`, which reaches exactly
   *    the result's own checkpoint leaves and nothing upstream.
   *
-  * The two deliberate session caches (graph projection via q13, IVF index
-  * via q26) are warmed BEFORE the baseline snapshot, so any persistent-RDD
-  * growth over the sweep is a leak by definition.
+  * The three deliberate session caches (graph projection via q13, IVF
+  * index via q26, the q73 canonicalization memo — r16) are warmed BEFORE
+  * the baseline snapshot, so any persistent-RDD growth over the sweep is
+  * a leak by definition.
   * `SparkContext.unpersistRDD` drops ids from `getPersistentRDDs`
   * synchronously (only block deletion is async), so the assertion is
   * race-free even with `blocking = false` releases.
@@ -33,7 +34,7 @@ class BlockReleaseSweepSpec extends SparkSpec with Matchers {
     val dir = "/root/testdata/sf0.001"
     val sc = spark.sparkContext
     // warm the deliberate session caches so they are in the baseline
-    Seq("q13_degrees", "q26_ann_ivf").foreach { n =>
+    Seq("q13_degrees", "q26_ann_ivf", "q73_dedup_clusters").foreach { n =>
       val r = SparkEntry.queries(n)(spark, dir); r.count()
       graft.util.BlockRelease.release(r)
     }

@@ -140,4 +140,21 @@ class PipelineE2ESpec extends SparkSpec with Matchers {
     out.count() should be > 0L
     out.columns should contain allOf ("label", "conductance", "density")
   }
+
+  test("q73 session memo: reused across q76/q100 and immune to derived-frame release (r16)") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.TextQueries.q73DedupClusters
+    val first = q(spark, dir)
+    val firstRows = first.collect().map(_.toSeq).toSet
+    // the memo returns the SAME frame within a session — no recompute
+    q(spark, dir) should be theSameInstanceAs first
+    // a caller releasing a frame DERIVED from the memo (q100's pattern)
+    // must not destroy the memo's checkpoint blocks
+    val derived = first.select(col("doc_id"), col("kept"))
+    derived.count() should be > 0L
+    graft.util.BlockRelease.release(derived)
+    q(spark, dir).collect().map(_.toSeq).toSet shouldBe firstRows
+    // the composed surfaces still produce rows on the memoized input
+    graft.queries.TextQueries.q76SplitLeakage(spark, dir).count() shouldBe 1L
+  }
 }
