@@ -1208,9 +1208,15 @@ object ScaleBench {
     * pair-complete self-join pays C(F,2) per constant chunk. Variants
     * stay within Hamming ≤ ~12 of each other, so at maxDist 7 the
     * verify is mixed pass/fail — the honest regime for the star gate
-    * (round 2 re-pairs the fail fraction). Two same-JVM legs: star gate
-    * DISABLED (the old pair-complete verify) vs the default density
-    * gate; gatedBucketEdges prints engaged/tried counts on stderr. */
+    * (round 2 re-pairs the fail fraction). The SAME corpus at maxDist
+    * 15 is the star's WIN regime for the carried-fingerprint verify:
+    * every variant pair sits within the bound (distances ~Binom(12,½)),
+    * so round 1 all-passes and the repair round is empty — candidate
+    * work strictly Σ(|B|−1) where pair-complete pays Σ C(|B|,2) over
+    * even denser 4-bit-chunk buckets. Two same-JVM legs per maxDist:
+    * star gate DISABLED (the old pair-complete verify) vs the default
+    * density gate; gatedBucketEdges prints engaged/tried counts on
+    * stderr. */
   private def runSimBand(spark: SparkSession): Unit = {
     val n = sys.env.get("SPARK_GRAFT_SCALE_N").map(_.toInt).getOrElse(200000)
     val pool = 4096
@@ -1226,19 +1232,22 @@ object ScaleBench {
       val t0 = System.nanoTime(); val r = f
       ((System.nanoTime() - t0) / 1e9, r)
     }
-    def leg(tag: String): Unit = {
+    def leg(maxDist: Int, tag: String): Unit = {
       val (sec, rows) = t {
         val r = graft.dedup.Dedup
-          .simhashNearDupGroupsMd5(docs, "doc_id", "text", 7)
+          .simhashNearDupGroupsMd5(docs, "doc_id", "text", maxDist)
         val c = r.count(); graft.util.BlockRelease.release(r); c
       }
       System.err.println(
-        f"SCALE-SIMBAND n=$nDocs%,d $tag%-14s ${sec}%8.1f s (rows=$rows%,d)")
+        f"SCALE-SIMBAND n=$nDocs%,d maxDist=$maxDist%-3d $tag%-14s " +
+        f"${sec}%8.1f s (rows=$rows%,d)")
     }
-    sys.props("graft.stardedup.factor") = "1e18" // never star: old verify
-    try leg("pair-complete")
-    finally sys.props.remove("graft.stardedup.factor")
-    leg("star-gated")
+    for (maxDist <- Seq(7, 15)) {
+      sys.props("graft.stardedup.factor") = "1e18" // never star: old verify
+      try leg(maxDist, "pair-complete")
+      finally sys.props.remove("graft.stardedup.factor")
+      leg(maxDist, "star-gated")
+    }
     graft.util.BlockRelease.release(docs)
   }
 

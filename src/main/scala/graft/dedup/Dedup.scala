@@ -1289,6 +1289,22 @@ object Dedup {
     nonNegDoubleKnob("graft.stardedup.repair", "SPARK_GRAFT_STAR_REPAIR",
       0.10)
 
+  /** Repair bound for CHEAP-verify callers of [[gatedBucketEdges]] —
+    * those whose verify reads only carried columns (simhash: two longs
+    * already on the banded frame), so a star/repair candidate costs the
+    * same as a pair-complete candidate (no content/embedding join-back,
+    * the asymmetry the 0.10 default prices in). The star then wins
+    * whenever its candidate count is meaningfully SMALLER than
+    * pair-complete; 0.7 keeps headroom for the star's fixed extra
+    * stages and the probe's sampling noise. Measured on the simband
+    * cell (SCALE_CELLS_r16.txt): fail rate 0.265 projects repair at
+    * 0.53× pair-complete — inside this bound, where the generic 0.10
+    * (correct for join-back verifies) had to fall back. Tunable via
+    * `graft.stardedup.repair.cheap` / SPARK_GRAFT_STAR_REPAIR_CHEAP. */
+  private[graft] def StarRepairCheapFraction: Double =
+    nonNegDoubleKnob("graft.stardedup.repair.cheap",
+      "SPARK_GRAFT_STAR_REPAIR_CHEAP", 0.7)
+
   private def nonNegDoubleKnob(prop: String, env: String,
       default: Double): Double = {
     val raw = sys.props.get(prop).map((s"system property $prop", _))
@@ -1336,21 +1352,48 @@ object Dedup {
     * BUCKET is exactly the gid stage's hot-group shape) rides
     * [[joinBackBounded]]'s heavy-hitter discipline.
     *
+    * Cheap-verify callers (r16 second round, measured in on the simband
+    * cell): when `carryCols` names per-member columns of `banded0` that
+    * the verify reads (simhash: the two fingerprint longs), every
+    * candidate frame fed to `verify` carries them inline as
+    * `<c>_a`/`<c>_b` — no join-back — and the repair bound relaxes to
+    * [[StarRepairCheapFraction]] because the per-candidate cost
+    * asymmetry the 0.10 default prices in (content/embedding join-back
+    * vs the pair-complete join's inline verify) is gone.
+    *
     * @param banded0 one row per (member, bucket); extra columns pruned
+    *          except `carryCols`
     * @param pairComplete today's full formulation — must return the
     *          verified edges (la, lb), checkpointed
     * @param verify candidates (la, lb) → same rows + boolean `_pass`
-    *          (a pure function of the pair — bucket-independent)
+    *          (a pure function of the pair — bucket-independent); with
+    *          `carryCols` the input also has `<c>_a`/`<c>_b` per carry
+    * @param carryCols columns of `banded0`, constant per member id,
+    *          carried inline into every candidate frame
     * @return verified edges (la, lb), checkpointed; scratch released */
   private[graft] def gatedBucketEdges(banded0: DataFrame, idCol: String,
       keyCols: Seq[String], caller: String,
       pairComplete: () => DataFrame,
       verify: DataFrame => DataFrame,
-      la: String, lb: String): DataFrame = {
-    val banded = banded0.select((idCol +: keyCols).map(col): _*)
+      la: String, lb: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val banded = banded0.select((idCol +: keyCols ++: carryCols).map(col): _*)
+    // carried star-pair emission: the center's carry values ride the
+    // centers frame as one struct (min_by pairs them with the min id)
+    def carryA(ctrv: Column): Seq[Column] =
+      carryCols.map(c => ctrv.getField(c).as(s"${c}_a"))
+    def carryB: Seq[Column] = carryCols.map(c => col(c).as(s"${c}_b"))
     val centers = banded.groupBy(keyCols.map(col): _*)
-      .agg(min(col(idCol)).as("_ctr"), count(lit(1)).as("_bc"))
+      .agg(min(col(idCol)).as("_ctr"),
+        (count(lit(1)).as("_bc") +:
+          (if (carryCols.nonEmpty)
+            Seq(min_by(struct(carryCols.map(col): _*), col(idCol))
+              .as("_ctrv"))
+          else Nil)): _*)
       .cp(false) // lazy: the gate agg materializes it
+    val repairBound =
+      if (carryCols.nonEmpty) StarRepairCheapFraction
+      else StarRepairFraction
     val prof = centers.agg(
       coalesce(sum(col("_bc").cast("double") *
         (col("_bc") - 1).cast("double") / 2), lit(0.0)),
@@ -1389,7 +1432,8 @@ object Dedup {
         val cS = centers.filter(bHash)
         val r1S = banded.filter(bHash).join(cS, keyCols)
           .filter(col(idCol) =!= col("_ctr"))
-          .select(col("_ctr").as(la), col(idCol).as(lb))
+          .select(col("_ctr").as(la) +: col(idCol).as(lb) +:
+            (carryA(col("_ctrv")) ++ carryB): _*)
           .distinct()
           .cp()
         val vs = verify(r1S).agg(count(lit(1)),
@@ -1398,12 +1442,12 @@ object Dedup {
         graft.util.BlockRelease.release(r1S)
         val (nS, fS) = (vs.getLong(0), vs.getLong(1))
         val fHat = if (nS == 0) 0.0 else fS.toDouble / nS
-        if (fHat * sumSq > StarRepairFraction * cand2) {
+        if (fHat * sumSq > repairBound * cand2) {
           System.err.println(
             f"graft.dedup.$caller: sampled star probe ($nS%,d pairs, " +
             f"fail rate $fHat%.3f) projects repair ~${fHat * sumSq}%,.0f " +
             f"of $cand2%,.0f pair-complete (bound " +
-            f"${StarRepairFraction}%.2f) — falling back to pair-complete")
+            f"${repairBound}%.2f) — falling back to pair-complete")
           graft.util.BlockRelease.release(centers)
           return pairComplete()
         }
@@ -1416,7 +1460,8 @@ object Dedup {
       // round 1: the star — center × other members per bucket; the
       // center is the bucket min so pairs are already (lo, hi)
       val r1 = withCtr.filter(col(idCol) =!= col("_ctr"))
-        .select(col("_ctr").as(la), col(idCol).as(lb))
+        .select(col("_ctr").as(la) +: col(idCol).as(lb) +:
+          (carryA(col("_ctrv")) ++ carryB): _*)
         .distinct()
         .cp()
       val v1 = verify(r1).cp()
@@ -1429,7 +1474,7 @@ object Dedup {
       val failedRows = withCtr.as("w").join(fails1.as("f"),
           col(s"w.$idCol") === col("f._fid") &&
             col("w._ctr") === col("f._fctr"))
-        .select((idCol +: keyCols).map(c => col(s"w.$c")): _*)
+        .select((idCol +: keyCols ++: carryCols).map(c => col(s"w.$c")): _*)
         .cp()
       // ADAPTIVE REPAIR BOUND (r16 second cut — MEASURED on the sf0.1
       // bench): density alone does not decide the star's win. q110's
@@ -1442,28 +1487,35 @@ object Dedup {
       // pure loss. The star's win regime is verify-PASS-heavy buckets
       // (templated boilerplate: repair ≈ 0), so after the LINEAR round
       // 1 the exact repair projection Σ_B fails(B)·(|B|−1) gates round
-      // 2: above `StarRepairFraction` × pair-complete the helper falls
+      // 2: above `repairBound` × pair-complete ([[StarRepairFraction]],
+      // or [[StarRepairCheapFraction]] for carried-column verifies whose
+      // per-candidate cost matches pair-complete's) the helper falls
       // back to the pair-complete formulation, having spent only the
       // linear star work to find out.
       val projRepair = joinBackBounded(failedRows, centers, keyCols,
           "_bc", dropCnt = false, counts = Some((nBuckets, nHot)))
         .agg(coalesce(sum(col("_bc") - 1), lit(0L))).first().getLong(0)
-      if (projRepair > StarRepairFraction * cand2) {
+      if (projRepair > repairBound * cand2) {
         System.err.println(
           f"graft.dedup.$caller: star round 1 found a FAIL-heavy regime " +
           f"(repair projection $projRepair%,d of $cand2%,.0f " +
-          f"pair-complete, bound ${StarRepairFraction}%.2f via " +
+          f"pair-complete, bound ${repairBound}%.2f via " +
           f"graft.stardedup.repair) — falling back to pair-complete")
         graft.util.BlockRelease.release(
           Seq(centers, withCtr, v1, failedRows))
         return pairComplete()
       }
+      val fLtM = col(s"f.$idCol") < col(s"m.$idCol")
       val r2 = failedRows.as("f").hint("merge")
         .join(banded.as("m").hint("merge"),
           keyCols.map(c => col(s"f.$c") === col(s"m.$c")).reduce(_ && _) &&
             col(s"f.$idCol") =!= col(s"m.$idCol"))
-        .select(least(col(s"f.$idCol"), col(s"m.$idCol")).as(la),
-          greatest(col(s"f.$idCol"), col(s"m.$idCol")).as(lb))
+        .select(least(col(s"f.$idCol"), col(s"m.$idCol")).as(la) +:
+          greatest(col(s"f.$idCol"), col(s"m.$idCol")).as(lb) +:
+          (carryCols.map(c =>
+            when(fLtM, col(s"f.$c")).otherwise(col(s"m.$c")).as(s"${c}_a")) ++
+           carryCols.map(c =>
+            when(fLtM, col(s"m.$c")).otherwise(col(s"f.$c")).as(s"${c}_b"))): _*)
         .distinct()
         // already-tried star pairs never re-verify; merge-hinted — v1 is
         // checkpoint-stat-underestimated (the banding broadcast hazard)
@@ -2017,15 +2069,16 @@ object Dedup {
         chunkCols, maxDist, simhashMd5Dist, "doc_a", "doc_b")
         .select(col("doc_a"), col("doc_b"))
         .cp(),
-      verify = c => c
-        .join(reps.select(col("doc_id").as("doc_a"),
-          col("fp_lo").as("fp_lo_a"), col("fp_hi").as("fp_hi_a")), "doc_a")
-        .join(reps.select(col("doc_id").as("doc_b"),
-          col("fp_lo").as("fp_lo_b"), col("fp_hi").as("fp_hi_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (simhashMd5Dist(f => col(s"${f}_a"), f => col(s"${f}_b"))
-            <= maxDist).as("_pass")),
-      "doc_a", "doc_b")
+      // cheap verify (r16 second round): the fingerprint longs ride the
+      // banded frame, so candidates carry them inline — no rep
+      // join-back, and the repair bound relaxes to the cheap fraction
+      // (the simband cell's 0.53×-pair-complete repair regime engages
+      // where the generic bound had to fall back)
+      verify = c => c.select(col("doc_a"), col("doc_b"),
+        (simhashMd5Dist(f => col(s"${f}_a"), f => col(s"${f}_b"))
+          <= maxDist).as("_pass")),
+      "doc_a", "doc_b",
+      carryCols = Seq("fp_lo", "fp_hi"))
     val out = groupsFromReps(mem,
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     graft.util.BlockRelease.release(pairs)

@@ -890,4 +890,53 @@ class DedupSpec extends SparkSpec with Matchers {
     buf.toString should include ("falling back to pair-complete")
     graft.util.BlockRelease.release(docs)
   }
+
+  test("simhash carried-column star: cheap repair bound engages and falls back by knob, output invariant (r16)") {
+    val s2 = spark
+    import s2.implicits._
+    // Templated text + a variant token (the simband cell's shape, mini):
+    // distinct fingerprints share template-dominated chunks, so buckets
+    // are dense and verify is mixed pass/fail. The simhash form's verify
+    // reads ONLY the carried fingerprint longs, so it rides the CHEAP
+    // repair bound (graft.stardedup.repair.cheap). Pin both sides of the
+    // knob end-to-end — bound 0 must fall back (stderr), bound 1e9 must
+    // run the repair round (stderr shows tried counts) — and the output
+    // must equal the pair form's components either way.
+    // 64 template tokens -> ~6 of the 64 bit-sums sit at ±1 (flippable
+    // by one variant token), so variant pairs differ by ~3 bits: MIXED
+    // pass/fail at maxDist 3, dense chunk buckets — deterministic via
+    // md5, asserted below before the knob legs run
+    val tpl = (1 to 64).map(i => s"boiler token t$i").mkString(" ")
+    val docs = (0 until 80).map(i => (i.toLong, s"$tpl u${i % 16}", "s"))
+      .toDF("doc_id", "text", "source").localCheckpoint()
+    val ids = (0L until 80L).toArray
+    val truth = Dedup.simhashNearDupsMd5(docs, "doc_id", "text", 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def runWith(cheap: String): (Map[Long, (Long, Long)], String) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val oldErr = System.err
+      sys.props("graft.stardedup.factor") = "0"
+      sys.props("graft.stardedup.repair.cheap") = cheap
+      try {
+        System.setErr(new java.io.PrintStream(buf, true))
+        val g = Dedup.simhashNearDupGroupsMd5(docs, "doc_id", "text", 3)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        (g, buf.toString)
+      } finally {
+        System.setErr(oldErr)
+        sys.props.remove("graft.stardedup.factor")
+        sys.props.remove("graft.stardedup.repair.cheap")
+      }
+    }
+    val (gFallback, errFallback) = runWith("1e-12")
+    errFallback should include ("falling back to pair-complete")
+    expectGroupsEqualPairs(gFallback, truth, ids)
+    val (gStar, errStar) = runWith("1e9")
+    errStar should include ("star verify tried")
+    (errStar should not).include("falling back to pair-complete")
+    expectGroupsEqualPairs(gStar, truth, ids)
+    graft.util.BlockRelease.release(docs)
+  }
 }
