@@ -1034,16 +1034,22 @@ object Dedup {
         .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"))
         .cp(),
-      verify = c => c.hint("merge")
-        .join(base.select(col("id").as("id_a"), col("v").as("va"),
-          col("n2").as("na2")).hint("merge"), "id_a")
-        .hint("merge")
-        .join(base.select(col("id").as("id_b"), col("v").as("vb"),
-          col("n2").as("nb2")).hint("merge"), "id_b")
-        .select(col("id_a"), col("id_b"),
-          pred(VectorFunctions.dot(col("va"), col("vb")),
-            col("na2"), col("nb2")).as("_pass")),
-      "id_a", "id_b")
+      // carried verify (r16 second round): the banded frame already
+      // ships (v, n2) per row — the pair-complete FAT join reads them
+      // in place — so the star machinery carries them too and verifies
+      // with ZERO join-backs. The measured probe tax this removes: the
+      // sampled probe's ~19k candidates paid two corpus-shaped merge
+      // joins against `base` on every q110 run whose density trips and
+      // then falls back (sf0.1: fail rate 0.931 — the decision itself
+      // is unchanged, it just costs two fewer corpus sorts to reach).
+      verify = c => c.select(col("id_a"), col("id_b"),
+        pred(VectorFunctions.dot(col("v_a"), col("v_b")),
+          col("n2_a"), col("n2_b")).as("_pass")),
+      "id_a", "id_b",
+      carryCols = Seq("v", "n2"),
+      // a center row now ships a d-float vector: scale the join-back's
+      // broadcast ROW bound down by the width ratio vs a narrow row
+      carryWeight = math.max(1L, d / 3L))
     graft.util.BlockRelease.release(banded)
     edges
   }
@@ -1229,9 +1235,16 @@ object Dedup {
   private[graft] def joinBackBounded(probe: DataFrame, build: DataFrame,
       keyCols: Seq[String], cntCol: String,
       dropCnt: Boolean = true,
-      counts: Option[(Long, Long)] = None): DataFrame = {
+      counts: Option[(Long, Long)] = None,
+      rowWeight: Long = 1): DataFrame = {
     def trim(df: DataFrame) = if (dropCnt) df.drop(cntCol) else df
-    val bound = graft.util.SizeGate.DefaultRows
+    // rowWeight: approximate width of a build row relative to the
+    // narrow (key + long) rows the SizeGate default was tuned for —
+    // callers whose build side carries arrays (the embedding kernel's
+    // per-bucket center vector) scale the ROW bound down so the BYTE
+    // size of a broadcast stays what the gate meant to bound
+    val bound = math.max(1L,
+      graft.util.SizeGate.DefaultRows / math.max(1L, rowWeight))
     val n = counts.map(_._1).getOrElse(build.count())
     if (n < bound)
       return probe.join(
@@ -1354,12 +1367,20 @@ object Dedup {
     *
     * Cheap-verify callers (r16 second round, measured in on the simband
     * cell): when `carryCols` names per-member columns of `banded0` that
-    * the verify reads (simhash: the two fingerprint longs), every
-    * candidate frame fed to `verify` carries them inline as
-    * `<c>_a`/`<c>_b` — no join-back — and the repair bound relaxes to
-    * [[StarRepairCheapFraction]] because the per-candidate cost
-    * asymmetry the 0.10 default prices in (content/embedding join-back
-    * vs the pair-complete join's inline verify) is gone.
+    * the verify reads (simhash: the two fingerprint longs; the embedding
+    * kernel: the vector + norm the banded frame already ships for the
+    * FAT pair-complete join), every candidate frame fed to `verify`
+    * carries them inline as `<c>_a`/`<c>_b` — no join-back — and the
+    * repair bound relaxes to [[StarRepairCheapFraction]] because the
+    * per-candidate cost asymmetry the 0.10 default prices in
+    * (content/embedding join-back vs the pair-complete join's inline
+    * verify) is gone. Callers carrying WIDE columns also pass
+    * `carryWeight` (approximate row-width multiple of a narrow row) so
+    * the center join-back's broadcast row bound scales down to keep its
+    * BYTE size what the gate meant to bound. The text kernels
+    * (minhash/jaccard/shingle-cosine) keep the join-back verify: their
+    * verify reads shingle ARRAYS whose carriage through banding would
+    * multiply the banded frame's bytes by the band count.
     *
     * @param banded0 one row per (member, bucket); extra columns pruned
     *          except `carryCols`
@@ -1376,7 +1397,8 @@ object Dedup {
       pairComplete: () => DataFrame,
       verify: DataFrame => DataFrame,
       la: String, lb: String,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil,
+      carryWeight: Long = 1): DataFrame = {
     val banded = banded0.select((idCol +: keyCols ++: carryCols).map(col): _*)
     // carried star-pair emission: the center's carry values ride the
     // centers frame as one struct (min_by pairs them with the min id)
@@ -1384,12 +1406,7 @@ object Dedup {
       carryCols.map(c => ctrv.getField(c).as(s"${c}_a"))
     def carryB: Seq[Column] = carryCols.map(c => col(c).as(s"${c}_b"))
     val centers = banded.groupBy(keyCols.map(col): _*)
-      .agg(min(col(idCol)).as("_ctr"),
-        (count(lit(1)).as("_bc") +:
-          (if (carryCols.nonEmpty)
-            Seq(min_by(struct(carryCols.map(col): _*), col(idCol))
-              .as("_ctrv"))
-          else Nil)): _*)
+      .agg(min(col(idCol)).as("_ctr"), count(lit(1)).as("_bc"))
       .cp(false) // lazy: the gate agg materializes it
     val repairBound =
       if (carryCols.nonEmpty) StarRepairCheapFraction
@@ -1415,6 +1432,19 @@ object Dedup {
         f"pair-complete verify candidates over $rows%,d banded rows " +
         f"($nBuckets%,d buckets) — star verify engaged " +
         f"(gate factor ${StarGateFactor}%.1f, graft.stardedup.factor)")
+      // carry-bearing centers, STAR PATH ONLY: the gate agg above runs
+      // on every call, so the common dup-light path must not ship a
+      // carried vector per bucket through its shuffle — the wide agg
+      // (one more scan of the checkpointed banded frame, map-side
+      // combined to bucket-count rows) is paid only past the gate,
+      // where it replaces per-candidate join-backs that dwarf it
+      val centersW =
+        if (carryCols.isEmpty) centers
+        else banded.groupBy(keyCols.map(col): _*)
+          .agg(min(col(idCol)).as("_ctr"), count(lit(1)).as("_bc"),
+            min_by(struct(carryCols.map(col): _*), col(idCol))
+              .as("_ctrv"))
+          .cp()
       // SAMPLED FAIL-RATE PRE-PROBE (r16 second cut): before paying the
       // full round 1 (q110's corpus: a ~13 s star attempt that then
       // falls back), verify the star pairs of a deterministic
@@ -1429,7 +1459,7 @@ object Dedup {
       if (kSamp >= 2) {
         val bHash =
           pmod(xxhash64(keyCols.map(col): _*), lit(kSamp)) === 0
-        val cS = centers.filter(bHash)
+        val cS = centersW.filter(bHash)
         val r1S = banded.filter(bHash).join(cS, keyCols)
           .filter(col(idCol) =!= col("_ctr"))
           .select(col("_ctr").as(la) +: col(idCol).as(lb) +:
@@ -1448,14 +1478,15 @@ object Dedup {
             f"fail rate $fHat%.3f) projects repair ~${fHat * sumSq}%,.0f " +
             f"of $cand2%,.0f pair-complete (bound " +
             f"${repairBound}%.2f) — falling back to pair-complete")
-          graft.util.BlockRelease.release(centers)
+          graft.util.BlockRelease.release(
+            if (carryCols.isEmpty) Seq(centers) else Seq(centers, centersW))
           return pairComplete()
         }
       }
       // center attach: the bucket key is hot exactly when a bucket is
       // near-dup-dense, so the attach follows the heavy-hitter split
-      val withCtr = joinBackBounded(banded, centers, keyCols, "_bc",
-          counts = Some((nBuckets, nHot)))
+      val withCtr = joinBackBounded(banded, centersW, keyCols, "_bc",
+          counts = Some((nBuckets, nHot)), rowWeight = carryWeight)
         .cp()
       // round 1: the star — center × other members per bucket; the
       // center is the bucket min so pairs are already (lo, hi)
@@ -1492,6 +1523,7 @@ object Dedup {
       // per-candidate cost matches pair-complete's) the helper falls
       // back to the pair-complete formulation, having spent only the
       // linear star work to find out.
+      // narrow centers suffice here — the projection reads only _bc
       val projRepair = joinBackBounded(failedRows, centers, keyCols,
           "_bc", dropCnt = false, counts = Some((nBuckets, nHot)))
         .agg(coalesce(sum(col("_bc") - 1), lit(0L))).first().getLong(0)
@@ -1502,7 +1534,8 @@ object Dedup {
           f"pair-complete, bound ${repairBound}%.2f via " +
           f"graft.stardedup.repair) — falling back to pair-complete")
         graft.util.BlockRelease.release(
-          Seq(centers, withCtr, v1, failedRows))
+          (if (carryCols.isEmpty) Nil else Seq(centersW)) ++
+            Seq(centers, withCtr, v1, failedRows))
         return pairComplete()
       }
       val fLtM = col(s"f.$idCol") < col(s"m.$idCol")
@@ -1533,7 +1566,8 @@ object Dedup {
         f"+ ${v2.count()}%,d repair candidates " +
         f"(projected pair-complete: $cand2%,.0f)")
       graft.util.BlockRelease.release(
-        Seq(centers, withCtr, v1, failedRows, r2, v2))
+        (if (carryCols.isEmpty) Nil else Seq(centersW)) ++
+          Seq(centers, withCtr, v1, failedRows, r2, v2))
       out
     }
   }
