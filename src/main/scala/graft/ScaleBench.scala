@@ -87,6 +87,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("embband")) {
+      runEmbBand(spark)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("skew")) {
       runSkew(spark)
       spark.stop()
@@ -1248,6 +1253,62 @@ object ScaleBench {
       finally sys.props.remove("graft.stardedup.factor")
       leg(maxDist, "star-gated")
     }
+    graft.util.BlockRelease.release(docs)
+  }
+
+  /** Embedding pass-heavy hot-band cell (r16 — the carried-star win
+    * regime for the EMBEDDING kernel, completing the triangle: minhash
+    * mixed15, simhash maxDist=15, and this). 100k vectors in 1,000 tight
+    * clusters: centroid components are deterministic ±1 signs per
+    * (cluster, coord); each member scales ONE coordinate by
+    * 1 + 0.01·(memberIdx+1), so all vectors are DISTINCT (the exact-dup
+    * gid stage cannot collapse them) yet every within-cluster pair has
+    * cosine ≥ 0.94 ≥ τ = 0.9 — hyperplane signatures near-identical
+    * within a cluster make every (table, sig) bucket ~cluster-sized and
+    * the verify PASS-heavy, the templated-boilerplate shape in embedding
+    * space. Two same-JVM legs: star gate DISABLED vs default. */
+  private def runEmbBand(spark: SparkSession): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_SCALE_N").map(_.toInt).getOrElse(50000)
+    // cluster count trades bucket purity against bucket size: at
+    // bits=12 the per-table sig space is 4096, so ~k/4096 of cluster
+    // pairs COLLIDE into shared buckets per table, and every collision
+    // member fails its star edge. k=1000 (first cut, kept as the
+    // fail-heavy datum in SCALE_CELLS) measured fail rate 0.418 →
+    // correct fallback; k=250 keeps buckets ~single-cluster
+    val k = sys.env.get("SPARK_GRAFT_SCALE_K").map(_.toInt).getOrElse(250)
+    val dim = 16
+    val docs = spark.range(n.toLong).select(
+        col("id").as("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j => {
+          val cl = pmod(col("id"), lit(k))
+          val sign = when(pmod(xxhash64(cl, j), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))
+          // 0.002 keeps the scaled coordinate ≤ 1.4 even at 200
+          // members/cluster, so every within-cluster pair stays ≥ 0.98
+          // cosine (≥ τ) while all vectors remain DISTINCT
+          val scale = lit(1.0) + when(j === pmod(col("id"), lit(dim)),
+            lit(0.002) * (floor(col("id") / k) + 1)).otherwise(lit(0.0))
+          sign * scale
+        }).as("v"))
+      .repartition(32).cp()
+    val nDocs = docs.count()
+    def t[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def leg(tag: String): Unit = {
+      val (sec, rows) = t {
+        val r = graft.dedup.Dedup.cosineNearDupGroups(
+          docs, "doc_id", "v", 9, 10, bits = 12, tables = 16, dim = dim)
+        val c = r.count(); graft.util.BlockRelease.release(r); c
+      }
+      System.err.println(
+        f"SCALE-EMBBAND n=$nDocs%,d $tag%-14s ${sec}%8.1f s (rows=$rows%,d)")
+    }
+    sys.props("graft.stardedup.factor") = "1e18" // never star: old verify
+    try leg("pair-complete")
+    finally sys.props.remove("graft.stardedup.factor")
+    leg("star-gated")
     graft.util.BlockRelease.release(docs)
   }
 

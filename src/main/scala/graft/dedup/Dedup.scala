@@ -1408,8 +1408,19 @@ object Dedup {
     val centers = banded.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("_ctr"), count(lit(1)).as("_bc"))
       .cp(false) // lazy: the gate agg materializes it
+    // WIDTH-AWARE repair bound (measured on the embband cell,
+    // SCALE_CELLS_r16.txt): carried candidates verify inline, but the
+    // repair round still MATERIALIZES them — distinct + anti-join +
+    // checkpoint — and a wide carry multiplies that cost by the row
+    // width. At carryWeight 5 (16-double vectors ×2 per candidate) a
+    // repair of 0.29× pair-complete lost 3.2× to the inline FAT join
+    // (24.2M wide rows ≈ 6.8 GB through the distinct), while narrow
+    // carries (simhash, weight 1) keep the full 0.7 headroom that the
+    // simband maxDist=15 cell validated. Dividing the cheap bound by
+    // the declared width prices the materialization back in.
     val repairBound =
-      if (carryCols.nonEmpty) StarRepairCheapFraction
+      if (carryCols.nonEmpty)
+        StarRepairCheapFraction / math.max(1L, carryWeight)
       else StarRepairFraction
     val prof = centers.agg(
       coalesce(sum(col("_bc").cast("double") *
